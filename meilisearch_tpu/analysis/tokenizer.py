@@ -1,0 +1,298 @@
+"""Tokenizer / normalizer — the charabia equivalent.
+
+Reference behavior: charabia 0.9 as used by milli
+(/root/reference/crates/milli — tokenizer built at
+`update/new/extract/searchable/tokenize_document.rs:tokenizer_builder` and
+`search/new/mod.rs:extract_tokens`).
+
+Pipeline (Latin path):
+  1. segmentation: runs of word characters separated by separator runs
+  2. separator classification: soft (whitespace, quotes, dashes...) vs hard
+     (sentence punctuation: . ; , ! ? ( ) ...) — hard separators introduce a
+     position gap of MAX_DISTANCE(=8) between surrounding words
+     (tokenize_document.rs:process_tokens) and +7 on the query side
+     (query_term/parse_query.rs:119)
+  3. normalization: compatibility decomposition, combining-mark removal,
+     lowercasing (charabia's lowercase + nonspacing-mark normalizers)
+  4. classification: Word vs StopWord (against the index stop-word set)
+
+This is a host-side component: tokenization is irregular string work that has
+no place on the MXU/VPU. A C++ implementation can replace this module behind
+the same interface; the Python version is the semantic reference.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+from enum import Enum
+from typing import Iterable, Optional, Sequence
+
+# Position gap introduced by a hard separator between two indexed words.
+# Reference: tokenize_document.rs:14 (`const MAX_DISTANCE: u32 = 8`).
+HARD_SEPARATOR_GAP = 8
+
+# The maximum byte length of an indexed word.
+# Reference: milli/src/lib.rs:146 (`MAX_WORD_LENGTH = 500/2`).
+MAX_WORD_LENGTH = 250
+
+
+class TokenKind(Enum):
+    WORD = "word"
+    STOP_WORD = "stop_word"
+    SEPARATOR_SOFT = "separator_soft"
+    SEPARATOR_HARD = "separator_hard"
+    UNKNOWN = "unknown"
+
+
+class SeparatorKind(Enum):
+    SOFT = "soft"
+    HARD = "hard"
+
+
+@dataclass
+class Token:
+    kind: TokenKind
+    lemma: str  # normalized form
+    original: str  # original slice of the input
+    char_start: int  # char offsets into the original text
+    char_end: int
+    byte_start: int = 0
+    byte_end: int = 0
+
+    def is_separator(self) -> bool:
+        return self.kind in (TokenKind.SEPARATOR_SOFT, TokenKind.SEPARATOR_HARD)
+
+    def is_word(self) -> bool:
+        return self.kind in (TokenKind.WORD, TokenKind.STOP_WORD)
+
+    @property
+    def separator_kind(self) -> Optional[SeparatorKind]:
+        if self.kind is TokenKind.SEPARATOR_SOFT:
+            return SeparatorKind.SOFT
+        if self.kind is TokenKind.SEPARATOR_HARD:
+            return SeparatorKind.HARD
+        return None
+
+
+# Hard separators delimit phrases / sentences (charabia's SeparatorKind::Hard).
+_HARD_SEPARATORS = frozenset(
+    ".;,!?()[]{}|\n\r\t"
+    "。，！？；：、"  # CJK punctuation 。，！？；：、
+    "…"  # …
+    "¡¿"  # ¡ ¿
+)
+
+# Soft separators: everything else that is not a word character. Explicitly
+# includes whitespace, quotes, dashes, slashes, etc.
+
+
+def _is_word_char(ch: str) -> bool:
+    if ch == "_":
+        # charabia treats underscore as part of words? No: it segments on it
+        # being non-alphanumeric. Underscore is a separator in charabia.
+        return False
+    cat = unicodedata.category(ch)
+    # Letters, numbers, and combining marks stay inside words.
+    return cat[0] in ("L", "N") or cat in ("Mn", "Mc")
+
+
+def classify_separator(text: str) -> SeparatorKind:
+    for ch in text:
+        if ch in _HARD_SEPARATORS:
+            return SeparatorKind.HARD
+    return SeparatorKind.SOFT
+
+
+def _strip_marks(text: str) -> str:
+    decomposed = unicodedata.normalize("NFKD", text)
+    return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
+def normalize_word(text: str) -> str:
+    """charabia-equivalent normalization for the Latin pipeline:
+    compatibility decomposition, diacritic removal, lowercase."""
+    return _strip_marks(text).lower()
+
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF),
+    (0x3400, 0x4DBF),
+    (0xF900, 0xFAFF),
+    (0x3040, 0x30FF),  # hiragana + katakana
+    (0xAC00, 0xD7AF),  # hangul
+    (0x0E00, 0x0E7F),  # thai
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+class Tokenizer:
+    """Configurable tokenizer (stop words, custom separators, dictionary).
+
+    Mirrors charabia's TokenizerBuilder surface used by milli:
+    stop_words, separators, words_dict, allow_list(locales).
+    """
+
+    def __init__(
+        self,
+        stop_words: Optional[Iterable[str]] = None,
+        separators: Optional[Sequence[str]] = None,
+        dictionary: Optional[Iterable[str]] = None,
+        locales: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.stop_words = frozenset(stop_words) if stop_words else frozenset()
+        self.custom_separators = (
+            sorted((s for s in separators if s), key=len, reverse=True)
+            if separators
+            else None
+        )
+        self.dictionary = (
+            sorted((w for w in dictionary if w), key=len, reverse=True)
+            if dictionary
+            else None
+        )
+        self.locales = list(locales) if locales else None
+
+    # -- segmentation ------------------------------------------------------
+
+    def _segment(self, text: str):
+        """Yield (start, end, is_word) character spans."""
+        if self.custom_separators is not None:
+            yield from self._segment_custom(text)
+            return
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if _is_word_char(ch):
+                j = i
+                cjk_mode = _is_cjk(ch)
+                while j < n and _is_word_char(text[j]) and _is_cjk(text[j]) == cjk_mode:
+                    j += 1
+                if cjk_mode:
+                    # Minimal CJK handling: split into single characters
+                    # (charabia uses jieba/lindera; per-char unigrams keep
+                    # searches functional for CJK text).
+                    for k in range(i, j):
+                        yield (k, k + 1, True)
+                else:
+                    yield (i, j, True)
+                i = j
+            else:
+                j = i
+                while j < n and not _is_word_char(text[j]):
+                    j += 1
+                yield (i, j, False)
+                i = j
+
+    def _segment_custom(self, text: str):
+        """Segmentation with a user-defined separator list: only the given
+        strings separate words (reference: charabia `separators()` — milli
+        settings `separatorTokens`/`nonSeparatorTokens`)."""
+        n = len(text)
+        i = 0
+        word_start = -1
+        while i < n:
+            matched = None
+            for sep in self.custom_separators:
+                if text.startswith(sep, i):
+                    matched = sep
+                    break
+            if matched is not None:
+                if word_start >= 0:
+                    yield (word_start, i, True)
+                    word_start = -1
+                yield (i, i + len(matched), False)
+                i += len(matched)
+            else:
+                if word_start < 0:
+                    word_start = i
+                i += 1
+        if word_start >= 0:
+            yield (word_start, n, True)
+
+    def _split_dictionary(self, start: int, end: int, text: str):
+        """Split a word span on dictionary words (charabia words_dict)."""
+        if not self.dictionary:
+            yield (start, end)
+            return
+        i = start
+        while i < end:
+            matched = None
+            for w in self.dictionary:
+                if text.startswith(w, i) and i + len(w) <= end:
+                    matched = w
+                    break
+            if matched:
+                yield (i, i + len(matched))
+                i += len(matched)
+            else:
+                # advance until the next dictionary match inside the span
+                j = i + 1
+                while j < end:
+                    if any(
+                        text.startswith(w, j) and j + len(w) <= end
+                        for w in self.dictionary
+                    ):
+                        break
+                    j += 1
+                yield (i, j)
+                i = j
+
+    # -- public API ---------------------------------------------------------
+
+    def tokenize(self, text: str) -> list[Token]:
+        tokens: list[Token] = []
+        for start, end, is_word in self._segment(text):
+            original = text[start:end]
+            if is_word:
+                for ws, we in self._split_dictionary(start, end, text):
+                    worig = text[ws:we]
+                    lemma = normalize_word(worig)
+                    kind = (
+                        TokenKind.STOP_WORD
+                        if lemma in self.stop_words or worig in self.stop_words
+                        else TokenKind.WORD
+                    )
+                    tokens.append(Token(kind, lemma, worig, ws, we))
+            else:
+                sep_kind = classify_separator(original)
+                kind = (
+                    TokenKind.SEPARATOR_HARD
+                    if sep_kind is SeparatorKind.HARD
+                    else TokenKind.SEPARATOR_SOFT
+                )
+                tokens.append(Token(kind, original, original, start, end))
+        return tokens
+
+    def indexed_words(self, text: str) -> list[tuple[str, int]]:
+        """Return (word, relative_position) pairs for one field value.
+
+        Mirrors tokenize_document.rs:process_tokens — positions advance by 1
+        between words, and by HARD_SEPARATOR_GAP across a hard separator.
+        Stop words ARE indexed (so phrases containing them keep working).
+        """
+        out: list[tuple[str, int]] = []
+        position = 0
+        prev: Optional[TokenKind] = None
+        for token in self.tokenize(text):
+            if token.is_word() and token.lemma:
+                if prev is None:
+                    pass
+                elif prev is TokenKind.SEPARATOR_HARD:
+                    position += HARD_SEPARATOR_GAP
+                else:
+                    position += 1
+                prev = token.kind
+                word = token.lemma.strip()
+                if word and len(word.encode("utf-8")) <= MAX_WORD_LENGTH:
+                    out.append((word, position))
+            elif token.kind is TokenKind.SEPARATOR_HARD:
+                prev = TokenKind.SEPARATOR_HARD
+            elif token.kind is TokenKind.SEPARATOR_SOFT:
+                if prev is not TokenKind.SEPARATOR_HARD:
+                    prev = TokenKind.SEPARATOR_SOFT
+        return out

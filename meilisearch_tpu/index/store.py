@@ -1,0 +1,735 @@
+"""Mutable host-side index store.
+
+This is the write-side twin of the device snapshot: it mirrors milli's LMDB
+databases (reference: milli/src/index.rs:96-125 database names) as plain host
+structures that support fine-grained per-document del/add, exactly like the
+reference's extractor del/add pipeline
+(milli/src/update/new/extract/searchable/*). Search never reads this store
+directly at scale — a frozen `IndexSnapshot` (packed arrays, device tensors)
+is derived per generation and swapped atomically, mirroring LMDB's MVCC
+reader snapshots (SURVEY.md §7 "guiding split").
+
+Databases mirrored here:
+  word_docids, exact_word_docids           (index.rs:145-150)
+  word_fid_docids, word_position_docids    (index.rs:163-175, bucketed)
+  word_pair_proximity_docids               (index.rs:161, prox in 1..=3)
+  field_id_word_count_docids               (index.rs:168, count <= 30)
+  facet_id_f64_docids / facet_id_string_docids + exists/is_null/is_empty
+  field_id_docid_facet_f64s / _strings     (per-doc facet values)
+  documents, external_documents_ids        (index.rs:142,207)
+  vector stores per embedder, geo points
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import time
+from collections import defaultdict
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from ..analysis.tokenizer import (
+    HARD_SEPARATOR_GAP,
+    MAX_WORD_LENGTH,
+    Tokenizer,
+)
+from ..types.errors import EngineError, ErrorCode
+from ..types.settings import Settings, _match_pattern
+
+# Reference: milli/src/lib.rs:151
+MAX_COUNTED_WORDS = 30
+# Reference: milli/src/proximity.rs:7
+MAX_DISTANCE = 4
+# Reference: milli/src/lib.rs:139 (MAX_FACET_VALUE_LENGTH)
+MAX_FACET_VALUE_LENGTH = 468
+# Reference: milli/src/lib.rs:148
+MAX_POSITION_PER_ATTRIBUTE = 1 << 16
+
+RESERVED_GEO_FIELD = "_geo"
+RESERVED_VECTORS_FIELD = "_vectors"
+
+
+def bucketed_position(relative: int) -> int:
+    """Reference: milli/src/lib.rs:248-260."""
+    if relative < 16:
+        return relative
+    if relative < 24:
+        return 24
+    return int(2 ** math.ceil(math.log2(relative)))
+
+
+def index_proximity(lhs: int, rhs: int) -> int:
+    """Reference: milli/src/proximity.rs:10-17."""
+    if lhs <= rhs:
+        return min(rhs - lhs, MAX_DISTANCE)
+    return min(lhs - rhs + 1, MAX_DISTANCE)
+
+
+def facet_string_normalize(value: str) -> str:
+    """Facet strings are matched case/whitespace-insensitively.
+
+    Reference: milli normalize_facet (update/facet/mod.rs) — trim + lowercase,
+    truncated to fit an LMDB key."""
+    return value.strip().lower()[:MAX_FACET_VALUE_LENGTH]
+
+
+def truncate_facet_string(value: str) -> str:
+    return value[:MAX_FACET_VALUE_LENGTH]
+
+
+class FieldsIdsMap:
+    """name <-> u16 id, insertion ordered (reference: milli fields_ids_map.rs)."""
+
+    def __init__(self) -> None:
+        self.name_to_id: dict[str, int] = {}
+        self.id_to_name: list[str] = []
+
+    def id_or_insert(self, name: str) -> int:
+        fid = self.name_to_id.get(name)
+        if fid is None:
+            fid = len(self.id_to_name)
+            self.name_to_id[name] = fid
+            self.id_to_name.append(name)
+        return fid
+
+    def id(self, name: str) -> Optional[int]:
+        return self.name_to_id.get(name)
+
+    def name(self, fid: int) -> Optional[str]:
+        if 0 <= fid < len(self.id_to_name):
+            return self.id_to_name[fid]
+        return None
+
+    def names(self) -> list[str]:
+        return list(self.id_to_name)
+
+    def __len__(self) -> int:
+        return len(self.id_to_name)
+
+
+def flatten_json(value: Any, prefix: str = "") -> dict[str, list[Any]]:
+    """Flatten nested JSON into dot-separated leaf paths.
+
+    Mirrors the `flatten-serde-json` crate used for faceting
+    (reference: crates/flatten-serde-json/src/lib.rs): objects nest with `.`,
+    arrays are traversed element-wise merging values under the same key, and
+    the intermediate object/array values themselves also appear under their
+    key (an empty object stays as a value so IS EMPTY works).
+    """
+    out: dict[str, list[Any]] = defaultdict(list)
+
+    def rec(val: Any, path: str):
+        if isinstance(val, dict):
+            if not val and path:
+                out[path].append(val)
+            for k, v in val.items():
+                rec(v, f"{path}.{k}" if path else k)
+        elif isinstance(val, list):
+            if not val and path:
+                out[path].append(val)
+            has_scalar = False
+            for item in val:
+                if isinstance(item, (dict, list)):
+                    rec(item, path)
+                else:
+                    has_scalar = True
+                    out[path].append(item)
+            _ = has_scalar
+        else:
+            out[path].append(val)
+
+    rec(value, prefix)
+    return dict(out)
+
+
+class IndexStore:
+    """One search index (the milli `Index` equivalent)."""
+
+    def __init__(self, uid: str, primary_key: Optional[str] = None) -> None:
+        self.uid = uid
+        self.primary_key: Optional[str] = primary_key
+        self.created_at = time.time()
+        self.updated_at = self.created_at
+        self.settings = Settings()
+        self.fields_ids_map = FieldsIdsMap()
+
+        self.documents: dict[int, dict] = {}
+        self.external_to_internal: dict[str, int] = {}
+        self.internal_to_external: dict[int, str] = {}
+        self._next_docid = 0
+
+        # searchable postings
+        self.word_docids: dict[str, set[int]] = defaultdict(set)
+        self.exact_word_docids: dict[str, set[int]] = defaultdict(set)
+        self.word_fid_docids: dict[tuple[str, int], set[int]] = defaultdict(set)
+        self.word_position_docids: dict[tuple[str, int], set[int]] = defaultdict(set)
+        self.word_pair_proximity_docids: dict[tuple[int, str, str], set[int]] = defaultdict(set)
+        self.field_id_word_count_docids: dict[tuple[int, int], set[int]] = defaultdict(set)
+
+        # facets
+        self.facet_number_docids: dict[int, dict[float, set[int]]] = defaultdict(
+            lambda: defaultdict(set)
+        )
+        self.facet_string_docids: dict[int, dict[str, set[int]]] = defaultdict(
+            lambda: defaultdict(set)
+        )
+        self.facet_string_original: dict[tuple[int, str], str] = {}
+        self.facet_exists_docids: dict[int, set[int]] = defaultdict(set)
+        self.facet_is_null_docids: dict[int, set[int]] = defaultdict(set)
+        self.facet_is_empty_docids: dict[int, set[int]] = defaultdict(set)
+        self.docid_facet_numbers: dict[tuple[int, int], list[float]] = {}
+        self.docid_facet_strings: dict[tuple[int, int], list[tuple[str, str]]] = {}
+
+        # vectors: embedder -> docid -> ndarray (k, dim); regenerate flags
+        self.vectors: dict[str, dict[int, np.ndarray]] = defaultdict(dict)
+        self.vector_regenerate: dict[str, dict[int, bool]] = defaultdict(dict)
+
+        # geo points: docid -> (lat, lng)
+        self.geo_points: dict[int, tuple[float, float]] = {}
+
+        self.generation = 0
+        self._lock = threading.RLock()
+        self._snapshot_cache: Any = None
+        self._snapshot_generation = -1
+
+    # ------------------------------------------------------------------
+    # tokenizer / searchable config
+
+    def make_tokenizer(self, locales: Optional[list[str]] = None) -> Tokenizer:
+        s = self.settings
+        separators = None
+        if s.separator_tokens or s.non_separator_tokens:
+            # Default separators extended/reduced by the custom token lists.
+            base = list(" \t\n\r.;,!?()[]{}|\"'`:/\\-_=+*&#@~<>^%$")
+            for tok in s.non_separator_tokens:
+                if tok in base:
+                    base.remove(tok)
+            separators = base + [t for t in s.separator_tokens if t not in base]
+        return Tokenizer(
+            stop_words=s.stop_words,
+            separators=separators,
+            dictionary=s.dictionary or None,
+            locales=locales,
+        )
+
+    def searchable_fields_and_weights(self) -> list[tuple[str, int, int]]:
+        """Return (field_name, fid, weight) for every searchable field.
+
+        Reference: index.rs:700 searchable_fields_and_weights +
+        fieldids_weights_map.rs (wildcard => all weight 0, else weight =
+        position of the matching user-defined searchable attribute).
+        """
+        s = self.settings
+        out = []
+        if s.searchable_is_wildcard():
+            for name in self.fields_ids_map.names():
+                if name == RESERVED_VECTORS_FIELD or name.startswith(
+                    RESERVED_VECTORS_FIELD + "."
+                ):
+                    continue
+                out.append((name, self.fields_ids_map.id(name), 0))
+        else:
+            for name in self.fields_ids_map.names():
+                for weight, pattern in enumerate(s.searchable_attributes):
+                    if _match_pattern(pattern, name):
+                        out.append((name, self.fields_ids_map.id(name), weight))
+                        break
+        return out
+
+    def searchable_fids(self) -> set[int]:
+        return {fid for _, fid, _ in self.searchable_fields_and_weights()}
+
+    def fid_weight_map(self) -> dict[int, int]:
+        return {fid: w for _, fid, w in self.searchable_fields_and_weights()}
+
+    def exact_attributes_fids(self) -> set[int]:
+        out = set()
+        for name in self.fields_ids_map.names():
+            if any(_match_pattern(p, name) for p in self.settings.exact_attributes):
+                fid = self.fields_ids_map.id(name)
+                if fid is not None:
+                    out.add(fid)
+        return out
+
+    def faceted_fields(self) -> set[str]:
+        """Fields extracted into the facet databases: filterable, sortable,
+        distinct, and `_geo` (reference: milli Index::user_defined_faceted_fields)."""
+        s = self.settings
+        out: set[str] = set(s.filterable_attribute_names())
+        out.update(s.sortable_attributes)
+        if s.distinct_attribute:
+            out.add(s.distinct_attribute)
+        for rule in s.ranking_rules:
+            if ":" in rule:
+                out.add(rule.split(":")[0])
+        return out
+
+    def _is_faceted(self, field_path: str) -> bool:
+        return any(
+            _match_pattern(pattern, field_path) for pattern in self.faceted_fields()
+        )
+
+    # ------------------------------------------------------------------
+    # document ingestion
+
+    def guess_primary_key(self, doc: dict) -> str:
+        """Reference: update/new/indexer/guess_primary_key.rs — attributes
+        whose name ends with `id` (case-insensitive); error if 0 or >1."""
+        candidates = [k for k in doc.keys() if k.lower() == "id" or k.lower().endswith("id")]
+        if not candidates:
+            raise EngineError(
+                ErrorCode.MISSING_DOCUMENT_ID,
+                "The primary key inference failed as the engine did not find "
+                "any field ending with `id` in its name.",
+            )
+        if len(candidates) > 1:
+            raise EngineError(
+                ErrorCode.MISSING_DOCUMENT_ID,
+                "The primary key inference failed as the engine found "
+                f"{len(candidates)} fields ending with `id` in their names: "
+                f"{', '.join(repr(c) for c in sorted(candidates))}.",
+            )
+        return candidates[0]
+
+    @staticmethod
+    def validate_external_id(value: Any) -> str:
+        if isinstance(value, bool) or value is None:
+            raise EngineError(
+                ErrorCode.INVALID_DOCUMENT_ID,
+                f"Document identifier `{value!r}` is invalid.",
+            )
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, float) and value.is_integer():
+            return str(int(value))
+        if isinstance(value, str):
+            if 0 < len(value) <= 511 and all(
+                c.isalnum() or c in "-_" for c in value
+            ):
+                return value
+        raise EngineError(
+            ErrorCode.INVALID_DOCUMENT_ID,
+            f"Document identifier `{value!r}` is invalid. A document identifier"
+            " can be of type integer or string, only composed of alphanumeric"
+            " characters (a-z A-Z 0-9), hyphens (-) and underscores (_),"
+            " and can not be more than 511 bytes.",
+        )
+
+    def add_documents(
+        self, docs: Iterable[dict], method: str = "replace"
+    ) -> tuple[int, int]:
+        """Add or update documents. Returns (received, indexed)."""
+        with self._lock:
+            received = 0
+            for doc in docs:
+                received += 1
+                if self.primary_key is None:
+                    self.primary_key = self.guess_primary_key(doc)
+                if self.primary_key not in doc:
+                    raise EngineError(
+                        ErrorCode.MISSING_DOCUMENT_ID,
+                        f"Document doesn't have a `{self.primary_key}` attribute.",
+                    )
+                external_id = self.validate_external_id(doc[self.primary_key])
+                docid = self.external_to_internal.get(external_id)
+                if docid is not None:
+                    old = self.documents[docid]
+                    if method == "update":
+                        merged = dict(old)
+                        merged.update(doc)
+                        doc = merged
+                    self._remove_document_content(docid, old)
+                else:
+                    docid = self._next_docid
+                    self._next_docid += 1
+                    self.external_to_internal[external_id] = docid
+                    self.internal_to_external[docid] = external_id
+                self.documents[docid] = doc
+                self._index_document_content(docid, doc)
+            self._bump()
+            return received, received
+
+    def delete_documents(self, external_ids: Iterable[str]) -> int:
+        with self._lock:
+            deleted = 0
+            for ext in external_ids:
+                ext = str(ext)
+                docid = self.external_to_internal.get(ext)
+                if docid is None:
+                    continue
+                self._remove_document_content(docid, self.documents[docid])
+                del self.documents[docid]
+                del self.external_to_internal[ext]
+                del self.internal_to_external[docid]
+                deleted += 1
+            self._bump()
+            return deleted
+
+    def delete_all_documents(self) -> int:
+        with self._lock:
+            n = len(self.documents)
+            self.documents.clear()
+            self.external_to_internal.clear()
+            self.internal_to_external.clear()
+            for table in self._all_posting_tables():
+                table.clear()
+            self.facet_number_docids.clear()
+            self.facet_string_docids.clear()
+            self.facet_string_original.clear()
+            self.docid_facet_numbers.clear()
+            self.docid_facet_strings.clear()
+            self.vectors.clear()
+            self.vector_regenerate.clear()
+            self.geo_points.clear()
+            self._bump()
+            return n
+
+    def reindex(self) -> None:
+        """Full re-derivation of all posting tables from stored documents.
+
+        Used after settings changes that invalidate derived data
+        (reference: Settings::execute expensive path, update/settings.rs).
+        """
+        with self._lock:
+            for table in self._all_posting_tables():
+                table.clear()
+            self.facet_number_docids.clear()
+            self.facet_string_docids.clear()
+            self.facet_string_original.clear()
+            self.docid_facet_numbers.clear()
+            self.docid_facet_strings.clear()
+            self.geo_points.clear()
+            for docid, doc in self.documents.items():
+                self._index_document_content(docid, doc)
+            self._bump()
+
+    def _all_posting_tables(self):
+        return [
+            self.word_docids,
+            self.exact_word_docids,
+            self.word_fid_docids,
+            self.word_position_docids,
+            self.word_pair_proximity_docids,
+            self.field_id_word_count_docids,
+            self.facet_exists_docids,
+            self.facet_is_null_docids,
+            self.facet_is_empty_docids,
+        ]
+
+    def _bump(self):
+        self.generation += 1
+        self.updated_at = time.time()
+
+    # -- extraction ------------------------------------------------------
+
+    def _iter_searchable_leaves(self, doc: dict):
+        """Yield (field_path, leaf_value) for tokenization, in document order.
+
+        Reference: tokenize_document.rs:tokenize_document — nested objects and
+        arrays are traversed, each leaf tokenized under its dotted path fid.
+        """
+
+        def rec(val, path):
+            if isinstance(val, dict):
+                for k, v in val.items():
+                    yield from rec(v, f"{path}.{k}" if path else k)
+            elif isinstance(val, list):
+                for item in val:
+                    yield from rec(item, path)
+            else:
+                yield (path, val)
+
+        for key, value in doc.items():
+            if key == RESERVED_VECTORS_FIELD or key == RESERVED_GEO_FIELD:
+                continue
+            yield from rec(value, key)
+
+    def _searchable_weight_for(self, field_path: str) -> Optional[int]:
+        s = self.settings
+        if s.searchable_is_wildcard():
+            return 0
+        for weight, pattern in enumerate(s.searchable_attributes):
+            if _match_pattern(pattern, field_path):
+                return weight
+        return None
+
+    def _tokenize_document(
+        self, doc: dict
+    ) -> dict[int, list[tuple[str, int]]]:
+        """Return {fid: [(word, relative_position)...]} for searchable fields."""
+        tokenizer = self.make_tokenizer()
+        per_fid: dict[int, list[tuple[str, int]]] = defaultdict(list)
+        fid_positions: dict[int, int] = {}
+        for field_path, value in self._iter_searchable_leaves(doc):
+            # Register the field in the map regardless of searchability so the
+            # fields map knows all fields (reference behavior).
+            fid = self.fields_ids_map.id_or_insert(field_path)
+            if self._searchable_weight_for(field_path) is None:
+                continue
+            if value is None:
+                continue
+            if isinstance(value, bool):
+                text = "true" if value else "false"
+            elif isinstance(value, (int, float)):
+                text = repr(value) if isinstance(value, float) else str(value)
+            elif isinstance(value, str):
+                text = value
+            else:
+                continue
+            base = fid_positions.get(fid)
+            if base is None:
+                base = 0
+            else:
+                base += HARD_SEPARATOR_GAP
+            if base >= MAX_POSITION_PER_ATTRIBUTE:
+                continue
+            words = tokenizer.indexed_words(text)
+            last = base
+            for word, rel in words:
+                pos = base + rel
+                if pos >= MAX_POSITION_PER_ATTRIBUTE:
+                    break
+                per_fid[fid].append((word, pos))
+                last = pos
+            fid_positions[fid] = last
+        return dict(per_fid)
+
+    def _pairs_from_positions(
+        self, words_positions: list[tuple[str, int]]
+    ) -> dict[tuple[str, str], int]:
+        """Sliding-window pair-proximity extraction.
+
+        Reference: extract_word_pair_proximity_docids.rs:504-570 — pairs with
+        0 < proximity < MAX_DISTANCE, deduped per document keeping the
+        minimal proximity.
+        """
+        pairs: dict[tuple[str, str], int] = {}
+        window: list[tuple[str, int]] = []
+
+        def flush_head():
+            head_word, head_pos = window.pop(0)
+            for word, pos in window:
+                prox = index_proximity(head_pos, pos)
+                if 0 < prox < MAX_DISTANCE:
+                    key = (head_word, word)
+                    if key not in pairs or prox < pairs[key]:
+                        pairs[key] = prox
+
+        for word, pos in words_positions:
+            while window and index_proximity(window[0][1], pos) >= MAX_DISTANCE:
+                flush_head()
+            window.append((word, pos))
+        while window:
+            flush_head()
+        return pairs
+
+    def _index_document_content(self, docid: int, doc: dict) -> None:
+        exact_fids = self.exact_attributes_fids()
+        per_fid = self._tokenize_document(doc)
+        for fid, words_positions in per_fid.items():
+            is_exact = fid in exact_fids
+            for word, pos in words_positions:
+                if is_exact:
+                    self.exact_word_docids[word].add(docid)
+                else:
+                    self.word_docids[word].add(docid)
+                self.word_fid_docids[(word, fid)].add(docid)
+                self.word_position_docids[(word, bucketed_position(min(pos, 0xFFFF)))].add(
+                    docid
+                )
+            count = len(words_positions)
+            if count <= MAX_COUNTED_WORDS:
+                self.field_id_word_count_docids[(fid, count)].add(docid)
+            for (w1, w2), prox in self._pairs_from_positions(words_positions).items():
+                self.word_pair_proximity_docids[(prox, w1, w2)].add(docid)
+
+        self._index_facets(docid, doc)
+        self._index_vectors(docid, doc)
+        self._index_geo(docid, doc)
+
+    def _remove_document_content(self, docid: int, doc: dict) -> None:
+        def discard(table: dict, key):
+            s = table.get(key)
+            if s is not None:
+                s.discard(docid)
+                if not s:
+                    del table[key]
+
+        exact_fids = self.exact_attributes_fids()
+        per_fid = self._tokenize_document(doc)
+        for fid, words_positions in per_fid.items():
+            is_exact = fid in exact_fids
+            for word, pos in words_positions:
+                if is_exact:
+                    discard(self.exact_word_docids, word)
+                else:
+                    discard(self.word_docids, word)
+                discard(self.word_fid_docids, (word, fid))
+                discard(
+                    self.word_position_docids,
+                    (word, bucketed_position(min(pos, 0xFFFF))),
+                )
+            count = len(words_positions)
+            if count <= MAX_COUNTED_WORDS:
+                discard(self.field_id_word_count_docids, (fid, count))
+            for (w1, w2), prox in self._pairs_from_positions(words_positions).items():
+                discard(self.word_pair_proximity_docids, (prox, w1, w2))
+
+        # facets
+        for fid_key in list(self.facet_number_docids.keys()):
+            values = self.docid_facet_numbers.pop((fid_key, docid), None)
+            if values:
+                table = self.facet_number_docids[fid_key]
+                for v in values:
+                    s = table.get(v)
+                    if s is not None:
+                        s.discard(docid)
+                        if not s:
+                            del table[v]
+        for fid_key in list(self.facet_string_docids.keys()):
+            values = self.docid_facet_strings.pop((fid_key, docid), None)
+            if values:
+                table = self.facet_string_docids[fid_key]
+                for norm, _orig in values:
+                    s = table.get(norm)
+                    if s is not None:
+                        s.discard(docid)
+                        if not s:
+                            del table[norm]
+                            self.facet_string_original.pop((fid_key, norm), None)
+        for table in (
+            self.facet_exists_docids,
+            self.facet_is_null_docids,
+            self.facet_is_empty_docids,
+        ):
+            for key in list(table.keys()):
+                table[key].discard(docid)
+                if not table[key]:
+                    del table[key]
+
+        for emb in list(self.vectors.keys()):
+            self.vectors[emb].pop(docid, None)
+            self.vector_regenerate[emb].pop(docid, None)
+        self.geo_points.pop(docid, None)
+
+    # -- facets -----------------------------------------------------------
+
+    def _index_facets(self, docid: int, doc: dict) -> None:
+        flat = flatten_json(doc)
+        per_fid_numbers: dict[int, list[float]] = defaultdict(list)
+        per_fid_strings: dict[int, list[tuple[str, str]]] = defaultdict(list)
+        for field_path, values in flat.items():
+            if field_path.startswith(RESERVED_VECTORS_FIELD):
+                continue
+            fid = self.fields_ids_map.id_or_insert(field_path)
+            if not self._is_faceted(field_path):
+                continue
+            self.facet_exists_docids[fid].add(docid)
+            top_value = _lookup_path(doc, field_path)
+            if top_value is None and field_path in doc and doc[field_path] is None:
+                pass
+            for value in values:
+                if value is None:
+                    self.facet_is_null_docids[fid].add(docid)
+                elif isinstance(value, bool):
+                    norm = "true" if value else "false"
+                    per_fid_strings[fid].append((norm, norm))
+                elif isinstance(value, (int, float)):
+                    f = float(value)
+                    if not math.isnan(f):
+                        per_fid_numbers[fid].append(f)
+                elif isinstance(value, str):
+                    if value == "":
+                        self.facet_is_empty_docids[fid].add(docid)
+                    else:
+                        norm = facet_string_normalize(value)
+                        per_fid_strings[fid].append((norm, truncate_facet_string(value)))
+                elif isinstance(value, (list, dict)):
+                    if not value:
+                        self.facet_is_empty_docids[fid].add(docid)
+        for fid, numbers in per_fid_numbers.items():
+            uniq = sorted(set(numbers))
+            self.docid_facet_numbers[(fid, docid)] = uniq
+            for v in uniq:
+                self.facet_number_docids[fid][v].add(docid)
+        for fid, strings in per_fid_strings.items():
+            seen: dict[str, str] = {}
+            for norm, orig in strings:
+                seen.setdefault(norm, orig)
+            pairs = sorted(seen.items())
+            self.docid_facet_strings[(fid, docid)] = pairs
+            for norm, orig in pairs:
+                self.facet_string_docids[fid][norm].add(docid)
+                self.facet_string_original.setdefault((fid, norm), orig)
+
+    def _index_vectors(self, docid: int, doc: dict) -> None:
+        vectors = doc.get(RESERVED_VECTORS_FIELD)
+        if not isinstance(vectors, dict):
+            return
+        for embedder, spec in vectors.items():
+            regenerate = False
+            embeddings = spec
+            if isinstance(spec, dict):
+                embeddings = spec.get("embeddings")
+                regenerate = bool(spec.get("regenerate", False))
+            if embeddings is None:
+                self.vector_regenerate[embedder][docid] = regenerate
+                continue
+            arr = np.asarray(embeddings, dtype=np.float32)
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            self.vectors[embedder][docid] = arr
+            self.vector_regenerate[embedder][docid] = regenerate
+
+    def _index_geo(self, docid: int, doc: dict) -> None:
+        geo = doc.get(RESERVED_GEO_FIELD)
+        if isinstance(geo, dict):
+            lat, lng = geo.get("lat"), geo.get("lng")
+            try:
+                if lat is not None and lng is not None:
+                    self.geo_points[docid] = (float(lat), float(lng))
+            except (TypeError, ValueError):
+                pass
+
+    # ------------------------------------------------------------------
+    # read API (mirrors milli db_cache accessors)
+
+    def documents_ids(self) -> set[int]:
+        return set(self.documents.keys())
+
+    def contains_word(self, word: str) -> bool:
+        return word in self.word_docids or word in self.exact_word_docids
+
+    def get_word_docids(self, word: str) -> set[int]:
+        """word_docids ∪ exact_word_docids (reference: db_cache.rs:183)."""
+        out = self.word_docids.get(word)
+        exact = self.exact_word_docids.get(word)
+        if out and exact:
+            return out | exact
+        return set(out or exact or ())
+
+    def all_words_sorted(self) -> list[str]:
+        return sorted(set(self.word_docids) | set(self.exact_word_docids))
+
+    def stats(self) -> dict:
+        field_distribution: dict[str, int] = defaultdict(int)
+        for doc in self.documents.values():
+            for key in doc.keys():
+                field_distribution[key] += 1
+        return {
+            "numberOfDocuments": len(self.documents),
+            "isIndexing": False,
+            "fieldDistribution": dict(sorted(field_distribution.items())),
+        }
+
+
+def _lookup_path(doc: dict, path: str):
+    cur: Any = doc
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None
+    return cur

@@ -1,0 +1,106 @@
+"""Engine error taxonomy.
+
+Mirrors the reference's error codes surfaced over the API
+(/root/reference/crates/meilisearch-types/src/error.rs): every API error has a
+`message`, `code`, `type`, `link` quadruple.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+
+class ErrorType(str, Enum):
+    INVALID_REQUEST = "invalid_request"
+    INTERNAL = "internal"
+    AUTH = "auth"
+    SYSTEM = "system"
+
+
+class ErrorCode(str, Enum):
+    BAD_REQUEST = "bad_request"
+    INDEX_NOT_FOUND = "index_not_found"
+    INDEX_ALREADY_EXISTS = "index_already_exists"
+    INVALID_INDEX_UID = "invalid_index_uid"
+    DOCUMENT_NOT_FOUND = "document_not_found"
+    MISSING_DOCUMENT_ID = "missing_document_id"
+    INVALID_DOCUMENT_ID = "invalid_document_id"
+    INVALID_DOCUMENT_FIELDS = "invalid_document_fields"
+    INVALID_DOCUMENT_FILTER = "invalid_document_filter"
+    MISSING_DOCUMENT_FILTER = "missing_document_filter"
+    INVALID_SEARCH_Q = "invalid_search_q"
+    INVALID_SEARCH_FILTER = "invalid_search_filter"
+    INVALID_SEARCH_SORT = "invalid_search_sort"
+    INVALID_SEARCH_FACETS = "invalid_search_facets"
+    INVALID_SEARCH_LIMIT = "invalid_search_limit"
+    INVALID_SEARCH_OFFSET = "invalid_search_offset"
+    INVALID_SEARCH_PAGE = "invalid_search_page"
+    INVALID_SEARCH_HITS_PER_PAGE = "invalid_search_hits_per_page"
+    INVALID_SEARCH_ATTRIBUTES_TO_SEARCH_ON = "invalid_search_attributes_to_search_on"
+    INVALID_SEARCH_DISTINCT = "invalid_search_distinct"
+    INVALID_SEARCH_RANKING_SCORE_THRESHOLD = "invalid_search_ranking_score_threshold"
+    INVALID_SIMILAR_ID = "invalid_similar_id"
+    INVALID_SETTINGS_RANKING_RULES = "invalid_settings_ranking_rules"
+    INVALID_SETTINGS_TYPO_TOLERANCE = "invalid_settings_typo_tolerance"
+    INVALID_FACET_SEARCH_FACET_NAME = "invalid_facet_search_facet_name"
+    FACET_SEARCH_DISABLED = "facet_search_disabled"
+    INVALID_API_KEY = "invalid_api_key"
+    MISSING_AUTHORIZATION_HEADER = "missing_authorization_header"
+    TASK_NOT_FOUND = "task_not_found"
+    BATCH_NOT_FOUND = "batch_not_found"
+    API_KEY_NOT_FOUND = "api_key_not_found"
+    IMMUTABLE_API_KEY_UID = "immutable_api_key_uid"
+    IMMUTABLE_API_KEY_ACTIONS = "immutable_api_key_actions"
+    INVALID_SWAP_INDEXES = "invalid_swap_indexes"
+    INVALID_STATE = "invalid_state"
+    INTERNAL = "internal"
+    FEATURE_NOT_ENABLED = "feature_not_enabled"
+    INVALID_EMBEDDER = "invalid_embedder"
+    VECTOR_EMBEDDING_ERROR = "vector_embedding_error"
+    NOT_FOUND = "not_found"
+
+    @property
+    def http_status(self) -> int:
+        return _STATUS.get(self, 400)
+
+    @property
+    def error_type(self) -> ErrorType:
+        if self in (
+            ErrorCode.INVALID_API_KEY,
+            ErrorCode.MISSING_AUTHORIZATION_HEADER,
+        ):
+            return ErrorType.AUTH
+        if self is ErrorCode.INTERNAL:
+            return ErrorType.INTERNAL
+        return ErrorType.INVALID_REQUEST
+
+
+_STATUS = {
+    ErrorCode.INDEX_NOT_FOUND: 404,
+    ErrorCode.DOCUMENT_NOT_FOUND: 404,
+    ErrorCode.TASK_NOT_FOUND: 404,
+    ErrorCode.BATCH_NOT_FOUND: 404,
+    ErrorCode.API_KEY_NOT_FOUND: 404,
+    ErrorCode.NOT_FOUND: 404,
+    ErrorCode.INDEX_ALREADY_EXISTS: 409,
+    ErrorCode.INVALID_API_KEY: 403,
+    ErrorCode.MISSING_AUTHORIZATION_HEADER: 401,
+    ErrorCode.INTERNAL: 500,
+    ErrorCode.FEATURE_NOT_ENABLED: 400,
+}
+
+
+class EngineError(Exception):
+    def __init__(self, code: ErrorCode, message: str):
+        super().__init__(message)
+        self.code = code
+        self.message = message
+
+    def to_json(self) -> dict:
+        code = self.code.value
+        return {
+            "message": self.message,
+            "code": code,
+            "type": self.code.error_type.value,
+            "link": f"https://docs.meilisearch.com/errors#{code}",
+        }

@@ -1,0 +1,296 @@
+"""Per-index settings model.
+
+Mirrors the reference settings DTO
+(/root/reference/crates/meilisearch-types/src/settings.rs:223-435) and milli's
+stored settings (index `main` DB keys, milli/src/index.rs:49-95).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+DEFAULT_RANKING_RULES = [
+    # Reference: milli/src/criterion.rs:121 default_criteria()
+    "words",
+    "typo",
+    "proximity",
+    "attributeRank",
+    "sort",
+    "wordPosition",
+    "exactness",
+]
+
+
+@dataclass
+class MinWordSizeForTypos:
+    # Reference: milli/src/index.rs:46-47 (DEFAULT_MIN_WORD_LEN_ONE_TYPO = 5,
+    # DEFAULT_MIN_WORD_LEN_TWO_TYPOS = 9)
+    one_typo: int = 5
+    two_typos: int = 9
+
+    def to_json(self) -> dict:
+        return {"oneTypo": self.one_typo, "twoTypos": self.two_typos}
+
+
+@dataclass
+class TypoTolerance:
+    enabled: bool = True
+    min_word_size_for_typos: MinWordSizeForTypos = field(default_factory=MinWordSizeForTypos)
+    disable_on_words: list[str] = field(default_factory=list)
+    disable_on_attributes: list[str] = field(default_factory=list)
+    disable_on_numbers: bool = False
+
+    def to_json(self) -> dict:
+        return {
+            "enabled": self.enabled,
+            "minWordSizeForTypos": self.min_word_size_for_typos.to_json(),
+            "disableOnWords": sorted(self.disable_on_words),
+            "disableOnAttributes": sorted(self.disable_on_attributes),
+            "disableOnNumbers": self.disable_on_numbers,
+        }
+
+
+@dataclass
+class Pagination:
+    max_total_hits: int = 1000
+
+    def to_json(self) -> dict:
+        return {"maxTotalHits": self.max_total_hits}
+
+
+@dataclass
+class Faceting:
+    max_values_per_facet: int = 100
+    sort_facet_values_by: dict[str, str] = field(default_factory=lambda: {"*": "alpha"})
+
+    def to_json(self) -> dict:
+        return {
+            "maxValuesPerFacet": self.max_values_per_facet,
+            "sortFacetValuesBy": dict(self.sort_facet_values_by),
+        }
+
+
+@dataclass
+class Settings:
+    displayed_attributes: list[str] = field(default_factory=lambda: ["*"])
+    searchable_attributes: list[str] = field(default_factory=lambda: ["*"])
+    filterable_attributes: list[Any] = field(default_factory=list)
+    sortable_attributes: list[str] = field(default_factory=list)
+    ranking_rules: list[str] = field(default_factory=lambda: list(DEFAULT_RANKING_RULES))
+    stop_words: list[str] = field(default_factory=list)
+    non_separator_tokens: list[str] = field(default_factory=list)
+    separator_tokens: list[str] = field(default_factory=list)
+    dictionary: list[str] = field(default_factory=list)
+    synonyms: dict[str, list[str]] = field(default_factory=dict)
+    distinct_attribute: Optional[str] = None
+    proximity_precision: str = "byWord"  # byWord | byAttribute
+    typo_tolerance: TypoTolerance = field(default_factory=TypoTolerance)
+    faceting: Faceting = field(default_factory=Faceting)
+    pagination: Pagination = field(default_factory=Pagination)
+    embedders: dict[str, dict] = field(default_factory=dict)
+    search_cutoff_ms: Optional[int] = None
+    localized_attributes: Optional[list[dict]] = None
+    facet_search: bool = True
+    prefix_search: str = "indexingTime"  # indexingTime | disabled
+    exact_attributes: list[str] = field(default_factory=list)
+    chat: Optional[dict] = None
+
+    # ------------------------------------------------------------------
+
+    def clone(self) -> "Settings":
+        return copy.deepcopy(self)
+
+    def searchable_is_wildcard(self) -> bool:
+        return self.searchable_attributes == ["*"]
+
+    def filterable_attribute_names(self) -> list[str]:
+        """Flatten filterable attribute rules to plain patterns."""
+        out = []
+        for rule in self.filterable_attributes:
+            if isinstance(rule, str):
+                out.append(rule)
+            elif isinstance(rule, dict):
+                out.extend(rule.get("attributePatterns", []))
+        return out
+
+    def filter_features_for(self, attr: str) -> dict:
+        """Return the filter feature set for an attribute.
+
+        Plain string rules enable everything (legacy behavior); object rules
+        carry explicit `features` (reference:
+        milli/src/attribute_patterns.rs + filterable_attributes_rules.rs).
+        """
+        for rule in self.filterable_attributes:
+            if isinstance(rule, str):
+                if _match_pattern(rule, attr):
+                    return {
+                        "facetSearch": True,
+                        "filter": {"equality": True, "comparison": True},
+                    }
+            elif isinstance(rule, dict):
+                if any(_match_pattern(p, attr) for p in rule.get("attributePatterns", [])):
+                    feats = rule.get("features", {})
+                    return {
+                        "facetSearch": feats.get("facetSearch", False),
+                        "filter": {
+                            "equality": feats.get("filter", {}).get("equality", True),
+                            "comparison": feats.get("filter", {}).get("comparison", False),
+                        },
+                    }
+        return {}
+
+    def is_filterable(self, attr: str) -> bool:
+        return bool(self.filter_features_for(attr))
+
+    def is_sortable(self, attr: str) -> bool:
+        return attr in self.sortable_attributes
+
+    # -- JSON (API camelCase) -------------------------------------------
+
+    def to_json(self) -> dict:
+        return {
+            "displayedAttributes": list(self.displayed_attributes),
+            "searchableAttributes": list(self.searchable_attributes),
+            "filterableAttributes": list(self.filterable_attributes),
+            "sortableAttributes": sorted(self.sortable_attributes),
+            "rankingRules": list(self.ranking_rules),
+            "stopWords": sorted(self.stop_words),
+            "nonSeparatorTokens": sorted(self.non_separator_tokens),
+            "separatorTokens": sorted(self.separator_tokens),
+            "dictionary": sorted(self.dictionary),
+            "synonyms": {k: list(v) for k, v in sorted(self.synonyms.items())},
+            "distinctAttribute": self.distinct_attribute,
+            "proximityPrecision": self.proximity_precision,
+            "typoTolerance": self.typo_tolerance.to_json(),
+            "faceting": self.faceting.to_json(),
+            "pagination": self.pagination.to_json(),
+            "embedders": dict(self.embedders),
+            "searchCutoffMs": self.search_cutoff_ms,
+            "localizedAttributes": self.localized_attributes,
+            "facetSearch": self.facet_search,
+            "prefixSearch": self.prefix_search,
+        }
+
+    @classmethod
+    def from_json(cls, data: dict) -> "Settings":
+        s = cls()
+        s.apply_json(data)
+        return s
+
+    def apply_json(self, data: dict) -> set[str]:
+        """Apply a partial settings JSON patch; `null` resets a setting to its
+        default. Returns the set of changed setting names."""
+        changed: set[str] = set()
+        defaults = Settings()
+
+        def setattr_tracked(name, value):
+            if getattr(self, name) != value:
+                setattr(self, name, value)
+                changed.add(name)
+
+        simple = {
+            "displayedAttributes": "displayed_attributes",
+            "searchableAttributes": "searchable_attributes",
+            "filterableAttributes": "filterable_attributes",
+            "sortableAttributes": "sortable_attributes",
+            "rankingRules": "ranking_rules",
+            "stopWords": "stop_words",
+            "nonSeparatorTokens": "non_separator_tokens",
+            "separatorTokens": "separator_tokens",
+            "dictionary": "dictionary",
+            "distinctAttribute": "distinct_attribute",
+            "proximityPrecision": "proximity_precision",
+            "searchCutoffMs": "search_cutoff_ms",
+            "localizedAttributes": "localized_attributes",
+            "facetSearch": "facet_search",
+            "prefixSearch": "prefix_search",
+            "exactAttributes": "exact_attributes",
+            "chat": "chat",
+        }
+        for key, attr in simple.items():
+            if key in data:
+                value = data[key]
+                if value is None:
+                    value = copy.deepcopy(getattr(defaults, attr))
+                setattr_tracked(attr, value)
+
+        if "synonyms" in data:
+            value = data["synonyms"] or {}
+            setattr_tracked("synonyms", {k: list(v) for k, v in value.items()})
+
+        if "typoTolerance" in data:
+            tt = data["typoTolerance"]
+            if tt is None:
+                setattr_tracked("typo_tolerance", TypoTolerance())
+            else:
+                new = copy.deepcopy(self.typo_tolerance)
+                if "enabled" in tt and tt["enabled"] is not None:
+                    new.enabled = bool(tt["enabled"])
+                mws = tt.get("minWordSizeForTypos")
+                if mws:
+                    if mws.get("oneTypo") is not None:
+                        new.min_word_size_for_typos.one_typo = int(mws["oneTypo"])
+                    if mws.get("twoTypos") is not None:
+                        new.min_word_size_for_typos.two_typos = int(mws["twoTypos"])
+                if "disableOnWords" in tt and tt["disableOnWords"] is not None:
+                    new.disable_on_words = list(tt["disableOnWords"])
+                if "disableOnAttributes" in tt and tt["disableOnAttributes"] is not None:
+                    new.disable_on_attributes = list(tt["disableOnAttributes"])
+                if "disableOnNumbers" in tt and tt["disableOnNumbers"] is not None:
+                    new.disable_on_numbers = bool(tt["disableOnNumbers"])
+                if new != self.typo_tolerance:
+                    self.typo_tolerance = new
+                    changed.add("typo_tolerance")
+
+        if "faceting" in data:
+            f = data["faceting"]
+            if f is None:
+                setattr_tracked("faceting", Faceting())
+            else:
+                new = copy.deepcopy(self.faceting)
+                if f.get("maxValuesPerFacet") is not None:
+                    new.max_values_per_facet = int(f["maxValuesPerFacet"])
+                if f.get("sortFacetValuesBy") is not None:
+                    new.sort_facet_values_by.update(f["sortFacetValuesBy"])
+                if new != self.faceting:
+                    self.faceting = new
+                    changed.add("faceting")
+
+        if "pagination" in data:
+            p = data["pagination"]
+            if p is None:
+                setattr_tracked("pagination", Pagination())
+            elif p.get("maxTotalHits") is not None:
+                new = Pagination(max_total_hits=int(p["maxTotalHits"]))
+                if new != self.pagination:
+                    self.pagination = new
+                    changed.add("pagination")
+
+        if "embedders" in data:
+            value = data["embedders"]
+            if value is None:
+                setattr_tracked("embedders", {})
+            else:
+                new = dict(self.embedders)
+                for name, conf in value.items():
+                    if conf is None:
+                        new.pop(name, None)
+                    else:
+                        new[name] = conf
+                setattr_tracked("embedders", new)
+
+        return changed
+
+
+def _match_pattern(pattern: str, attr: str) -> bool:
+    """Attribute pattern matching (reference:
+    milli/src/attribute_patterns.rs:match_pattern): `*` matches everything,
+    `prefix*` matches prefix, exact otherwise. A pattern also matches nested
+    fields of a matching parent (`a.b` matches pattern `a`)."""
+    if pattern == "*":
+        return True
+    if pattern.endswith("*"):
+        return attr.startswith(pattern[:-1])
+    return attr == pattern or attr.startswith(pattern + ".")

@@ -1,0 +1,44 @@
+from meilisearch_tpu.analysis.tokenizer import Tokenizer, normalize_word
+
+
+def test_basic_words():
+    t = Tokenizer()
+    words = t.indexed_words("the quick brown fox")
+    assert words == [("the", 0), ("quick", 1), ("brown", 2), ("fox", 3)]
+
+
+def test_hard_separator_gap():
+    t = Tokenizer()
+    words = t.indexed_words("the quick. brown fox")
+    # '.' is hard: +8 gap (reference tokenize_document.rs MAX_DISTANCE=8)
+    assert words == [("the", 0), ("quick", 1), ("brown", 9), ("fox", 10)]
+
+
+def test_comma_is_hard():
+    t = Tokenizer()
+    words = t.indexed_words("the, quick")
+    assert words == [("the", 0), ("quick", 8)]
+
+
+def test_normalization():
+    assert normalize_word("Ŵôřlḑôle") == "worldole"
+    assert normalize_word("Westfália") == "westfalia"
+    assert normalize_word("CAFÉ") == "cafe"
+
+
+def test_stop_words_still_indexed():
+    t = Tokenizer(stop_words={"the"})
+    words = t.indexed_words("the quick")
+    assert words == [("the", 0), ("quick", 1)]
+
+
+def test_cjk_unigrams():
+    t = Tokenizer()
+    words = t.indexed_words("東京kyoto")
+    assert ("東", 0) in words and ("京", 1) in words
+
+
+def test_custom_separators():
+    t = Tokenizer(separators=[" ", "#"])
+    words = t.indexed_words("a#b.c d")
+    assert [w for w, _ in words] == ["a", "b.c", "d"]
