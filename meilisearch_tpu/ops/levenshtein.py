@@ -1,0 +1,126 @@
+"""Batched typo-tolerant term matching.
+
+The reference intersects per-word Levenshtein DFAs with an FST of all indexed
+words (milli `build_dfa`, crates/milli/src/search/mod.rs:565, using the
+`levenshtein_automata` crate with `transposition=true`, i.e. the restricted
+Damerau / optimal-string-alignment distance).
+
+The TPU-native equivalent is a *batched distance computation*: the whole term
+dictionary is packed into a fixed-stride (n_words, MAX_LEN) codepoint matrix,
+and one data-parallel DP computes, for every dictionary word at once:
+
+  - the OSA distance to the query word, and
+  - the min distance over all dictionary-word prefixes (for prefix search).
+
+This file holds the numpy reference implementation; `ops/device.py` lowers the
+same recurrence to JAX for the TPU path (same outputs, differentially tested).
+The per-cell work is pure elementwise select/min over n_words-wide vectors —
+a textbook VPU workload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEN = 32  # covers any word that can meaningfully match with <=2 typos
+INF = np.int32(127)
+
+
+def pack_words(words: list[str], max_len: int = MAX_LEN) -> tuple[np.ndarray, np.ndarray]:
+    """Pack words into (n, max_len) int32 codepoints (0-padded) + lengths.
+
+    Words longer than max_len are truncated for the matrix; their true length
+    is clamped — callers must handle exact-match for oversized words on host
+    (they cannot be typo-matched anyway: >32 chars vs <=2 edits keeps length
+    within 2, and query words above MAX_WORD_LENGTH get 0 typos).
+    """
+    n = len(words)
+    mat = np.zeros((n, max_len), dtype=np.int32)
+    lens = np.zeros((n,), dtype=np.int32)
+    for i, w in enumerate(words):
+        cps = [ord(c) for c in w[:max_len]]
+        mat[i, : len(cps)] = cps
+        lens[i] = min(len(w), max_len)
+    return mat, lens
+
+
+def osa_distances(
+    query: str,
+    dict_mat: np.ndarray,
+    dict_lens: np.ndarray,
+    max_dist: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched restricted-Damerau (OSA) distance, query vs every dict word.
+
+    Returns (full, prefix_min):
+      full[i]       = OSA(query, dict[i]) clipped to max_dist+1
+      prefix_min[i] = min over prefixes p of dict[i] with len(p) >= len(q)-max_dist
+                      of OSA(query, p), clipped — the `build_prefix_dfa`
+                      equivalent (candidate word extends the query).
+    """
+    q = np.array([ord(c) for c in query[:MAX_LEN]], dtype=np.int32)
+    m = len(q)
+    n, L = dict_mat.shape
+    big = INF
+
+    # dp rows over candidate length dimension j (vector over all words).
+    # prev2/prev/cur: shape (n, L+1)
+    prev = np.empty((n, L + 1), dtype=np.int32)
+    prev[:] = np.arange(L + 1, dtype=np.int32)[None, :]  # D[0][j] = j
+    prev2 = np.zeros_like(prev)
+
+    jidx = np.arange(1, L + 1, dtype=np.int32)[None, :]  # (1, L)
+    valid_j = jidx <= dict_lens[:, None]  # (n, L)
+
+    full = np.where(dict_lens == 0, np.int32(m), big).astype(np.int32)
+    # prefix distance: min over j >= max(m - max_dist, 0) of D[m][j] for j <= len
+    prefix_min = np.full((n,), big, dtype=np.int32)
+
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        qc = q[i - 1]
+        sub_cost = (dict_mat != qc).astype(np.int32)  # (n, L)
+        # deletion (from query): prev[j] + 1 ; insertion: cur[j-1] + 1 ;
+        # substitution: prev[j-1] + sub_cost
+        del_ = prev[:, 1:] + 1
+        sub = prev[:, :-1] + sub_cost
+        best = np.minimum(del_, sub)
+        if i >= 2:
+            # transposition: q[i-2]==w[j-1] and q[i-1]==w[j-2]
+            trans_ok = np.zeros((n, L), dtype=bool)
+            trans_ok[:, 1:] = (dict_mat[:, 1:] == q[i - 2]) & (
+                dict_mat[:, :-1] == qc
+            )
+            trans = np.where(trans_ok, np.concatenate(
+                [np.full((n, 1), big), prev2[:, :-2] + 1], axis=1
+            ), big)
+            best = np.minimum(best, trans)
+        # insertion needs a sequential scan along j; emulate with loop over L
+        # in a vectorized prefix-min fashion:
+        # cur[j] = min(best[j], cur[j-1] + 1)
+        # => cur[j] = min over k<=j of (best[k] + (j-k)), with cur[0]=i
+        shifted = np.minimum.accumulate(
+            np.concatenate([cur[:, :1], best], axis=1)
+            - np.arange(L + 1, dtype=np.int32)[None, :],
+            axis=1,
+        )
+        cur[:, 1:] = shifted[:, 1:] + np.arange(1, L + 1, dtype=np.int32)[None, :]
+        prev2, prev = prev, cur
+
+    # full distance at j = len
+    full = np.take_along_axis(prev, dict_lens[:, None].astype(np.intp), axis=1)[:, 0]
+    # prefix distance: min over valid j of D[m][j] where j ranges over all
+    # prefix lengths of the word (including j < m); the automaton only gains
+    # from j >= m - max_dist but min over all j is equivalent since shorter
+    # prefixes cost at least the length difference.
+    row = prev[:, 1:]
+    row_masked = np.where(valid_j, row, big)
+    prefix_min = np.minimum(row_masked.min(axis=1), full)
+    if m <= max_dist:
+        # the empty prefix is within range too (delete all query chars)
+        prefix_min = np.minimum(prefix_min, m)
+    return (
+        np.minimum(full, max_dist + 1).astype(np.int32),
+        np.minimum(prefix_min, max_dist + 1).astype(np.int32),
+    )

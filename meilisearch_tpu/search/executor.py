@@ -1,0 +1,582 @@
+"""Search execution.
+
+Port of the reference's query pipeline:
+  milli Search::execute            (search/mod.rs:280)
+  execute_search                   (search/new/mod.rs:812)
+  rule assembly                    (search/new/mod.rs:509 get_ranking_rules_*)
+  resolve_universe                 (search/new/mod.rs:304)
+  ExactAttribute                   (search/new/exact_attribute.rs)
+  Sort / GeoSort                   (search/new/sort.rs, geo_sort.rs)
+  distinct                         (search/new/distinct.rs)
+
+Instead of the reference's lazy bucket descent, the assembled rule list maps
+to columns of a cost matrix (FusedScorer for graph rules; per-document keys
+for sort/geo/exact-attribute) and the final ranking is one lexicographic sort
+— identical ordering, TPU-friendly shape.
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_left
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+import numpy as np
+
+from ..index.store import IndexStore, bucketed_position
+from ..types.errors import EngineError, ErrorCode
+from .graph import QueryGraph
+from .query_terms import (
+    DerivationContext,
+    located_query_terms_from_tokens,
+)
+from .scorer import INF, FusedScorer, Resolver
+
+
+@dataclass
+class SearchResult:
+    documents_ids: list[int]
+    candidates: set  # all candidates (for estimatedTotalHits)
+    degraded: bool = False
+    query_terms: Optional[list] = None
+    scores: list = dc_field(default_factory=list)
+
+
+@dataclass
+class Search:
+    store: IndexStore
+    query: Optional[str] = None
+    filter_docids: Optional[set] = None  # pre-evaluated filter universe
+    offset: int = 0
+    limit: int = 20
+    sort_criteria: Optional[list[str]] = None
+    distinct: Optional[str] = None
+    terms_matching_strategy: str = "last"  # last | all | frequency
+    attributes_to_search_on: Optional[list[str]] = None
+    exhaustive_number_hits: bool = False
+    max_total_hits: Optional[int] = None
+    locales: Optional[list[str]] = None
+    compute_scores: bool = False
+
+    # ------------------------------------------------------------------
+
+    def execute(self) -> SearchResult:
+        store = self.store
+        settings = store.settings
+
+        universe: set = store.documents_ids()
+        if self.filter_docids is not None:
+            universe &= self.filter_docids
+
+        restricted_fids = self._restricted_fids()
+
+        has_query = bool(self.query and self.query.strip())
+        terms = []
+        negative_words: list[str] = []
+        negative_phrases: list = []
+        if has_query:
+            ctx = DerivationContext(store, settings)
+            tokenizer = store.make_tokenizer(self.locales)
+            extracted = located_query_terms_from_tokens(
+                ctx, tokenizer, self.query
+            )
+            terms = [t for t in extracted.query_terms]
+            negative_words = extracted.negative_words
+            negative_phrases = extracted.negative_phrases
+
+        resolver = Resolver(
+            store, np.zeros(0, dtype=np.int64), restricted_fids
+        )
+
+        # negative words/phrases shrink the universe
+        # (reference: search/new/mod.rs:323 resolve_negative_words/_phrases)
+        for w in negative_words:
+            universe -= resolver.word_docids(w, original=True)
+        for p in negative_phrases:
+            universe -= resolver.phrase_docids(p)
+
+        if has_query and terms:
+            return self._execute_query_graph(
+                universe, terms, resolver, restricted_fids
+            )
+        return self._execute_placeholder(universe)
+
+    # -- rule assembly -------------------------------------------------------
+
+    def _assembled_rules(self, for_query: bool) -> list[tuple]:
+        """Returns an ordered list of rule descriptors:
+        ("graph", name) | ("sort_field", field, asc) | ("geo", lat, lng, asc)
+        | ("exact_attribute",)
+
+        Reference: search/new/mod.rs:510 get_ranking_rules_for_query_graph_search
+        and :353 get_ranking_rules_for_placeholder_search.
+        """
+        settings = self.store.settings
+        out: list[tuple] = []
+        words = typo = proximity = sort = attribute = False
+        attribute_rank = word_position = exactness = False
+        sorted_fields: set[str] = set()
+        geo_sorted = False
+
+        if self.terms_matching_strategy == "all":
+            words = True
+
+        def push_sort_criteria():
+            nonlocal geo_sorted
+            for criterion in self.sort_criteria or []:
+                member, asc = _parse_asc_desc(criterion)
+                if isinstance(member, tuple):  # geo point
+                    if geo_sorted:
+                        continue
+                    geo_sorted = True
+                    out.append(("geo", member[0], member[1], asc))
+                else:
+                    if member in sorted_fields:
+                        continue
+                    sorted_fields.add(member)
+                    out.append(("sort_field", member, asc))
+
+        for rr in settings.ranking_rules:
+            if for_query and rr in (
+                "typo",
+                "attribute",
+                "attributeRank",
+                "wordPosition",
+                "proximity",
+                "exactness",
+            ):
+                if not words:
+                    out.append(("graph", "words"))
+                    words = True
+            if rr == "words":
+                if for_query and not words:
+                    out.append(("graph", "words"))
+                    words = True
+            elif rr == "typo":
+                if for_query and not typo:
+                    out.append(("graph", "typo"))
+                    typo = True
+            elif rr == "proximity":
+                if for_query and not proximity:
+                    out.append(("graph", "proximity"))
+                    proximity = True
+            elif rr == "attribute":
+                if for_query and not (attribute or attribute_rank or word_position):
+                    attribute = True
+                    out.append(("graph", "fid"))
+                    out.append(("graph", "position"))
+            elif rr == "attributeRank":
+                if for_query and not (attribute or attribute_rank):
+                    attribute_rank = True
+                    out.append(("graph", "fid"))
+            elif rr == "wordPosition":
+                if for_query and not (attribute or word_position):
+                    word_position = True
+                    out.append(("graph", "position"))
+            elif rr == "sort":
+                if sort:
+                    continue
+                push_sort_criteria()
+                sort = True
+            elif rr == "exactness":
+                if for_query and not exactness:
+                    out.append(("exact_attribute",))
+                    out.append(("graph", "exactness"))
+                    exactness = True
+            else:
+                member, asc = _parse_asc_desc(rr)
+                if isinstance(member, str) and member not in sorted_fields:
+                    sorted_fields.add(member)
+                    out.append(("sort_field", member, asc))
+        return out
+
+    # -- placeholder search ----------------------------------------------------
+
+    def _execute_placeholder(self, universe: set) -> SearchResult:
+        rules = self._assembled_rules(for_query=False)
+        candidates = np.fromiter(universe, dtype=np.int64, count=len(universe))
+        candidates.sort()
+        keys = []
+        for rule in rules:
+            keys.extend(self._rule_key_rows(rule, candidates, None))
+        order = _lexsort_rows(keys, candidates)
+        ranked = candidates[order]
+        return self._paginate(ranked, universe)
+
+    # -- query-graph search -----------------------------------------------------
+
+    def _execute_query_graph(
+        self,
+        universe: set,
+        terms: list,
+        resolver: Resolver,
+        restricted_fids,
+    ) -> SearchResult:
+        store = self.store
+        ctx = DerivationContext(store, store.settings)
+        graph = QueryGraph.from_terms(ctx, terms)
+
+        universe = self._resolve_universe(graph, universe, resolver)
+
+        candidates = np.fromiter(universe, dtype=np.int64, count=len(universe))
+        candidates.sort()
+
+        rules = self._assembled_rules(for_query=True)
+        graph_dims = [r[1] for r in rules if r[0] == "graph"]
+
+        mask_resolver = Resolver(store, candidates, restricted_fids)
+        mask_resolver._phrase_cache = resolver._phrase_cache
+        scorer = FusedScorer(
+            store, mask_resolver, graph, self.terms_matching_strategy, graph_dims
+        )
+        cost = scorer.run()
+
+        # assemble full key matrix in rule order
+        keys: list[np.ndarray] = []
+        gi = 0
+        for rule in rules:
+            if rule[0] == "graph":
+                keys.append(cost[gi].astype(np.float64))
+                gi += 1
+            else:
+                keys.extend(self._rule_key_rows(rule, candidates, graph))
+
+        # docs with no valid interpretation are dropped (defensive; the
+        # universe resolution should exclude them already)
+        valid = np.ones(len(candidates), dtype=bool)
+        if graph_dims:
+            valid = cost[0] < INF
+
+        order = _lexsort_rows([k[valid] for k in keys], candidates[valid])
+        ranked = candidates[valid][order]
+        return self._paginate(ranked, set(candidates[valid].tolist()))
+
+    # -- universe ---------------------------------------------------------------
+
+    def _resolve_universe(
+        self, graph: QueryGraph, universe: set, resolver: Resolver
+    ) -> set:
+        """Reference: search/new/mod.rs:273 resolve_maximally_reduced_query_graph
+        + resolve_query_graph.rs:133 compute_query_graph_docids."""
+        if self.terms_matching_strategy == "last":
+            groups = graph.removal_groups_last()
+        elif self.terms_matching_strategy == "frequency":
+            groups = graph.removal_groups_frequency(self.store)
+        else:
+            groups = []
+        removed: set[int] = set()
+        for g in groups:
+            removed |= g
+
+        # remove_nodes_keep_edges: predecessors connect to successors
+        succs: dict[int, set[int]] = {
+            n.node_id: set(n.successors) for n in graph.nodes
+        }
+        preds: dict[int, set[int]] = {
+            n.node_id: set(n.predecessors) for n in graph.nodes
+        }
+        for nid in removed:
+            for p in preds[nid]:
+                succs[p].discard(nid)
+                succs[p] |= succs[nid]
+            for s in succs[nid]:
+                preds[s].discard(nid)
+                preds[s] |= preds[nid]
+            succs[nid] = set()
+            preds[nid] = set()
+
+        # BFS in dependency order
+        node_docids: dict[int, set] = {}
+        resolved: set[int] = set()
+        queue = [graph.root]
+        while queue:
+            nid = queue.pop(0)
+            if nid in resolved:
+                continue
+            node = graph.nodes[nid]
+            if not preds[nid] <= resolved and nid != graph.root:
+                queue.append(nid)
+                continue
+            pred_docids: set = set()
+            for p in preds[nid]:
+                pred_docids |= node_docids.get(p, set())
+            if nid == graph.root:
+                docids = set(universe)
+            elif node.kind == "end":
+                return pred_docids
+            else:
+                term_docids = resolver.term_all_docids(node.located.term)
+                docids = pred_docids & term_docids
+            resolved.add(nid)
+            node_docids[nid] = docids
+            for s in succs[nid]:
+                if s not in resolved:
+                    queue.append(s)
+        return set()
+
+    # -- sort / geo / exact-attribute key rows ------------------------------------
+
+    def _rule_key_rows(
+        self, rule: tuple, candidates: np.ndarray, graph
+    ) -> list[np.ndarray]:
+        if rule[0] == "sort_field":
+            return self._sort_field_rows(rule[1], rule[2], candidates)
+        if rule[0] == "geo":
+            return self._geo_rows(rule[1], rule[2], rule[3], candidates)
+        if rule[0] == "exact_attribute":
+            return [self._exact_attribute_row(candidates, graph)]
+        raise AssertionError(rule)
+
+    def _sort_field_rows(
+        self, field: str, asc: bool, candidates: np.ndarray
+    ) -> list[np.ndarray]:
+        """Two rows: value-class (0 number, 1 string, 2 none — numbers always
+        iterate before strings, reference sort.rs number_iter.chain(string_iter))
+        and the value key."""
+        store = self.store
+        fid = store.fields_ids_map.id(field)
+        n = len(candidates)
+        cls = np.full(n, 2.0)
+        val = np.zeros(n)
+        if fid is not None:
+            strings_sorted = sorted(store.facet_string_docids.get(fid, {}))
+            str_rank = {s: i for i, s in enumerate(strings_sorted)}
+            for i, docid in enumerate(candidates.tolist()):
+                nums = store.docid_facet_numbers.get((fid, docid))
+                if nums:
+                    cls[i] = 0.0
+                    v = min(nums) if asc else max(nums)
+                    val[i] = v if asc else -v
+                    continue
+                strs = store.docid_facet_strings.get((fid, docid))
+                if strs:
+                    cls[i] = 1.0
+                    ranks = [str_rank[s] for s, _ in strs if s in str_rank]
+                    if ranks:
+                        r = min(ranks) if asc else max(ranks)
+                        val[i] = r if asc else -r
+        return [cls, val]
+
+    def _geo_rows(
+        self, lat: float, lng: float, asc: bool, candidates: np.ndarray
+    ) -> list[np.ndarray]:
+        store = self.store
+        n = len(candidates)
+        cls = np.full(n, 1.0)
+        val = np.zeros(n)
+        for i, docid in enumerate(candidates.tolist()):
+            point = store.geo_points.get(docid)
+            if point is not None:
+                cls[i] = 0.0
+                d = _haversine_m(lat, lng, point[0], point[1])
+                val[i] = d if asc else -d
+        return [cls, val]
+
+    def _exact_attribute_row(self, candidates: np.ndarray, graph) -> np.ndarray:
+        """Per-doc rank 0/1/2 (reference: search/new/exact_attribute.rs)."""
+        n = len(candidates)
+        out = np.full(n, 2.0)
+        if graph is None:
+            return out
+        store = self.store
+        resolver = Resolver(store, candidates, self._restricted_fids())
+
+        # collect exact terms (1-grams only; ngrams have no exact term)
+        infos = []
+        for node in graph.term_nodes():
+            lt = node.located
+            term = lt.term
+            if term.ngram_words is not None:
+                continue
+            if term.phrase is not None:
+                words = list(term.phrase)
+            elif term.exact is not None:
+                words = [term.exact]
+            else:
+                continue
+            infos.append(
+                (
+                    lt.start_term_id,
+                    words,
+                    lt.start_position,
+                    lt.end_position - lt.start_position + 1,
+                )
+            )
+        infos.sort(key=lambda x: x[0])
+        dedup = []
+        seen_ids = set()
+        for info in infos:
+            if info[0] not in seen_ids:
+                seen_ids.add(info[0])
+                dedup.append(info)
+        infos = dedup
+        if not infos or infos[0][0] != 0:
+            return out
+        prev = 0
+        for info in infos:
+            if info[0] < prev or info[0] - prev > 1:
+                return out
+            prev = info[0]
+
+        count_all_positions = sum(x[3] for x in infos)
+        universe_set = set(candidates.tolist())
+        cands = set(universe_set)
+        all_words: list[str] = []
+        for _tid, words, position, _cnt in infos:
+            for offset, word in enumerate(words):
+                if word is None:
+                    continue
+                all_words.append(word)
+                bucket = bucketed_position(position + offset)
+                wp: set = set()
+                for w2 in (word,):
+                    wp |= resolver.word_position_docids(w2, bucket)
+                cands &= wp
+                if not cands:
+                    return out
+        rank0: set = set()
+        rank1: set = set()
+        for fid in sorted(self.store.searchable_fids()):
+            inter: Optional[set] = None
+            for word in all_words:
+                wd = resolver.word_fid_docids(word, fid) & cands
+                inter = wd if inter is None else inter & wd
+                if not inter:
+                    break
+            if not inter:
+                continue
+            if count_all_positions < 256:
+                wc = store.field_id_word_count_docids.get(
+                    (fid, count_all_positions), set()
+                ) & universe_set
+            else:
+                wc = set()
+            rank0 |= inter & wc
+            rank1 |= inter - wc
+        for i, docid in enumerate(candidates.tolist()):
+            if docid in rank0:
+                out[i] = 0.0
+            elif docid in rank1:
+                out[i] = 1.0
+        return out
+
+    # -- shared helpers -------------------------------------------------------------
+
+    def _restricted_fids(self) -> Optional[set[int]]:
+        if self.attributes_to_search_on is None:
+            return None
+        if "*" in self.attributes_to_search_on:
+            return None
+        store = self.store
+        searchable = {
+            name: fid for name, fid, _ in store.searchable_fields_and_weights()
+        }
+        out: set[int] = set()
+        for attr in self.attributes_to_search_on:
+            matched = False
+            for name, fid in searchable.items():
+                if _attr_pattern_match(attr, name):
+                    out.add(fid)
+                    matched = True
+            if not matched and "*" not in attr:
+                if not store.settings.searchable_is_wildcard():
+                    raise EngineError(
+                        ErrorCode.INVALID_SEARCH_ATTRIBUTES_TO_SEARCH_ON,
+                        f"Attribute `{attr}` is not searchable.",
+                    )
+        return out
+
+    def _paginate(self, ranked: np.ndarray, all_candidates: set) -> SearchResult:
+        store = self.store
+        distinct_field = self.distinct or store.settings.distinct_attribute
+        docids = ranked.tolist()
+
+        if distinct_field is not None:
+            fid = store.fields_ids_map.id(distinct_field)
+            if fid is not None:
+                kept = []
+                excluded: set = set()
+                seen_count = 0
+                for docid in docids:
+                    if docid in excluded:
+                        all_candidates.discard(docid)
+                        continue
+                    for v in store.docid_facet_numbers.get((fid, docid), ()):
+                        excluded |= store.facet_number_docids.get(fid, {}).get(
+                            v, set()
+                        )
+                    for v, _ in store.docid_facet_strings.get((fid, docid), ()):
+                        excluded |= store.facet_string_docids.get(fid, {}).get(
+                            v, set()
+                        )
+                    kept.append(docid)
+                    seen_count += 1
+                docids = kept
+                all_candidates = set(docids) | (all_candidates - excluded)
+
+        max_hits = self.max_total_hits
+        if max_hits is None:
+            max_hits = store.settings.pagination.max_total_hits
+        docids = docids[: max_hits]
+        page = docids[self.offset : self.offset + self.limit]
+        return SearchResult(documents_ids=page, candidates=all_candidates)
+
+
+def _lexsort_rows(keys: list[np.ndarray], docids: np.ndarray) -> np.ndarray:
+    """Stable lexicographic argsort: keys in priority order, docid last."""
+    rows = [docids] + list(reversed(keys))
+    return np.lexsort(rows)
+
+
+def _parse_asc_desc(text: str):
+    """Parse `field:asc` / `_geoPoint(lat, lng):desc`.
+
+    Reference: milli AscDesc::from_str."""
+    if ":" not in text:
+        raise EngineError(
+            ErrorCode.INVALID_SEARCH_SORT,
+            f"Invalid syntax for the sort parameter: expected expression ending"
+            f" by `:asc` or `:desc`, found `{text}`.",
+        )
+    member, _, order = text.rpartition(":")
+    order = order.strip()
+    if order not in ("asc", "desc"):
+        raise EngineError(
+            ErrorCode.INVALID_SEARCH_SORT,
+            f"Invalid syntax for the sort parameter: expected expression ending"
+            f" by `:asc` or `:desc`, found `{text}`.",
+        )
+    member = member.strip()
+    if member.startswith("_geoPoint(") and member.endswith(")"):
+        inner = member[len("_geoPoint(") : -1]
+        parts = [p.strip() for p in inner.split(",")]
+        if len(parts) != 2:
+            raise EngineError(
+                ErrorCode.INVALID_SEARCH_SORT,
+                f"Invalid syntax for the geo parameter: `{text}`.",
+            )
+        return (float(parts[0]), float(parts[1])), order == "asc"
+    if member == "_geoPoint":
+        raise EngineError(
+            ErrorCode.INVALID_SEARCH_SORT,
+            "You must specify coordinates for `_geoPoint`.",
+        )
+    return member, order == "asc"
+
+
+def _attr_pattern_match(pattern: str, attr: str) -> bool:
+    if pattern == "*":
+        return True
+    if pattern.endswith("*"):
+        return attr.startswith(pattern[:-1])
+    return attr == pattern or attr.startswith(pattern + ".")
+
+
+def _haversine_m(lat1, lng1, lat2, lng2) -> float:
+    r = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1)
+    dl = math.radians(lng2 - lng1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))

@@ -1,0 +1,502 @@
+"""Query parsing and typo derivations.
+
+Semantic port of the reference's query-term machinery:
+  - located_query_terms_from_tokens  (search/new/query_term/parse_query.rs:28)
+  - partially_initialized_term_from_word + one/two-typo derivation search
+    (search/new/query_term/compute_derivations.rs)
+  - make_ngram                        (parse_query.rs:227)
+
+Typo classification rules (compute_derivations.rs:75-168):
+  - one-typo derivations must share the query's first character
+  - candidates with a different first character and distance <= 1 are
+    classified as two typos; different first char at distance 2 is excluded
+  - caps: MAX_PREFIX_COUNT=1000, MAX_ONE_TYPO_COUNT=150, MAX_TWO_TYPOS_COUNT=50
+    applied in lexicographic dictionary order (FST iteration order)
+
+The distance computation runs as one batched pass over the packed dictionary
+(ops/levenshtein.py) instead of DFA-FST intersection — the TPU-native
+formulation of the same automaton.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..analysis.tokenizer import Tokenizer, TokenKind, SeparatorKind
+from ..index.store import MAX_DISTANCE
+
+# Reference: search/new/limits.rs
+MAX_TOKEN_COUNT = 1_000
+MAX_PREFIX_COUNT = 1_000
+MAX_ONE_TYPO_COUNT = 150
+MAX_TWO_TYPOS_COUNT = 50
+MAX_SYNONYM_PHRASE_COUNT = 50
+MAX_SYNONYM_WORD_COUNT = 100
+
+# Reference: milli/src/lib.rs:146
+MAX_WORD_LENGTH = 250
+
+
+Phrase = tuple  # tuple of Optional[str] words (None = stop word placeholder)
+
+
+@dataclass
+class QueryTerm:
+    original: str
+    ngram_words: Optional[list[str]] = None
+    max_typo: int = 0
+    is_prefix: bool = False
+    # zero-typo
+    phrase: Optional[Phrase] = None
+    exact: Optional[str] = None  # the word itself when in the dictionary
+    prefix_of: list[str] = field(default_factory=list)
+    synonyms: list[Phrase] = field(default_factory=list)
+    use_prefix_db: Optional[str] = None
+    # one-typo
+    split_words: Optional[Phrase] = None
+    one_typo: list[str] = field(default_factory=list)
+    # two-typo
+    two_typos: list[str] = field(default_factory=list)
+
+    def zero_typo_words(self) -> list[str]:
+        out = []
+        if self.exact is not None:
+            out.append(self.exact)
+        out.extend(self.prefix_of)
+        return out
+
+    def words_for_class(self, cls: int) -> list[str]:
+        if cls == 0:
+            return self.zero_typo_words()
+        if cls == 1:
+            return list(self.one_typo)
+        return list(self.two_typos)
+
+    def phrases_for_class(self, cls: int) -> list[Phrase]:
+        if cls == 0:
+            out = []
+            if self.phrase is not None:
+                out.append(self.phrase)
+            out.extend(self.synonyms)
+            return out
+        if cls == 1:
+            return [self.split_words] if self.split_words is not None else []
+        return []
+
+    def max_typo_cost(self) -> int:
+        """Reference: query_term/mod.rs:340 max_typo_cost — the highest typo
+        class that has content."""
+        if self.max_typo == 0:
+            return 1 if (self.phrase is None and self.split_words is not None) else 0
+        if self.max_typo == 1:
+            return 1 if self._class_nonempty(1) else 0
+        # max_typo == 2
+        if self._class_nonempty(2):
+            return 2
+        if self._class_nonempty(1):
+            return 1
+        return 0
+
+    def _class_nonempty(self, cls: int) -> bool:
+        return bool(self.words_for_class(cls)) or bool(self.phrases_for_class(cls))
+
+    def is_empty(self) -> bool:
+        return not any(self._class_nonempty(c) for c in (0, 1, 2)) and (
+            self.use_prefix_db is None
+        )
+
+
+@dataclass
+class LocatedQueryTerm:
+    term: QueryTerm
+    # inclusive position range in the query (charabia token positions)
+    start_position: int
+    end_position: int
+    # inclusive term-id range (ngram terms span several ids)
+    start_term_id: int = 0
+    end_term_id: int = 0
+
+    @property
+    def term_ids_len(self) -> int:
+        return self.end_term_id - self.start_term_id + 1
+
+
+class DerivationContext:
+    """Per-search derivation engine over one index snapshot."""
+
+    def __init__(self, store, settings) -> None:
+        self.store = store
+        self.settings = settings
+        self._sorted_words: Optional[list[str]] = None
+        self._packed = None
+        self._word_freq_cache: dict[tuple[str, str], int] = {}
+
+    # -- dictionary access -------------------------------------------------
+
+    @property
+    def sorted_words(self) -> list[str]:
+        if self._sorted_words is None:
+            self._sorted_words = self.store.all_words_sorted()
+        return self._sorted_words
+
+    def _packed_dict(self):
+        if self._packed is None:
+            from ..ops.levenshtein import pack_words
+
+            self._packed = pack_words(self.sorted_words)
+        return self._packed
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        words = self.sorted_words
+        lo = bisect_left(words, prefix)
+        hi = bisect_left(words, prefix + "￿")
+        return lo, hi
+
+    def words_with_prefix(self, prefix: str, limit: Optional[int] = None) -> list[str]:
+        lo, hi = self.prefix_range(prefix)
+        if limit is not None:
+            hi = min(hi, lo + limit)
+        return self.sorted_words[lo:hi]
+
+    # -- typo budget ---------------------------------------------------------
+
+    def number_of_typos_allowed(self, word: str) -> int:
+        """Reference: parse_query.rs:204 number_of_typos_allowed."""
+        tt = self.settings.typo_tolerance
+        if not tt.enabled:
+            return 0
+        if word in tt.disable_on_words:
+            return 0
+        if tt.disable_on_numbers and _is_number_like(word):
+            return 0
+        n = len(word)
+        if n < tt.min_word_size_for_typos.one_typo:
+            return 0
+        if n < tt.min_word_size_for_typos.two_typos:
+            return 1
+        return 2
+
+    # -- synonyms -----------------------------------------------------------
+
+    def synonyms_for(self, words: tuple[str, ...]) -> list[Phrase]:
+        """Normalized synonym lookup by word sequence
+        (reference: index.synonyms keyed by Vec<String> of normalized words)."""
+        raw = self.settings.synonyms
+        if not raw:
+            return []
+        tokenizer = self.store.make_tokenizer()
+        key = tuple(w for w, _ in tokenizer.indexed_words(" ".join(words)))
+        out: list[Phrase] = []
+        word_budget = MAX_SYNONYM_WORD_COUNT
+        for src, dests in raw.items():
+            src_words = tuple(w for w, _ in tokenizer.indexed_words(src))
+            if src_words != key:
+                continue
+            for dest in dests[:MAX_SYNONYM_PHRASE_COUNT]:
+                dwords = tuple(w for w, _ in tokenizer.indexed_words(dest))
+                if not dwords:
+                    continue
+                if word_budget - len(dwords) < 0:
+                    continue
+                word_budget -= len(dwords)
+                out.append(tuple(dwords))
+        return out
+
+    # -- split words ----------------------------------------------------------
+
+    def pair_frequency(self, left: str, right: str) -> int:
+        key = (left, right)
+        if key not in self._word_freq_cache:
+            docids = self.store.word_pair_proximity_docids.get((1, left, right))
+            self._word_freq_cache[key] = len(docids) if docids else 0
+        return self._word_freq_cache[key]
+
+    def find_split_words(self, word: str) -> Optional[Phrase]:
+        """Reference: compute_derivations.rs:363 split_best_frequency."""
+        best = None
+        for i in range(1, len(word)):
+            left, right = word[:i], word[i:]
+            freq = self.pair_frequency(left, right)
+            if freq > 0 and (best is None or freq > best[0]):
+                best = (freq, left, right)
+        if best is None:
+            return None
+        return (best[1], best[2])
+
+    # -- prefix db ------------------------------------------------------------
+
+    def in_prefix_db(self, word: str) -> bool:
+        """Whether the word is a precomputed frequent prefix.
+
+        Reference: index.rs:1884 PrefixSettings { max_prefix_length: 4,
+        prefix_count_threshold: 100 } — prefixes of length <= 4 whose posting
+        union covers >= 100 documents.
+        """
+        if self.settings.prefix_search == "disabled":
+            return False
+        if len(word) > 4:
+            return False
+        lo, hi = self.prefix_range(word)
+        if hi - lo == 0:
+            return False
+        total: set = set()
+        for w in self.sorted_words[lo:hi]:
+            total |= self.store.get_word_docids(w)
+            if len(total) >= 100:
+                return True
+        return False
+
+    # -- derivations ------------------------------------------------------------
+
+    def term_from_word(
+        self, word: str, max_typo: int, is_prefix: bool, is_ngram: bool
+    ) -> QueryTerm:
+        """Reference: compute_derivations.rs:170
+        partially_initialized_term_from_word + full initialization (we compute
+        eagerly; laziness is an LMDB-era optimization the batched distance
+        pass doesn't need)."""
+        if len(word) > MAX_WORD_LENGTH:
+            return QueryTerm(original=word)
+
+        term = QueryTerm(original=word, max_typo=max_typo, is_prefix=is_prefix)
+
+        use_prefix_db = is_prefix and self.in_prefix_db(word)
+        if use_prefix_db:
+            term.use_prefix_db = word
+
+        if self.store.contains_word(word):
+            term.exact = word
+
+        if is_prefix and not use_prefix_db:
+            # zero-typo prefix derivations, capped, lexicographic order
+            for w in self.words_with_prefix(word):
+                if w != word:
+                    term.prefix_of.append(w)
+                    if len(term.prefix_of) >= MAX_PREFIX_COUNT:
+                        break
+
+        if not is_ngram:
+            term.synonyms = self.synonyms_for((word,))
+
+        # one/two typo derivations + split words
+        if max_typo >= 1:
+            self._compute_typo_derivations(term, word, max_typo, is_prefix)
+        if term.phrase is None:
+            split = self.find_split_words(word)
+            if split is not None:
+                term.split_words = split
+
+        return term
+
+    def _compute_typo_derivations(
+        self, term: QueryTerm, word: str, max_typo: int, is_prefix: bool
+    ) -> None:
+        words = self.sorted_words
+        if not words:
+            return
+        mat, lens = self._packed_dict()
+        from ..ops.levenshtein import osa_distances
+
+        full, prefix_min = osa_distances(word, mat, lens)
+        dist = prefix_min if is_prefix else full
+        first = word[0] if word else ""
+        firsts_same = np.array([w[:1] == first for w in words])
+
+        if max_typo == 1:
+            # one-typo only: candidates must share the first char
+            # (compute_derivations.rs:75 find_one_typo_derivations)
+            idxs = np.nonzero((dist == 1) & firsts_same)[0]
+            for i in idxs[:MAX_ONE_TYPO_COUNT]:
+                term.one_typo.append(words[i])
+        else:
+            # one + two typos in one lexicographic scan
+            # (compute_derivations.rs:109 find_one_two_typo_derivations)
+            cand = np.nonzero(
+                ((dist <= 1) & ~firsts_same) | ((dist <= 2) & (dist >= 1) & firsts_same)
+            )[0]
+            one_c, two_c = 0, 0
+            for i in cand:
+                if one_c >= MAX_ONE_TYPO_COUNT and two_c >= MAX_TWO_TYPOS_COUNT:
+                    break
+                w = words[i]
+                if not firsts_same[i]:
+                    if two_c < MAX_TWO_TYPOS_COUNT:
+                        term.two_typos.append(w)
+                        two_c += 1
+                    continue
+                d = int(dist[i])
+                if d == 1:
+                    if one_c < MAX_ONE_TYPO_COUNT:
+                        term.one_typo.append(w)
+                        one_c += 1
+                elif d == 2:
+                    if two_c < MAX_TWO_TYPOS_COUNT:
+                        term.two_typos.append(w)
+                        two_c += 1
+
+    def phrase_term(self, words: list[Optional[str]], start: int, end: int) -> LocatedQueryTerm:
+        phrase = tuple(words)
+        desc = " ".join(w for w in words if w)
+        return LocatedQueryTerm(
+            term=QueryTerm(original=desc, phrase=phrase),
+            start_position=start,
+            end_position=end,
+        )
+
+
+@dataclass
+class ExtractedTokens:
+    query_terms: list[LocatedQueryTerm]
+    negative_words: list[str]
+    negative_phrases: list[Phrase]
+
+
+def located_query_terms_from_tokens(
+    ctx: DerivationContext,
+    tokenizer: Tokenizer,
+    query: str,
+    words_limit: Optional[int] = None,
+    allow_prefix: bool = True,
+) -> ExtractedTokens:
+    """Reference: parse_query.rs:28 located_query_terms_from_tokens."""
+    query_terms: list[LocatedQueryTerm] = []
+    negative_words: list[str] = []
+    negative_phrases: list[Phrase] = []
+
+    phrase: Optional[list] = None  # [words, start, end]
+    negative_phrase = False
+    negative_next_token = False
+    encountered_whitespace = True
+    position = -1
+    parts_limit = words_limit if words_limit is not None else 10**9
+
+    allow_prefix = allow_prefix and ctx.settings.prefix_search != "disabled"
+
+    tokens = [t for t in tokenizer.tokenize(query) if t.lemma != ""][:MAX_TOKEN_COUNT]
+
+    def finish_phrase(ph):
+        nonlocal negative_phrase
+        if ph and any(w is not None for w in ph[0]):
+            lt = ctx.phrase_term(ph[0], ph[1], ph[2])
+            if negative_phrase:
+                negative_phrases.append(lt.term.phrase)
+            else:
+                query_terms.append(lt)
+
+    for idx, token in enumerate(tokens):
+        if len(query_terms) >= parts_limit:
+            break
+        is_last = idx == len(tokens) - 1
+        if token.kind in (TokenKind.WORD, TokenKind.STOP_WORD):
+            position += 1
+            if phrase is not None:
+                if not phrase[0]:
+                    phrase[1] = position
+                phrase[2] = position
+                phrase[0].append(
+                    None if token.kind is TokenKind.STOP_WORD else token.lemma
+                )
+            elif negative_next_token:
+                negative_words.append(token.lemma)
+                negative_next_token = False
+            elif not is_last:
+                if token.kind is TokenKind.WORD:
+                    term = ctx.term_from_word(
+                        token.lemma,
+                        ctx.number_of_typos_allowed(token.lemma),
+                        is_prefix=False,
+                        is_ngram=False,
+                    )
+                    query_terms.append(
+                        LocatedQueryTerm(term, position, position)
+                    )
+                # stop words are skipped (non-last)
+            else:
+                term = ctx.term_from_word(
+                    token.lemma,
+                    ctx.number_of_typos_allowed(token.lemma),
+                    is_prefix=allow_prefix,
+                    is_ngram=False,
+                )
+                query_terms.append(LocatedQueryTerm(term, position, position))
+        elif token.is_separator():
+            if token.separator_kind is SeparatorKind.HARD:
+                position += 7
+                if phrase is not None:
+                    finish_phrase(phrase)
+                    # immediately restart a phrase (keep negative flag)
+                    phrase = [[], -1, -1]
+            quote_count = token.lemma.count('"')
+            if quote_count > 0:
+                if phrase is not None:
+                    quote_count -= 1
+                    finish_phrase(phrase)
+                    negative_phrase = False
+                    phrase = None
+                if quote_count % 2 == 1:
+                    negative_phrase = negative_next_token
+                    phrase = [[], -1, -1]
+                else:
+                    phrase = phrase
+            negative_next_token = (
+                phrase is None and token.lemma == "-" and encountered_whitespace
+            )
+        encountered_whitespace = bool(token.lemma) and token.lemma[-1].isspace()
+
+    if phrase is not None:
+        finish_phrase(phrase)
+
+    return ExtractedTokens(query_terms, negative_words, negative_phrases)
+
+
+def make_ngram(
+    ctx: DerivationContext,
+    terms: list[LocatedQueryTerm],
+) -> Optional[LocatedQueryTerm]:
+    """Reference: parse_query.rs:227 make_ngram."""
+    assert terms
+    for t in terms:
+        if t.term.phrase is not None:
+            return None
+        if t.term.ngram_words is not None:
+            return None
+    for t1, t2 in zip(terms, terms[1:]):
+        if t1.end_position != t2.start_position - 1:
+            return None
+    words = [t.term.original for t in terms]
+    ngram_str = "".join(words)
+    if len(ngram_str) > MAX_WORD_LENGTH:
+        return None
+
+    max_typo = max(
+        0, ctx.number_of_typos_allowed(ngram_str) - (len(terms) - 1)
+    )
+    is_prefix = terms[-1].term.is_prefix
+
+    term = ctx.term_from_word(ngram_str, max_typo, is_prefix, is_ngram=True)
+    term.ngram_words = words
+    term.synonyms = ctx.synonyms_for(tuple(words))
+    # Reference: compute_derivations.rs:300 — drop split_words equal to the
+    # ngram's own component words.
+    if term.split_words is not None and list(term.split_words) == words:
+        term.split_words = None
+
+    return LocatedQueryTerm(
+        term,
+        start_position=terms[0].start_position,
+        end_position=terms[-1].end_position,
+        start_term_id=terms[0].start_term_id,
+        end_term_id=terms[-1].end_term_id,
+    )
+
+
+def _is_number_like(word: str) -> bool:
+    try:
+        float(word)
+        return True
+    except ValueError:
+        return False

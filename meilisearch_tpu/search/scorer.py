@@ -1,0 +1,644 @@
+"""Fused ranking scorer.
+
+This replaces milli's recursive `bucket_sort` descent
+(reference: search/new/bucket_sort.rs:23 + graph_based_ranking_rule.rs:220 +
+ranking_rule_graph/cheapest_paths.rs) with a single vectorized pass:
+
+For every candidate document we compute, per ranking rule, the minimal path
+cost through the query interpretation graph — exactly the cost at which
+milli's PathVisitor would first emit the document. The final ranking is a
+lexicographic sort over the per-rule cost columns (plus sort/geo/exact-
+attribute columns and the docid tiebreak), which is provably the same order
+as the reference's bucket refinement.
+
+The interpretation space is the ranking-rule graph: states are
+(query-graph node, typo class) pairs plus a skip state per removable node
+(terms-matching-strategy word dropping, reference
+graph_based_ranking_rule.rs:150 removal costs + cheapest_paths.rs
+nodes_to_skip semantics). A lexicographic dynamic program over this DAG,
+batched across all candidates, computes the whole cost matrix. On TPU the DP
+inner ops are elementwise min/select over candidate-length vectors (VPU) and
+the masks come from posting-bitmap gathers; see ops/.
+
+Cost semantics ported per rule:
+  words      — skipped term ids (build.rs:49 cost_of_ignoring × dest_size)
+  typo       — typo class + ngram base cost (typo/mod.rs:build_edges)
+  proximity  — pair edges rnm..rnm+2 w/ forward prox r+1 / backward prox r,
+               fallback term edge at (MAX_DISTANCE-1)+rnm
+               (proximity/build.rs + compute_docids.rs)
+  fid        — weight × term_count over matching fields (fid/mod.rs)
+  position   — bucketed-position cost table (position/mod.rs:cost_from_distance)
+  exactness  — 0 for the exact original word/phrase else term_count
+               (exactness/mod.rs)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..index.store import MAX_DISTANCE, IndexStore
+from .graph import QueryGraph, QueryNode
+from .query_terms import Phrase, QueryTerm
+
+INF = np.int64(1) << 24
+
+
+def position_cost_from_distance(distance: int) -> int:
+    """Reference: position/mod.rs:cost_from_distance."""
+    if distance == 0:
+        return 0
+    if distance == 1:
+        return 1
+    if distance <= 4:
+        return 2
+    if distance <= 7:
+        return 3
+    if distance <= 11:
+        return 4
+    if distance <= 16:
+        return 5
+    if distance <= 24:
+        return 6
+    if distance <= 64:
+        return 7
+    if distance <= 256:
+        return 8
+    if distance <= 1024:
+        return 9
+    return 10
+
+
+class Resolver:
+    """Posting-set resolution with per-search caching (the db_cache twin).
+
+    `restricted_fids` mirrors attributesToSearchOn: when set, word postings
+    are recomputed as unions of word_fid postings over the allowed fields
+    (reference: db_cache.rs:208 get_db_word_docids restricted branch).
+    """
+
+    def __init__(
+        self,
+        store: IndexStore,
+        candidates: np.ndarray,
+        restricted_fids: Optional[set[int]] = None,
+    ):
+        self.store = store
+        self.candidates = candidates
+        self.restricted_fids = restricted_fids
+        self._word_cache: dict[tuple[str, bool], np.ndarray] = {}
+        self._phrase_cache: dict[Phrase, np.ndarray] = {}
+        self._mask_cache: dict = {}
+        # word -> fids / position buckets, derived once per store generation
+        maps = getattr(store, "_derived_maps", None)
+        if maps is None or maps[0] != store.generation:
+            fids_by_word: dict[str, set[int]] = {}
+            buckets_by_word: dict[str, set[int]] = {}
+            for (w, fid) in store.word_fid_docids:
+                fids_by_word.setdefault(w, set()).add(fid)
+            for (w, bucket) in store.word_position_docids:
+                buckets_by_word.setdefault(w, set()).add(bucket)
+            maps = (store.generation, fids_by_word, buckets_by_word)
+            store._derived_maps = maps
+        self.fids_by_word = maps[1]
+        self.buckets_by_word = maps[2]
+
+    # -- raw postings -------------------------------------------------------
+
+    def word_docids(self, word: str, original: bool) -> set:
+        """original=True -> word ∪ exact-word postings; derived words only get
+        the tolerant postings (reference db_cache.rs:183)."""
+        if self.restricted_fids is not None:
+            out: set = set()
+            for fid in self.fids_by_word.get(word, ()):
+                if fid in self.restricted_fids:
+                    out |= self.store.word_fid_docids.get((word, fid), set())
+            return out
+        if original:
+            return self.store.get_word_docids(word)
+        return self.store.word_docids.get(word, set())
+
+    def word_fid_docids(self, word: str, fid: int) -> set:
+        if self.restricted_fids is not None and fid not in self.restricted_fids:
+            return set()
+        return self.store.word_fid_docids.get((word, fid), set())
+
+    def word_position_docids(self, word: str, bucket: int) -> set:
+        return self.store.word_position_docids.get((word, bucket), set())
+
+    def pair_proximity_docids(self, prox: int, w1: str, w2: str) -> set:
+        """ByWord: direct lookup. ByAttribute: same-attribute co-occurrence,
+        proximity-independent (reference db_cache.rs:361)."""
+        if self.store.settings.proximity_precision == "byAttribute":
+            key = ("pp_attr", w1, w2)
+            if key not in self._mask_cache:
+                out: set = set()
+                for fid in self.fids_by_word.get(w1, ()):
+                    a = self.word_fid_docids(w1, fid)
+                    b = self.word_fid_docids(w2, fid)
+                    if a and b:
+                        out |= a & b
+                self._mask_cache[key] = out
+            return self._mask_cache[key]
+        return self.store.word_pair_proximity_docids.get((prox, w1, w2), set())
+
+    def phrase_docids(self, phrase: Phrase) -> set:
+        """Reference: resolve_query_graph.rs:187 compute_phrase_docids."""
+        if phrase in self._phrase_cache:
+            return self._phrase_cache[phrase]
+        words = list(phrase)
+        present = [w for w in words if w is not None]
+        if not present:
+            result: set = set()
+            self._phrase_cache[phrase] = result
+            return result
+        candidates: Optional[set] = None
+        for w in present:
+            docids = self.word_docids(w, original=True)
+            if not docids:
+                self._phrase_cache[phrase] = set()
+                return set()
+            candidates = docids.copy() if candidates is None else candidates & docids
+        winsize = min(len(words), 3)
+        for start in range(0, len(words) - winsize + 1):
+            win = words[start : start + winsize]
+            for offset, s1 in enumerate(win):
+                if s1 is None:
+                    continue
+                for dist, s2 in enumerate(win[offset + 1 :]):
+                    if s2 is None:
+                        continue
+                    if dist == 0:
+                        m = self.pair_proximity_docids(1, s1, s2)
+                        if not m:
+                            self._phrase_cache[phrase] = set()
+                            return set()
+                        candidates &= m
+                    else:
+                        bitmap: set = set()
+                        for d in range(dist + 1):
+                            bitmap |= self.pair_proximity_docids(d + 1, s1, s2)
+                        if not bitmap:
+                            self._phrase_cache[phrase] = set()
+                            return set()
+                        candidates &= bitmap
+                    if not candidates:
+                        self._phrase_cache[phrase] = set()
+                        return set()
+        self._phrase_cache[phrase] = candidates
+        return candidates
+
+    def prefix_words(self, prefix: str) -> list[str]:
+        from bisect import bisect_left
+
+        words = self.store.all_words_sorted()
+        lo = bisect_left(words, prefix)
+        hi = bisect_left(words, prefix + "￿")
+        return words[lo:hi]
+
+    # -- term-subset resolution ---------------------------------------------
+
+    def class_words(self, term: QueryTerm, cls: int) -> list[tuple[str, bool]]:
+        """(word, is_original) pairs for one typo class.
+
+        Reference query_term/mod.rs:199 all_single_words_except_prefix_db —
+        ngram derivations are always Word::Derived.
+        """
+        is_ngram = term.ngram_words is not None
+        out = []
+        for w in term.words_for_class(cls):
+            out.append((w, not is_ngram if cls == 0 else False))
+        return out
+
+    def class_phrases(self, term: QueryTerm, cls: int) -> list[Phrase]:
+        return term.phrases_for_class(cls)
+
+    def term_class_docids(self, term: QueryTerm, cls: int) -> set:
+        """Docids matching one typo class of a term
+        (reference resolve_query_graph.rs:33 compute_query_term_subset_docids
+        with the class-restricted subset)."""
+        out: set = set()
+        for w, original in self.class_words(term, cls):
+            out |= self.word_docids(w, original)
+        for p in self.class_phrases(term, cls):
+            out |= self.phrase_docids(p)
+        if cls == 0 and term.use_prefix_db is not None:
+            for w in self.prefix_words(term.use_prefix_db):
+                out |= self.word_docids(w, original=term.ngram_words is None)
+        return out
+
+    def term_all_docids(self, term: QueryTerm) -> set:
+        out: set = set()
+        for cls in range(0, 3):
+            out |= self.term_class_docids(term, cls)
+        return out
+
+    # -- masks over candidates -----------------------------------------------
+
+    def mask(self, docids: set) -> np.ndarray:
+        if not docids:
+            return np.zeros(len(self.candidates), dtype=bool)
+        arr = np.fromiter(docids, dtype=np.int64, count=len(docids))
+        return np.isin(self.candidates, arr)
+
+
+@dataclass
+class NodeStates:
+    node: QueryNode
+    classes: list[int]  # available typo classes
+    class_masks: list[np.ndarray]
+    removable_group: Optional[int]  # removal-group index or None
+
+
+class FusedScorer:
+    """Computes the per-candidate cost matrix for the graph-based rules."""
+
+    def __init__(
+        self,
+        store: IndexStore,
+        resolver: Resolver,
+        graph: QueryGraph,
+        strategy: str,  # "last" | "all" | "frequency"
+        dims: list[str],  # graph dims in assembled rule order
+    ):
+        self.store = store
+        self.r = resolver
+        self.graph = graph
+        self.strategy = strategy
+        self.dims = dims
+        self.n = len(resolver.candidates)
+        self.dim_idx = {d: i for i, d in enumerate(dims)}
+        self._pair_cost_cache: dict = {}
+        self._fid_addend_cache: dict = {}
+        self._pos_addend_cache: dict = {}
+        self._exact_mask_cache: dict = {}
+        self._prepare()
+
+    # -- static prep --------------------------------------------------------
+
+    def _prepare(self):
+        if self.strategy == "last":
+            groups = self.graph.removal_groups_last()
+        elif self.strategy == "frequency":
+            groups = self.graph.removal_groups_frequency(self.store)
+        else:
+            groups = []
+        group_of: dict[int, int] = {}
+        for gi, g in enumerate(groups):
+            for nid in g:
+                group_of[nid] = gi
+        self.n_groups = len(groups)
+
+        self.node_states: dict[int, NodeStates] = {}
+        for node in self.graph.term_nodes():
+            term = node.located.term
+            classes = list(range(0, term.max_typo_cost() + 1))
+            masks = [
+                self.r.mask(self.r.term_class_docids(term, c)) for c in classes
+            ]
+            self.node_states[node.node_id] = NodeStates(
+                node, classes, masks, group_of.get(node.node_id)
+            )
+
+    # -- per-(node,class) cost addends ----------------------------------------
+
+    def _typo_cost(self, node: QueryNode, cls: int) -> int:
+        term = node.located
+        base = term.term_ids_len if term.term.ngram_words is not None else 0
+        return cls + base
+
+    def _fid_addend(self, node: QueryNode, cls: int) -> np.ndarray:
+        """Per-candidate attribute-rank cost (reference fid/mod.rs:build_edges
+        + resolve_condition): min over matching fields of weight × term_count;
+        INF when the document matches in no (allowed) field."""
+        key = (node.node_id, cls)
+        if key in self._fid_addend_cache:
+            return self._fid_addend_cache[key]
+        term = node.located.term
+        tlen = node.located.term_ids_len
+        weight_map = self.store.fid_weight_map()
+        all_fids: set[int] = set()
+        words = [w for w, _ in self.r.class_words(term, cls)]
+        phrases = self.r.class_phrases(term, cls)
+        for w in words:
+            all_fids |= self.r.fids_by_word.get(w, set())
+        for p in phrases:
+            for w in p:
+                if w is not None:
+                    all_fids |= self.r.fids_by_word.get(w, set())
+        prefix_words: list[str] = []
+        if cls == 0 and term.use_prefix_db is not None:
+            prefix_words = self.r.prefix_words(term.use_prefix_db)
+            for w in prefix_words:
+                all_fids |= self.r.fids_by_word.get(w, set())
+        if self.r.restricted_fids is not None:
+            all_fids &= self.r.restricted_fids
+
+        out = np.full(self.n, INF, dtype=np.int64)
+        for fid in sorted(all_fids, key=lambda f: weight_map.get(f, 1 << 16)):
+            weight = weight_map.get(fid)
+            if weight is None:
+                continue
+            docids: set = set()
+            for w in words + prefix_words:
+                docids |= self.r.word_fid_docids(w, fid)
+            for p in phrases:
+                first = next((w for w in p if w is not None), None)
+                if first is not None:
+                    wd = self.r.word_fid_docids(first, fid)
+                    if wd:
+                        docids |= self.r.phrase_docids(p) & wd
+            if docids:
+                m = self.r.mask(docids)
+                out = np.where(m, np.minimum(out, weight * tlen), out)
+        self._fid_addend_cache[key] = out
+        return out
+
+    def _position_addend(self, node: QueryNode, cls: int) -> np.ndarray:
+        """Per-candidate word-position cost (reference position/mod.rs)."""
+        key = (node.node_id, cls)
+        if key in self._pos_addend_cache:
+            return self._pos_addend_cache[key]
+        term = node.located.term
+        tlen = node.located.term_ids_len
+        start_pos = node.located.start_position
+        words = [w for w, _ in self.r.class_words(term, cls)]
+        phrases = self.r.class_phrases(term, cls)
+        prefix_words: list[str] = []
+        if cls == 0 and term.use_prefix_db is not None:
+            prefix_words = self.r.prefix_words(term.use_prefix_db)
+
+        # gather all position buckets
+        buckets: set[int] = set()
+        for w in words + prefix_words:
+            buckets |= self.r.buckets_by_word.get(w, set())
+        for p in phrases:
+            first = next((w for w in p if w is not None), None)
+            if first is not None:
+                buckets |= self.r.buckets_by_word.get(first, set())
+
+        def bucket_cost(bucket: int) -> int:
+            distance = abs(bucket - start_pos)
+            return sum(
+                position_cost_from_distance(distance + i) for i in range(tlen)
+            )
+
+        by_cost: dict[int, list[int]] = {}
+        for b in buckets:
+            by_cost.setdefault(bucket_cost(b), []).append(b)
+
+        out = np.full(self.n, INF, dtype=np.int64)
+        for cost in sorted(by_cost):
+            docids: set = set()
+            for b in by_cost[cost]:
+                for w in words + prefix_words:
+                    docids |= self.r.word_position_docids(w, b)
+                for p in phrases:
+                    first = next((w for w in p if w is not None), None)
+                    if first is not None:
+                        wd = self.r.word_position_docids(first, b)
+                        if wd:
+                            docids |= self.r.phrase_docids(p) & wd
+            if docids:
+                m = self.r.mask(docids)
+                out = np.where(m & (out == INF), np.int64(cost), out)
+        self._pos_addend_cache[key] = out
+        return out
+
+    def _exactness_addend(self, node: QueryNode) -> np.ndarray:
+        """0 when the doc contains the exact original word/phrase, else
+        term_count (reference exactness/mod.rs)."""
+        key = node.node_id
+        if key in self._exact_mask_cache:
+            return self._exact_mask_cache[key]
+        term = node.located.term
+        tlen = node.located.term_ids_len
+        docids: set = set()
+        if term.ngram_words is None:
+            if term.phrase is not None:
+                docids = self.r.phrase_docids(term.phrase)
+            elif term.exact is not None:
+                docids = self.r.word_docids(term.exact, original=True)
+        m = self.r.mask(docids)
+        out = np.where(m, np.int64(0), np.int64(tlen))
+        self._exact_mask_cache[key] = out
+        return out
+
+    # -- proximity -------------------------------------------------------------
+
+    def _last_words(self, term: QueryTerm, cls: int):
+        """(phrase_or_None, last_word) pairs
+        (reference proximity/compute_docids.rs:last_words_of_term_derivations)."""
+        out = []
+        for w, _orig in self.r.class_words(term, cls):
+            out.append((None, w))
+        for p in self.r.class_phrases(term, cls):
+            last = p[-1]
+            if last is not None:
+                out.append((p, last))
+        return out
+
+    def _first_words(self, term: QueryTerm, cls: int):
+        out = []
+        for w, _orig in self.r.class_words(term, cls):
+            out.append((w, None))
+        for p in self.r.class_phrases(term, cls):
+            first = p[0]
+            if first is not None:
+                out.append((first, p))
+        return out
+
+    def _pair_cost(
+        self, left: QueryNode, cls_l: int, right: QueryNode, cls_r: int
+    ) -> np.ndarray:
+        """Per-candidate relative proximity cost in {0,1,2,3}
+        (reference proximity/build.rs + compute_docids.rs)."""
+        key = (left.node_id, cls_l, right.node_id, cls_r)
+        if key in self._pair_cost_cache:
+            return self._pair_cost_cache[key]
+
+        lterm = left.located.term
+        rterm = right.located.term
+
+        masks = []
+        for rel in (0, 1, 2):
+            fwd = rel + 1
+            bwd = rel
+            docids: set = set()
+            # prefix-db right side
+            if cls_r == 0 and rterm.use_prefix_db is not None:
+                pwords = self.r.prefix_words(rterm.use_prefix_db)
+                for lphrase, lw in self._last_words(lterm, cls_l):
+                    constraint = (
+                        self.r.phrase_docids(lphrase) if lphrase else None
+                    )
+                    if constraint is not None and not constraint:
+                        continue
+                    acc: set = set()
+                    for w in pwords:
+                        acc |= self.r.pair_proximity_docids(fwd, lw, w)
+                    if lphrase is None and bwd >= 1:
+                        acc |= self.r.pair_proximity_docids(
+                            bwd, rterm.use_prefix_db, lw
+                        )
+                    if constraint is not None:
+                        acc &= constraint
+                    docids |= acc
+            for lphrase, lw in self._last_words(lterm, cls_l):
+                for rw, rphrase in self._first_words(rterm, cls_r):
+                    constraint: Optional[set] = None
+                    for p in (lphrase, rphrase):
+                        if p is not None:
+                            pd = self.r.phrase_docids(p)
+                            constraint = pd if constraint is None else constraint & pd
+                    if constraint is not None and not constraint:
+                        continue
+                    acc = set(self.r.pair_proximity_docids(fwd, lw, rw))
+                    if bwd >= 1 and lphrase is None and rphrase is None:
+                        acc |= self.r.pair_proximity_docids(bwd, rw, lw)
+                    if constraint is not None:
+                        acc &= constraint
+                    docids |= acc
+            masks.append(self.r.mask(docids))
+
+        out = np.full(self.n, 3, dtype=np.int64)
+        for rel in (2, 1, 0):
+            out = np.where(masks[rel], np.int64(rel), out)
+        self._pair_cost_cache[key] = out
+        return out
+
+    # -- the DP -----------------------------------------------------------------
+
+    def _entry_cost(
+        self,
+        src_state,  # ("start",) | (node_id, cls) | ("skip", node_id)
+        dst: QueryNode,
+        cls: int,
+    ) -> np.ndarray:
+        """Cost vector (D, N) of entering (dst, cls) from src_state."""
+        D = len(self.dims)
+        out = np.zeros((D, self.n), dtype=np.int64)
+        term = dst.located
+        rnm = term.term_ids_len - 1
+
+        if "typo" in self.dim_idx:
+            out[self.dim_idx["typo"]] += self._typo_cost(dst, cls)
+        if "proximity" in self.dim_idx:
+            d = self.dim_idx["proximity"]
+            adjacent = False
+            if isinstance(src_state[0], int):
+                src_node = self.graph.nodes[src_state[0]]
+                adjacent = (
+                    src_node.located.end_position + 1 == term.start_position
+                )
+            if adjacent:
+                src_node = self.graph.nodes[src_state[0]]
+                out[d] += self._pair_cost(src_node, src_state[1], dst, cls) + rnm
+            else:
+                out[d] += rnm
+        if "fid" in self.dim_idx:
+            out[self.dim_idx["fid"]] += self._fid_addend(dst, cls)
+        if "position" in self.dim_idx:
+            out[self.dim_idx["position"]] += self._position_addend(dst, cls)
+        if "exactness" in self.dim_idx:
+            out[self.dim_idx["exactness"]] += self._exactness_addend(dst)
+
+        # validity mask for the typo class
+        ns = self.node_states[dst.node_id]
+        m = ns.class_masks[ns.classes.index(cls)]
+        out[0] = np.where(m, out[0], INF)
+        return out
+
+    @staticmethod
+    def _lexmin(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Elementwise lexicographic min of two (D, N) matrices."""
+        D = a.shape[0]
+        lt = np.zeros(a.shape[1], dtype=bool)
+        eq = np.ones(a.shape[1], dtype=bool)
+        for d in range(D):
+            lt |= eq & (a[d] < b[d])
+            eq &= a[d] == b[d]
+        return np.where(lt[None, :], a, b)
+
+    def run(self) -> np.ndarray:
+        """Returns the (D, N) cost matrix (INF where no interpretation)."""
+        if self.n == 0:
+            return np.zeros((len(self.dims), 0), dtype=np.int64)
+        best: Optional[np.ndarray] = None
+        thresholds = (
+            range(self.n_groups + 1) if self.strategy != "all" else range(1)
+        )
+        for T in thresholds:
+            res = self._run_with_threshold(T)
+            best = res if best is None else self._lexmin(best, res)
+        return best
+
+    def _run_with_threshold(self, T: int) -> np.ndarray:
+        """One DP where nodes in removal groups < T may be skipped and nodes
+        in groups < T-1 may NOT be visited (max_skip <= min_visit invariant,
+        reference cheapest_paths.rs nodes_to_skip)."""
+        D = len(self.dims)
+        order = sorted(
+            self.graph.term_nodes(),
+            key=lambda nd: (nd.located.start_term_id, nd.node_id),
+        )
+        dp: dict = {("start",): np.zeros((D, self.n), dtype=np.int64)}
+
+        def get_states(node_id: int):
+            """All DP states of a predecessor node (or START)."""
+            if node_id == self.graph.root:
+                return [("start",)]
+            ns = self.node_states[node_id]
+            states = [(node_id, c) for c in ns.classes]
+            states.append(("skip", node_id))
+            return states
+
+        words_dim = self.dim_idx.get("words")
+
+        for node in order:
+            ns = self.node_states[node.node_id]
+            g = ns.removable_group
+            visitable = g is None or g >= T - 1
+            skippable = g is not None and g < T
+
+            preds = node.predecessors
+            pred_states = []
+            for p in preds:
+                for s in get_states(p):
+                    if s in dp:
+                        pred_states.append(s)
+            if not pred_states:
+                continue
+
+            if visitable:
+                for cls in ns.classes:
+                    best = None
+                    for s in pred_states:
+                        cand = dp[s] + self._entry_cost(s, node, cls)
+                        best = cand if best is None else self._lexmin(best, cand)
+                    dp[(node.node_id, cls)] = best
+            if skippable:
+                skip_cost = np.zeros((D, self.n), dtype=np.int64)
+                if words_dim is not None:
+                    skip_cost[words_dim] += node.located.term_ids_len
+                best = None
+                for s in pred_states:
+                    cand = dp[s] + skip_cost
+                    best = cand if best is None else self._lexmin(best, cand)
+                dp[("skip", node.node_id)] = best
+
+        # END
+        end_preds = self.graph.nodes[self.graph.end].predecessors
+        best = None
+        for p in end_preds:
+            for s in get_states(p):
+                if s in dp:
+                    cand = dp[s]
+                    best = cand if best is None else self._lexmin(best, cand)
+        if best is None:
+            best = np.full((D, self.n), INF, dtype=np.int64)
+        # clamp anything that went through an INF mask
+        best = np.where(best >= INF, INF, best)
+        return best
