@@ -245,9 +245,16 @@ class IndexStore:
         return {fid: w for _, fid, w in self.searchable_fields_and_weights()}
 
     def exact_attributes_fids(self) -> set[int]:
+        """Attributes where typo tolerance is disabled: their words go to the
+        exact_word_docids table so that typo-derived query words can't match
+        them (reference: milli `exact_attributes` = the API's
+        typoTolerance.disableOnAttributes, meilisearch-types settings.rs)."""
+        patterns = list(self.settings.exact_attributes) + list(
+            self.settings.typo_tolerance.disable_on_attributes
+        )
         out = set()
         for name in self.fields_ids_map.names():
-            if any(_match_pattern(p, name) for p in self.settings.exact_attributes):
+            if any(_match_pattern(p, name) for p in patterns):
                 fid = self.fields_ids_map.id(name)
                 if fid is not None:
                     out.add(fid)
@@ -526,8 +533,10 @@ class IndexStore:
         return pairs
 
     def _index_document_content(self, docid: int, doc: dict) -> None:
-        exact_fids = self.exact_attributes_fids()
+        # tokenize first: it registers new field names in the fields map,
+        # which exact_attributes_fids needs to resolve patterns against
         per_fid = self._tokenize_document(doc)
+        exact_fids = self.exact_attributes_fids()
         for fid, words_positions in per_fid.items():
             is_exact = fid in exact_fids
             for word, pos in words_positions:

@@ -225,12 +225,15 @@ class Search:
         rules = self._assembled_rules(for_query=True)
         graph_dims = [r[1] for r in rules if r[0] == "graph"]
 
-        mask_resolver = Resolver(store, candidates, restricted_fids)
-        mask_resolver._phrase_cache = resolver._phrase_cache
-        scorer = FusedScorer(
-            store, mask_resolver, graph, self.terms_matching_strategy, graph_dims
-        )
-        cost = scorer.run()
+        if graph_dims:
+            mask_resolver = Resolver(store, candidates, restricted_fids)
+            mask_resolver._phrase_cache = resolver._phrase_cache
+            scorer = FusedScorer(
+                store, mask_resolver, graph, self.terms_matching_strategy, graph_dims
+            )
+            cost = scorer.run()
+        else:
+            cost = np.zeros((0, len(candidates)), dtype=np.int64)
 
         # assemble full key matrix in rule order
         keys: list[np.ndarray] = []

@@ -233,22 +233,15 @@ class DerivationContext:
         """Whether the word is a precomputed frequent prefix.
 
         Reference: index.rs:1884 PrefixSettings { max_prefix_length: 4,
-        prefix_count_threshold: 100 } — prefixes of length <= 4 whose posting
-        union covers >= 100 documents.
+        prefix_count_threshold: 100 } + word_fst_builder.rs:102-135 — prefixes
+        of byte length <= 4 shared by >= 100 distinct indexed words.
         """
         if self.settings.prefix_search == "disabled":
             return False
-        if len(word) > 4:
+        if len(word.encode("utf-8")) > 4:
             return False
         lo, hi = self.prefix_range(word)
-        if hi - lo == 0:
-            return False
-        total: set = set()
-        for w in self.sorted_words[lo:hi]:
-            total |= self.store.get_word_docids(w)
-            if len(total) >= 100:
-                return True
-        return False
+        return hi - lo >= 100
 
     # -- derivations ------------------------------------------------------------
 

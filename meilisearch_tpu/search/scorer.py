@@ -270,6 +270,15 @@ class FusedScorer:
         self.dims = dims
         self.n = len(resolver.candidates)
         self.dim_idx = {d: i for i, d in enumerate(dims)}
+        # Rules placed BEFORE the typo rule see the full (class-unrestricted)
+        # term subsets, because only the typo rule narrows subsets when it
+        # rebuilds the bucket graph (reference: proximity_typo.rs module doc —
+        # proximity does not restrict subsets; typo/mod.rs build_edges does).
+        typo_pos = self.dim_idx.get("typo", -1)
+        self.class_agnostic = {
+            d: (typo_pos < 0 or i < typo_pos)
+            for i, d in enumerate(dims)
+        }
         self._pair_cost_cache: dict = {}
         self._fid_addend_cache: dict = {}
         self._pos_addend_cache: dict = {}
@@ -320,8 +329,8 @@ class FusedScorer:
         tlen = node.located.term_ids_len
         weight_map = self.store.fid_weight_map()
         all_fids: set[int] = set()
-        words = [w for w, _ in self.r.class_words(term, cls)]
-        phrases = self.r.class_phrases(term, cls)
+        words = self._subset_words(term, cls)
+        phrases = self._subset_phrases(term, cls)
         for w in words:
             all_fids |= self.r.fids_by_word.get(w, set())
         for p in phrases:
@@ -329,7 +338,7 @@ class FusedScorer:
                 if w is not None:
                     all_fids |= self.r.fids_by_word.get(w, set())
         prefix_words: list[str] = []
-        if cls == 0 and term.use_prefix_db is not None:
+        if self._uses_prefix_db(term, cls):
             prefix_words = self.r.prefix_words(term.use_prefix_db)
             for w in prefix_words:
                 all_fids |= self.r.fids_by_word.get(w, set())
@@ -364,10 +373,10 @@ class FusedScorer:
         term = node.located.term
         tlen = node.located.term_ids_len
         start_pos = node.located.start_position
-        words = [w for w, _ in self.r.class_words(term, cls)]
-        phrases = self.r.class_phrases(term, cls)
+        words = self._subset_words(term, cls)
+        phrases = self._subset_phrases(term, cls)
         prefix_words: list[str] = []
-        if cls == 0 and term.use_prefix_db is not None:
+        if self._uses_prefix_db(term, cls):
             prefix_words = self.r.prefix_words(term.use_prefix_db)
 
         # gather all position buckets
@@ -428,23 +437,44 @@ class FusedScorer:
 
     # -- proximity -------------------------------------------------------------
 
-    def _last_words(self, term: QueryTerm, cls: int):
+    def _classes_of(self, term: QueryTerm, cls) -> list[int]:
+        """cls=None means class-unrestricted (rule runs before typo)."""
+        if cls is None:
+            return list(range(0, term.max_typo_cost() + 1))
+        return [cls]
+
+    def _subset_words(self, term: QueryTerm, cls) -> list[str]:
+        out: list[str] = []
+        for c in self._classes_of(term, cls):
+            out.extend(w for w, _ in self.r.class_words(term, c))
+        return out
+
+    def _subset_phrases(self, term: QueryTerm, cls) -> list[Phrase]:
+        out: list[Phrase] = []
+        for c in self._classes_of(term, cls):
+            out.extend(self.r.class_phrases(term, c))
+        return out
+
+    def _uses_prefix_db(self, term: QueryTerm, cls) -> bool:
+        return term.use_prefix_db is not None and (cls is None or cls == 0)
+
+    def _last_words(self, term: QueryTerm, cls):
         """(phrase_or_None, last_word) pairs
         (reference proximity/compute_docids.rs:last_words_of_term_derivations)."""
         out = []
-        for w, _orig in self.r.class_words(term, cls):
+        for w in self._subset_words(term, cls):
             out.append((None, w))
-        for p in self.r.class_phrases(term, cls):
+        for p in self._subset_phrases(term, cls):
             last = p[-1]
             if last is not None:
                 out.append((p, last))
         return out
 
-    def _first_words(self, term: QueryTerm, cls: int):
+    def _first_words(self, term: QueryTerm, cls):
         out = []
-        for w, _orig in self.r.class_words(term, cls):
+        for w in self._subset_words(term, cls):
             out.append((w, None))
-        for p in self.r.class_phrases(term, cls):
+        for p in self._subset_phrases(term, cls):
             first = p[0]
             if first is not None:
                 out.append((first, p))
@@ -468,7 +498,7 @@ class FusedScorer:
             bwd = rel
             docids: set = set()
             # prefix-db right side
-            if cls_r == 0 and rterm.use_prefix_db is not None:
+            if self._uses_prefix_db(rterm, cls_r):
                 pwords = self.r.prefix_words(rterm.use_prefix_db)
                 for lphrase, lw in self._last_words(lterm, cls_l):
                     constraint = (
@@ -527,21 +557,27 @@ class FusedScorer:
             out[self.dim_idx["typo"]] += self._typo_cost(dst, cls)
         if "proximity" in self.dim_idx:
             d = self.dim_idx["proximity"]
+            pcls_src = None
+            pcls_dst = None if self.class_agnostic["proximity"] else cls
             adjacent = False
             if isinstance(src_state[0], int):
                 src_node = self.graph.nodes[src_state[0]]
                 adjacent = (
                     src_node.located.end_position + 1 == term.start_position
                 )
+                if not self.class_agnostic["proximity"]:
+                    pcls_src = src_state[1]
             if adjacent:
                 src_node = self.graph.nodes[src_state[0]]
-                out[d] += self._pair_cost(src_node, src_state[1], dst, cls) + rnm
+                out[d] += self._pair_cost(src_node, pcls_src, dst, pcls_dst) + rnm
             else:
                 out[d] += rnm
         if "fid" in self.dim_idx:
-            out[self.dim_idx["fid"]] += self._fid_addend(dst, cls)
+            fcls = None if self.class_agnostic["fid"] else cls
+            out[self.dim_idx["fid"]] += self._fid_addend(dst, fcls)
         if "position" in self.dim_idx:
-            out[self.dim_idx["position"]] += self._position_addend(dst, cls)
+            pcls = None if self.class_agnostic["position"] else cls
+            out[self.dim_idx["position"]] += self._position_addend(dst, pcls)
         if "exactness" in self.dim_idx:
             out[self.dim_idx["exactness"]] += self._exactness_addend(dst)
 
