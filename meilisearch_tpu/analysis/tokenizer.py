@@ -76,8 +76,9 @@ class Token:
 
 
 # Hard separators delimit phrases / sentences (charabia's SeparatorKind::Hard).
+# Whitespace (incl. newlines) is always a soft separator.
 _HARD_SEPARATORS = frozenset(
-    ".;,!?()[]{}|\n\r\t"
+    ".;,!?()[]{}|"
     "。，！？；：、"  # CJK punctuation 。，！？；：、
     "…"  # …
     "¡¿"  # ¡ ¿

@@ -235,6 +235,16 @@ class Search:
         else:
             cost = np.zeros((0, len(candidates)), dtype=np.int64)
 
+        # per-doc words level: how many leading terms the doc's best
+        # interpretation kept (drives the ExactAttribute sub-query,
+        # reference: bucket refinement passes the reduced graph down)
+        n_term_ids = graph.n_term_ids()
+        if "words" in graph_dims:
+            wrow = cost[graph_dims.index("words")]
+            ea_levels = np.maximum(n_term_ids - wrow, 0).astype(np.int64)
+        else:
+            ea_levels = np.full(len(candidates), n_term_ids, dtype=np.int64)
+
         # assemble full key matrix in rule order
         keys: list[np.ndarray] = []
         gi = 0
@@ -242,6 +252,10 @@ class Search:
             if rule[0] == "graph":
                 keys.append(cost[gi].astype(np.float64))
                 gi += 1
+            elif rule[0] == "exact_attribute":
+                keys.append(
+                    self._exact_attribute_row(candidates, graph, ea_levels)
+                )
             else:
                 keys.extend(self._rule_key_rows(rule, candidates, graph))
 
@@ -327,8 +341,6 @@ class Search:
             return self._sort_field_rows(rule[1], rule[2], candidates)
         if rule[0] == "geo":
             return self._geo_rows(rule[1], rule[2], rule[3], candidates)
-        if rule[0] == "exact_attribute":
-            return [self._exact_attribute_row(candidates, graph)]
         raise AssertionError(rule)
 
     def _sort_field_rows(
@@ -376,8 +388,24 @@ class Search:
                 val[i] = d if asc else -d
         return [cls, val]
 
-    def _exact_attribute_row(self, candidates: np.ndarray, graph) -> np.ndarray:
-        """Per-doc rank 0/1/2 (reference: search/new/exact_attribute.rs)."""
+    def _exact_attribute_row(
+        self, candidates: np.ndarray, graph, ea_levels: np.ndarray
+    ) -> np.ndarray:
+        """Per-doc rank 0/1/2 (reference: search/new/exact_attribute.rs),
+        computed against the words-reduced sub-query of each document's
+        bucket level (first k terms)."""
+        out = np.full(len(candidates), 2.0)
+        for k in sorted(set(ea_levels.tolist())):
+            sel = ea_levels == k
+            if k <= 0 or not sel.any():
+                continue
+            row = self._exact_attribute_rank_for_level(candidates, graph, k)
+            out[sel] = row[sel]
+        return out
+
+    def _exact_attribute_rank_for_level(
+        self, candidates: np.ndarray, graph, k: int
+    ) -> np.ndarray:
         n = len(candidates)
         out = np.full(n, 2.0)
         if graph is None:
@@ -385,11 +413,14 @@ class Search:
         store = self.store
         resolver = Resolver(store, candidates, self._restricted_fids())
 
-        # collect exact terms (1-grams only; ngrams have no exact term)
+        # collect exact terms (1-grams only; ngrams have no exact term),
+        # restricted to the first k term ids
         infos = []
         for node in graph.term_nodes():
             lt = node.located
             term = lt.term
+            if lt.end_term_id >= k:
+                continue
             if term.ngram_words is not None:
                 continue
             if term.phrase is not None:

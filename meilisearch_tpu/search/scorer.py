@@ -270,20 +270,32 @@ class FusedScorer:
         self.dims = dims
         self.n = len(resolver.candidates)
         self.dim_idx = {d: i for i, d in enumerate(dims)}
-        # Rules placed BEFORE the typo rule see the full (class-unrestricted)
-        # term subsets, because only the typo rule narrows subsets when it
-        # rebuilds the bucket graph (reference: proximity_typo.rs module doc —
-        # proximity does not restrict subsets; typo/mod.rs build_edges does).
-        typo_pos = self.dim_idx.get("typo", -1)
-        self.class_agnostic = {
-            d: (typo_pos < 0 or i < typo_pos)
-            for i, d in enumerate(dims)
+        # Only the typo and exactness rules narrow the term subsets when they
+        # rebuild the bucket graph (reference: typo/mod.rs build_edges clears
+        # typo classes; exactness/mod.rs keep_only_exact_term). Rules placed
+        # BEFORE them see the full subsets (proximity_typo.rs pins this).
+        # Per dim we record which subset view it sees: "full", "class", or
+        # "exact-aware" (class + the exact-edge restriction).
+        typo_pos = self.dim_idx.get("typo", 1 << 20)
+        exact_pos = self.dim_idx.get("exactness", 1 << 20)
+        # per dim: (sees_typo_restriction, sees_exactness_restriction)
+        self.dim_view = {
+            d: (i > typo_pos, i > exact_pos) for i, d in enumerate(dims)
         }
+        # The exact-edge choice becomes DP state only when some rule runs
+        # after exactness.
+        self.exact_flagged = exact_pos < len(dims) - 1
         self._pair_cost_cache: dict = {}
         self._fid_addend_cache: dict = {}
         self._pos_addend_cache: dict = {}
         self._exact_mask_cache: dict = {}
         self._prepare()
+
+    def _sel(self, dim: str, cls: int, e: int):
+        after_typo, after_exact = self.dim_view[dim]
+        if after_exact and e:
+            return "exact"
+        return cls if after_typo else None
 
     # -- static prep --------------------------------------------------------
 
@@ -437,26 +449,36 @@ class FusedScorer:
 
     # -- proximity -------------------------------------------------------------
 
-    def _classes_of(self, term: QueryTerm, cls) -> list[int]:
-        """cls=None means class-unrestricted (rule runs before typo)."""
-        if cls is None:
-            return list(range(0, term.max_typo_cost() + 1))
-        return [cls]
-
-    def _subset_words(self, term: QueryTerm, cls) -> list[str]:
+    def _subset_words(self, term: QueryTerm, sel) -> list[str]:
+        """sel: None = full subsets, int = one typo class, "exact" = the
+        exact-edge restriction (keep_only_exact_term)."""
+        if sel == "exact":
+            if term.ngram_words is None and term.phrase is None and term.exact:
+                return [term.exact]
+            return []
+        classes = (
+            range(0, term.max_typo_cost() + 1) if sel is None else [sel]
+        )
         out: list[str] = []
-        for c in self._classes_of(term, cls):
+        for c in classes:
             out.extend(w for w, _ in self.r.class_words(term, c))
         return out
 
-    def _subset_phrases(self, term: QueryTerm, cls) -> list[Phrase]:
+    def _subset_phrases(self, term: QueryTerm, sel) -> list[Phrase]:
+        if sel == "exact":
+            return [term.phrase] if term.phrase is not None else []
+        classes = (
+            range(0, term.max_typo_cost() + 1) if sel is None else [sel]
+        )
         out: list[Phrase] = []
-        for c in self._classes_of(term, cls):
+        for c in classes:
             out.extend(self.r.class_phrases(term, c))
         return out
 
-    def _uses_prefix_db(self, term: QueryTerm, cls) -> bool:
-        return term.use_prefix_db is not None and (cls is None or cls == 0)
+    def _uses_prefix_db(self, term: QueryTerm, sel) -> bool:
+        if sel == "exact":
+            return False
+        return term.use_prefix_db is not None and (sel is None or sel == 0)
 
     def _last_words(self, term: QueryTerm, cls):
         """(phrase_or_None, last_word) pairs
@@ -541,13 +563,31 @@ class FusedScorer:
 
     # -- the DP -----------------------------------------------------------------
 
+    def _exact_edge_mask(self, node: QueryNode) -> np.ndarray:
+        """Docids of the ExactInAttribute edge: the exact original word or
+        phrase (reference exactness/mod.rs:compute_docids)."""
+        key = ("edge", node.node_id)
+        if key in self._exact_mask_cache:
+            return self._exact_mask_cache[key]
+        term = node.located.term
+        docids: set = set()
+        if term.ngram_words is None:
+            if term.phrase is not None:
+                docids = self.r.phrase_docids(term.phrase)
+            elif term.exact is not None:
+                docids = self.r.word_docids(term.exact, original=True)
+        m = self.r.mask(docids)
+        self._exact_mask_cache[key] = m
+        return m
+
     def _entry_cost(
         self,
-        src_state,  # ("start",) | (node_id, cls) | ("skip", node_id)
+        src_state,  # ("start",) | (node_id, cls, e) | ("skip", node_id)
         dst: QueryNode,
         cls: int,
+        e: int,
     ) -> np.ndarray:
-        """Cost vector (D, N) of entering (dst, cls) from src_state."""
+        """Cost vector (D, N) of entering (dst, cls, e) from src_state."""
         D = len(self.dims)
         out = np.zeros((D, self.n), dtype=np.int64)
         term = dst.located
@@ -557,33 +597,44 @@ class FusedScorer:
             out[self.dim_idx["typo"]] += self._typo_cost(dst, cls)
         if "proximity" in self.dim_idx:
             d = self.dim_idx["proximity"]
-            pcls_src = None
-            pcls_dst = None if self.class_agnostic["proximity"] else cls
+            sel_dst = self._sel("proximity", cls, e)
             adjacent = False
+            sel_src = None
             if isinstance(src_state[0], int):
                 src_node = self.graph.nodes[src_state[0]]
                 adjacent = (
                     src_node.located.end_position + 1 == term.start_position
                 )
-                if not self.class_agnostic["proximity"]:
-                    pcls_src = src_state[1]
+                sel_src = self._sel("proximity", src_state[1], src_state[2])
             if adjacent:
                 src_node = self.graph.nodes[src_state[0]]
-                out[d] += self._pair_cost(src_node, pcls_src, dst, pcls_dst) + rnm
+                out[d] += self._pair_cost(src_node, sel_src, dst, sel_dst) + rnm
             else:
                 out[d] += rnm
         if "fid" in self.dim_idx:
-            fcls = None if self.class_agnostic["fid"] else cls
-            out[self.dim_idx["fid"]] += self._fid_addend(dst, fcls)
+            out[self.dim_idx["fid"]] += self._fid_addend(
+                dst, self._sel("fid", cls, e)
+            )
         if "position" in self.dim_idx:
-            pcls = None if self.class_agnostic["position"] else cls
-            out[self.dim_idx["position"]] += self._position_addend(dst, pcls)
+            out[self.dim_idx["position"]] += self._position_addend(
+                dst, self._sel("position", cls, e)
+            )
         if "exactness" in self.dim_idx:
-            out[self.dim_idx["exactness"]] += self._exactness_addend(dst)
+            d = self.dim_idx["exactness"]
+            if self.exact_flagged:
+                if e:
+                    # cost 0 via the ExactInAttribute edge; masked below
+                    pass
+                else:
+                    out[d] += term.term_ids_len
+            else:
+                out[d] += self._exactness_addend(dst)
 
-        # validity mask for the typo class
+        # validity mask for the typo class (+ the exact edge if taken)
         ns = self.node_states[dst.node_id]
         m = ns.class_masks[ns.classes.index(cls)]
+        if self.exact_flagged and e:
+            m = m & self._exact_edge_mask(dst)
         out[0] = np.where(m, out[0], INF)
         return out
 
@@ -622,12 +673,14 @@ class FusedScorer:
         )
         dp: dict = {("start",): np.zeros((D, self.n), dtype=np.int64)}
 
+        eflags = (0, 1) if self.exact_flagged else (0,)
+
         def get_states(node_id: int):
             """All DP states of a predecessor node (or START)."""
             if node_id == self.graph.root:
                 return [("start",)]
             ns = self.node_states[node_id]
-            states = [(node_id, c) for c in ns.classes]
+            states = [(node_id, c, e) for c in ns.classes for e in eflags]
             states.append(("skip", node_id))
             return states
 
@@ -650,11 +703,14 @@ class FusedScorer:
 
             if visitable:
                 for cls in ns.classes:
-                    best = None
-                    for s in pred_states:
-                        cand = dp[s] + self._entry_cost(s, node, cls)
-                        best = cand if best is None else self._lexmin(best, cand)
-                    dp[(node.node_id, cls)] = best
+                    for e in eflags:
+                        best = None
+                        for s in pred_states:
+                            cand = dp[s] + self._entry_cost(s, node, cls, e)
+                            best = (
+                                cand if best is None else self._lexmin(best, cand)
+                            )
+                        dp[(node.node_id, cls, e)] = best
             if skippable:
                 skip_cost = np.zeros((D, self.n), dtype=np.int64)
                 if words_dim is not None:
