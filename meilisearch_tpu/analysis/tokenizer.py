@@ -253,9 +253,12 @@ class Tokenizer:
                 for ws, we in self._split_dictionary(start, end, text):
                     worig = text[ws:we]
                     lemma = normalize_word(worig)
+                    # Stop-word classification is case sensitive on the raw
+                    # token (reference: stop_words.rs "they are case
+                    # sensitive" — charabia classifies before normalizing).
                     kind = (
                         TokenKind.STOP_WORD
-                        if lemma in self.stop_words or worig in self.stop_words
+                        if worig in self.stop_words
                         else TokenKind.WORD
                     )
                     tokens.append(Token(kind, lemma, worig, ws, we))
@@ -274,7 +277,9 @@ class Tokenizer:
 
         Mirrors tokenize_document.rs:process_tokens — positions advance by 1
         between words, and by HARD_SEPARATOR_GAP across a hard separator.
-        Stop words ARE indexed (so phrases containing them keep working).
+        Stop words are NOT indexed but still occupy a position (reference:
+        stop_words.rs test_stop_words_not_indexed + the `is_word()` filter in
+        process_tokens).
         """
         out: list[tuple[str, int]] = []
         position = 0
@@ -289,7 +294,11 @@ class Tokenizer:
                     position += 1
                 prev = token.kind
                 word = token.lemma.strip()
-                if word and len(word.encode("utf-8")) <= MAX_WORD_LENGTH:
+                if (
+                    token.kind is TokenKind.WORD
+                    and word
+                    and len(word.encode("utf-8")) <= MAX_WORD_LENGTH
+                ):
                     out.append((word, position))
             elif token.kind is TokenKind.SEPARATOR_HARD:
                 prev = TokenKind.SEPARATOR_HARD

@@ -26,10 +26,10 @@ def test_normalization():
     assert normalize_word("CAFÉ") == "cafe"
 
 
-def test_stop_words_still_indexed():
+def test_stop_words_not_indexed_but_occupy_position():
     t = Tokenizer(stop_words={"the"})
     words = t.indexed_words("the quick")
-    assert words == [("the", 0), ("quick", 1)]
+    assert words == [("quick", 1)]
 
 
 def test_cjk_unigrams():
