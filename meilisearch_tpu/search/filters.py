@@ -1,0 +1,674 @@
+"""Filter DSL: parser and evaluator.
+
+Parser ports the reference grammar (crates/filter-parser/src/lib.rs:1-23 BNF):
+
+  expression = or ; or = and ("OR" and)* ; and = not ("AND" not)*
+  not = ("NOT" not) | primary
+  primary = "(" expression ")" | geo | in | condition | exists | to | ...
+  condition ops: = != > >= < <= TO, EXISTS, IS NULL, IS EMPTY, CONTAINS,
+  STARTS WITH (and their NOT variants), IN [..],
+  _geoRadius(lat, lng, m), _geoBoundingBox([a,b],[c,d]), _geoPolygon(...)
+
+Evaluation ports milli's semantics
+(crates/milli/src/search/facet/filter/value_bounds.rs + index_filter.rs):
+  - every scalar comparison applies to BOTH the number interpretation (when
+    the value parses as a finite float) and the normalized-string range
+  - `!=` / NOT are complements against all documents of the index
+  - `IS NULL` / `IS EMPTY` / `EXISTS` read the dedicated facet tables
+
+On device, an evaluated filter is just a candidate bitmap intersected with
+the universe before scoring.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from ..index.store import IndexStore, facet_string_normalize
+from ..types.errors import EngineError, ErrorCode
+
+MAX_FILTER_DEPTH = 150
+
+
+class FilterError(EngineError):
+    def __init__(self, message: str, code=ErrorCode.INVALID_SEARCH_FILTER):
+        super().__init__(code, message)
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+
+@dataclass
+class Cond:
+    field: str
+    op: str  # '=', '!=', '>', '>=', '<', '<=', 'TO', 'EXISTS', 'NULL',
+    # 'EMPTY', 'CONTAINS', 'STARTS WITH', 'IN'
+    value: Any = None
+    value2: Any = None
+
+
+@dataclass
+class Not:
+    inner: Any
+
+
+@dataclass
+class And:
+    items: list
+
+
+@dataclass
+class Or:
+    items: list
+
+
+@dataclass
+class GeoRadius:
+    lat: float
+    lng: float
+    radius_m: float
+
+
+@dataclass
+class GeoBoundingBox:
+    top_right: tuple[float, float]
+    bottom_left: tuple[float, float]
+
+
+@dataclass
+class GeoPolygon:
+    points: list[tuple[float, float]]
+
+
+@dataclass
+class VectorExists:
+    embedder: Optional[str]
+
+
+class Empty:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Lexer/parser (recursive descent)
+
+_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-.")
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.depth = 0
+
+    # -- low level -------------------------------------------------------
+
+    def error(self, message: str):
+        raise FilterError(f"{message}\n{self.pos}:{len(self.text)} {self.text}")
+
+    def ws(self):
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+
+    def peek_tag(self, tag: str) -> bool:
+        self.ws()
+        return self.text.startswith(tag, self.pos)
+
+    def eat_tag(self, tag: str) -> bool:
+        self.ws()
+        if self.text.startswith(tag, self.pos):
+            end = self.pos + len(tag)
+            # keywords must be followed by non-word char
+            if tag[-1].isalpha() and end < len(self.text) and self.text[end] in _WORD_CHARS:
+                return False
+            self.pos = end
+            return True
+        return False
+
+    def parse_value(self) -> str:
+        self.ws()
+        if self.pos >= len(self.text):
+            self.error("Was expecting a value but instead got nothing.")
+        ch = self.text[self.pos]
+        if ch in "'\"":
+            quote = ch
+            self.pos += 1
+            out = []
+            while self.pos < len(self.text):
+                c = self.text[self.pos]
+                if c == "\\" and self.pos + 1 < len(self.text) and self.text[
+                    self.pos + 1
+                ] in ("\\", quote):
+                    out.append(self.text[self.pos + 1])
+                    self.pos += 2
+                    continue
+                if c == quote:
+                    self.pos += 1
+                    return "".join(out)
+                out.append(c)
+                self.pos += 1
+            self.error(f"Expression `{''.join(out)}` is missing the following closing delimiter: `{quote}`.")
+        # word
+        start = self.pos
+        while self.pos < len(self.text) and self.text[self.pos] in _WORD_CHARS:
+            self.pos += 1
+        if self.pos == start:
+            self.error(
+                f"Was expecting a value but instead got `{self.text[self.pos:]}`."
+            )
+        word = self.text[start : self.pos]
+        if word in ("AND", "OR", "IN", "NOT", "TO", "EXISTS", "IS", "EMPTY", "NULL",
+                    "CONTAINS", "STARTS", "WITH"):
+            self.error(
+                f"Was expecting a value but instead got `{word}`, which is a reserved"
+                " keyword. To use `{0}` as a field name or a value, surround it by"
+                " quotes.".replace("{0}", word)
+            )
+        if word.startswith("_geoPoint"):
+            self.error(
+                "`_geoPoint` is a reserved keyword and thus can't be used as a"
+                " filter expression. Use the `_geoRadius(latitude, longitude,"
+                " distance)` or `_geoBoundingBox([latitude, longitude],"
+                " [latitude, longitude])` built-in rules to filter on `_geo`"
+                " coordinates."
+            )
+        return word
+
+    def parse_float(self) -> float:
+        v = self.parse_value()
+        try:
+            return float(v)
+        except ValueError:
+            self.error(f"Expected a float but instead got `{v}`.")
+
+    # -- grammar -----------------------------------------------------------
+
+    def parse(self):
+        self.ws()
+        if not self.text.strip():
+            return Empty()
+        expr = self.parse_or()
+        self.ws()
+        if self.pos != len(self.text):
+            self.error(
+                f"Found unexpected characters at the end of the filter:"
+                f" `{self.text[self.pos:]}`. You probably forgot an `OR` or an"
+                " `AND` rule."
+            )
+        return expr
+
+    def parse_or(self):
+        items = [self.parse_and()]
+        while self.eat_tag("OR"):
+            items.append(self.parse_and())
+        return items[0] if len(items) == 1 else Or(items)
+
+    def parse_and(self):
+        items = [self.parse_not()]
+        while self.eat_tag("AND"):
+            items.append(self.parse_not())
+        return items[0] if len(items) == 1 else And(items)
+
+    def parse_not(self):
+        if self.eat_tag("NOT"):
+            return Not(self.parse_not())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        self.depth += 1
+        if self.depth > MAX_FILTER_DEPTH:
+            self.error("The filter exceeded the maximum depth limit.")
+        try:
+            self.ws()
+            if self.eat_tag("("):
+                expr = self.parse_or()
+                self.ws()
+                if not self.eat_tag(")"):
+                    self.error("Expression is missing the following closing delimiter: `)`.")
+                return expr
+            if self.eat_tag("_geoRadius("):
+                lat = self.parse_float()
+                self._comma()
+                lng = self.parse_float()
+                self._comma()
+                radius = self.parse_float()
+                self.ws()
+                if self.eat_tag(","):  # optional resolution arg
+                    self.parse_value()
+                    self.ws()
+                if not self.eat_tag(")"):
+                    self.error("The `_geoRadius` filter expects three arguments: `_geoRadius(latitude, longitude, radius)`.")
+                return GeoRadius(lat, lng, radius)
+            if self.eat_tag("_geoBoundingBox("):
+                tr = self._point()
+                self._comma()
+                bl = self._point()
+                self.ws()
+                if not self.eat_tag(")"):
+                    self.error("The `_geoBoundingBox` filter expects two pairs of arguments: `_geoBoundingBox([latitude, longitude], [latitude, longitude])`.")
+                return GeoBoundingBox(tr, bl)
+            if self.eat_tag("_geoPolygon("):
+                points = []
+                while True:
+                    self.ws()
+                    if self.peek_tag("["):
+                        points.append(self._point())
+                        self.ws()
+                        self.eat_tag(",")
+                    else:
+                        break
+                if not self.eat_tag(")"):
+                    self.error("The `_geoPolygon` filter expects a list of points: `_geoPolygon([lat, lng], ...)`.")
+                if len(points) < 3:
+                    self.error("The `_geoPolygon` filter expects at least three points.")
+                return GeoPolygon(points)
+            if self.peek_tag("_geoDistance") or self.peek_tag("_geo ") or self.peek_tag("_geo="):
+                self.error(
+                    "`_geo` is a reserved keyword and thus can't be used as a"
+                    " filter expression. Use the `_geoRadius(latitude, longitude,"
+                    " distance)` or `_geoBoundingBox([latitude, longitude],"
+                    " [latitude, longitude])` built-in rules to filter on `_geo`"
+                    " coordinates."
+                )
+            return self.parse_condition()
+        finally:
+            self.depth -= 1
+
+    def _comma(self):
+        self.ws()
+        if not self.eat_tag(","):
+            self.error("Expected a comma.")
+
+    def _point(self):
+        self.ws()
+        if not self.eat_tag("["):
+            self.error("Expected `[`.")
+        lat = self.parse_float()
+        self._comma()
+        lng = self.parse_float()
+        self.ws()
+        if not self.eat_tag("]"):
+            self.error("Expected `]`.")
+        return (lat, lng)
+
+    def parse_condition(self):
+        field = self.parse_value()
+        self.ws()
+
+        if field == "_vectors" or field.startswith("_vectors."):
+            embedder = field[len("_vectors.") :] if "." in field else None
+            if embedder and "." in embedder:
+                embedder = embedder.split(".")[0]
+            if self.eat_tag("NOT"):
+                if not self.eat_tag("EXISTS"):
+                    self.error("Expected `EXISTS` after `NOT`.")
+                return Not(VectorExists(embedder))
+            if self.eat_tag("EXISTS"):
+                return VectorExists(embedder)
+            self.error("The `_vectors` field can only be filtered with `EXISTS`.")
+
+        for op in ("<=", ">=", "!=", "=", "<", ">"):
+            if self.eat_tag(op):
+                value = self.parse_value()
+                return Cond(field, op, value)
+        if self.eat_tag("IN"):
+            self.ws()
+            if not self.eat_tag("["):
+                self.error("Expected `[` after `IN` keyword.")
+            values = []
+            while True:
+                self.ws()
+                if self.eat_tag("]"):
+                    break
+                values.append(self.parse_value())
+                self.ws()
+                if self.eat_tag(","):
+                    continue
+                if self.eat_tag("]"):
+                    break
+                self.error("Expected `,` or `]` in the value list.")
+            return Cond(field, "IN", values)
+        if self.eat_tag("NOT"):
+            if self.eat_tag("EXISTS"):
+                return Not(Cond(field, "EXISTS"))
+            if self.eat_tag("IN"):
+                self.pos -= 2
+                cond = self.parse_condition_after_not_in(field)
+                return cond
+            if self.eat_tag("CONTAINS"):
+                return Not(Cond(field, "CONTAINS", self.parse_value()))
+            if self.eat_tag("STARTS"):
+                if not self.eat_tag("WITH"):
+                    self.error("Expected `WITH` after `STARTS`.")
+                return Not(Cond(field, "STARTS WITH", self.parse_value()))
+            self.error("Expected `EXISTS`, `IN`, `CONTAINS` or `STARTS WITH` after `NOT`.")
+        if self.eat_tag("EXISTS"):
+            return Cond(field, "EXISTS")
+        if self.eat_tag("IS"):
+            negate = self.eat_tag("NOT")
+            if self.eat_tag("NULL"):
+                c = Cond(field, "NULL")
+            elif self.eat_tag("EMPTY"):
+                c = Cond(field, "EMPTY")
+            else:
+                self.error("Expected `NULL` or `EMPTY` after `IS`.")
+            return Not(c) if negate else c
+        if self.eat_tag("CONTAINS"):
+            return Cond(field, "CONTAINS", self.parse_value())
+        if self.eat_tag("STARTS"):
+            if not self.eat_tag("WITH"):
+                self.error("Expected `WITH` after `STARTS`.")
+            return Cond(field, "STARTS WITH", self.parse_value())
+        # `value value TO value`
+        save = self.pos
+        try:
+            low = self.parse_value()
+        except FilterError:
+            low = None
+        if low is not None and self.eat_tag("TO"):
+            high = self.parse_value()
+            return Cond(field, "TO", low, high)
+        self.pos = save
+        self.error(
+            f"Was expecting an operation `=`, `!=`, `>=`, `>`, `<=`, `<`, `IN`,"
+            f" `NOT IN`, `TO`, `EXISTS`, `NOT EXISTS`, `IS NULL`, `IS NOT NULL`,"
+            f" `IS EMPTY`, `IS NOT EMPTY`, `CONTAINS`, `NOT CONTAINS`,"
+            f" `STARTS WITH`, `NOT STARTS WITH` at `{self.text[self.pos:]}`."
+        )
+
+    def parse_condition_after_not_in(self, field):
+        self.eat_tag("IN")
+        self.ws()
+        if not self.eat_tag("["):
+            self.error("Expected `[` after `IN` keyword.")
+        values = []
+        while True:
+            self.ws()
+            if self.eat_tag("]"):
+                break
+            values.append(self.parse_value())
+            self.ws()
+            if self.eat_tag(","):
+                continue
+            if self.eat_tag("]"):
+                break
+            self.error("Expected `,` or `]` in the value list.")
+        return Not(Cond(field, "IN", values))
+
+
+def parse_filter(filter_input) -> Any:
+    """Parse a filter — either the string DSL or the array form
+    (["a = b", ["c = d", "e = f"]] meaning AND of ORs)."""
+    if filter_input is None:
+        return None
+    if isinstance(filter_input, str):
+        return _Parser(filter_input).parse()
+    if isinstance(filter_input, list):
+        items = []
+        for entry in filter_input:
+            if isinstance(entry, str):
+                items.append(_Parser(entry).parse())
+            elif isinstance(entry, list):
+                ors = [_Parser(e).parse() for e in entry if isinstance(e, str)]
+                if len(ors) == 1:
+                    items.append(ors[0])
+                elif ors:
+                    items.append(Or(ors))
+            else:
+                raise FilterError("Invalid syntax for the filter parameter.")
+        items = [i for i in items if not isinstance(i, Empty)]
+        if not items:
+            return Empty()
+        return items[0] if len(items) == 1 else And(items)
+    raise FilterError("Invalid syntax for the filter parameter.")
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+
+
+def _parse_finite_float(value: str) -> Optional[float]:
+    try:
+        f = float(value)
+        if math.isfinite(f):
+            return f
+    except (ValueError, TypeError):
+        pass
+    return None
+
+
+class FilterEvaluator:
+    """Evaluates a parsed filter into a docid set over one index."""
+
+    def __init__(self, store: IndexStore, code=ErrorCode.INVALID_SEARCH_FILTER):
+        self.store = store
+        self.code = code
+
+    def _fid(self, field: str) -> Optional[int]:
+        return self.store.fields_ids_map.id(field)
+
+    def _check_filterable(self, field: str, op: str):
+        settings = self.store.settings
+        feats = settings.filter_features_for(field)
+        if not feats:
+            attrs = sorted(settings.filterable_attribute_names())
+            if attrs:
+                msg = (
+                    f"Index `{self.store.uid}`: Attribute `{field}` is not"
+                    f" filterable. Available filterable attribute patterns are:"
+                    f" `{', '.join(attrs)}`."
+                )
+            else:
+                msg = (
+                    f"Index `{self.store.uid}`: Attribute `{field}` is not"
+                    " filterable. This index does not have configured filterable"
+                    " attributes."
+                )
+            raise EngineError(self.code, msg)
+        if op in (">", ">=", "<", "<=", "TO") and not feats["filter"].get(
+            "comparison", True
+        ):
+            raise EngineError(
+                self.code,
+                f"Index `{self.store.uid}`: Filter operator `{op}` is not"
+                f" allowed for the attribute `{field}`.",
+            )
+        if op in ("=", "!=", "IN") and not feats["filter"].get("equality", True):
+            raise EngineError(
+                self.code,
+                f"Index `{self.store.uid}`: Filter operator `{op}` is not"
+                f" allowed for the attribute `{field}`.",
+            )
+
+    def evaluate(self, ast) -> set:
+        all_docs = self.store.documents_ids()
+        return self._eval(ast, all_docs)
+
+    def _eval(self, ast, all_docs: set) -> set:
+        store = self.store
+        if ast is None or isinstance(ast, Empty):
+            return set(all_docs)
+        if isinstance(ast, Or):
+            out: set = set()
+            for item in ast.items:
+                out |= self._eval(item, all_docs)
+            return out
+        if isinstance(ast, And):
+            out = set(all_docs)
+            for item in ast.items:
+                out &= self._eval(item, all_docs)
+                if not out:
+                    return out
+            return out
+        if isinstance(ast, Not):
+            return all_docs - self._eval(ast.inner, all_docs)
+        if isinstance(ast, GeoRadius):
+            self._check_geo()
+            out = set()
+            for docid, (lat, lng) in store.geo_points.items():
+                if _haversine_m(ast.lat, ast.lng, lat, lng) <= ast.radius_m:
+                    out.add(docid)
+            return out
+        if isinstance(ast, GeoBoundingBox):
+            self._check_geo()
+            (tr_lat, tr_lng) = ast.top_right
+            (bl_lat, bl_lng) = ast.bottom_left
+            out = set()
+            for docid, (lat, lng) in store.geo_points.items():
+                if not (bl_lat <= lat <= tr_lat):
+                    continue
+                if bl_lng <= tr_lng:
+                    if bl_lng <= lng <= tr_lng:
+                        out.add(docid)
+                else:  # wrap around the antimeridian
+                    if lng >= bl_lng or lng <= tr_lng:
+                        out.add(docid)
+            return out
+        if isinstance(ast, GeoPolygon):
+            self._check_geo()
+            out = set()
+            for docid, (lat, lng) in store.geo_points.items():
+                if _point_in_polygon(lat, lng, ast.points):
+                    out.add(docid)
+            return out
+        if isinstance(ast, VectorExists):
+            out = set()
+            if ast.embedder is None:
+                for emb in store.vectors:
+                    out |= set(store.vectors[emb].keys())
+            else:
+                out |= set(store.vectors.get(ast.embedder, {}).keys())
+            return out
+        if isinstance(ast, Cond):
+            return self._eval_cond(ast, all_docs)
+        raise AssertionError(ast)
+
+    def _check_geo(self):
+        if not self.store.settings.is_filterable("_geo"):
+            raise EngineError(
+                self.code,
+                f"Index `{self.store.uid}`: Attribute `_geo` is not filterable."
+                " Available filterable attribute patterns are:"
+                f" `{', '.join(sorted(self.store.settings.filterable_attribute_names())) or ''}`.",
+            )
+
+    def _eval_cond(self, cond: Cond, all_docs: set) -> set:
+        store = self.store
+        self._check_filterable(cond.field, cond.op)
+        fid = self._fid(cond.field)
+        if fid is None:
+            return set()
+        numbers = store.facet_number_docids.get(fid, {})
+        strings = store.facet_string_docids.get(fid, {})
+
+        def equal_docids(value: str) -> set:
+            out: set = set()
+            norm = facet_string_normalize(value)
+            out |= strings.get(norm, set())
+            number = _parse_finite_float(value)
+            if number is not None:
+                out |= numbers.get(number, set())
+            return out
+
+        op = cond.op
+        if op == "=":
+            return equal_docids(cond.value)
+        if op == "!=":
+            return all_docs - equal_docids(cond.value)
+        if op == "IN":
+            out = set()
+            for v in cond.value:
+                out |= equal_docids(v)
+            return out
+        if op == "EXISTS":
+            return set(store.facet_exists_docids.get(fid, set()))
+        if op == "NULL":
+            return set(store.facet_is_null_docids.get(fid, set()))
+        if op == "EMPTY":
+            return set(store.facet_is_empty_docids.get(fid, set()))
+        if op == "CONTAINS":
+            norm = facet_string_normalize(cond.value)
+            out = set()
+            for s, docids in strings.items():
+                if norm in s:
+                    out |= docids
+            return out
+        if op == "STARTS WITH":
+            norm = facet_string_normalize(cond.value)
+            out = set()
+            for s, docids in strings.items():
+                if s.startswith(norm):
+                    out |= docids
+            return out
+        # range operators: both number range and normalized string range
+        # (reference value_bounds.rs — string comparison always applies,
+        # number comparison only when the value parses as a finite float)
+        if op == "TO":
+            lo_n, hi_n = _parse_finite_float(cond.value), _parse_finite_float(cond.value2)
+            lo_s, hi_s = facet_string_normalize(cond.value), facet_string_normalize(cond.value2)
+            out = set()
+            if lo_n is not None and hi_n is not None:
+                for v, docids in numbers.items():
+                    if lo_n <= v <= hi_n:
+                        out |= docids
+            for s, docids in strings.items():
+                if lo_s <= s <= hi_s:
+                    out |= docids
+            return out
+
+        value = cond.value
+        number = _parse_finite_float(value)
+        norm = facet_string_normalize(value)
+        out = set()
+        if number is not None:
+            for v, docids in numbers.items():
+                if (
+                    (op == ">" and v > number)
+                    or (op == ">=" and v >= number)
+                    or (op == "<" and v < number)
+                    or (op == "<=" and v <= number)
+                ):
+                    out |= docids
+        for s, docids in strings.items():
+            if (
+                (op == ">" and s > norm)
+                or (op == ">=" and s >= norm)
+                or (op == "<" and s < norm)
+                or (op == "<=" and s <= norm)
+            ):
+                out |= docids
+        return out
+
+
+def evaluate_filter(
+    store: IndexStore, filter_input, code=ErrorCode.INVALID_SEARCH_FILTER
+) -> Optional[set]:
+    ast = parse_filter(filter_input)
+    if ast is None:
+        return None
+    return FilterEvaluator(store, code).evaluate(ast)
+
+
+def _haversine_m(lat1, lng1, lat2, lng2) -> float:
+    r = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1)
+    dl = math.radians(lng2 - lng1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def _point_in_polygon(lat, lng, points) -> bool:
+    inside = False
+    n = len(points)
+    for i in range(n):
+        la1, lo1 = points[i]
+        la2, lo2 = points[(i + 1) % n]
+        if (lo1 > lng) != (lo2 > lng):
+            t = (lng - lo1) / (lo2 - lo1)
+            if lat < la1 + t * (la2 - la1):
+                inside = not inside
+    return inside
