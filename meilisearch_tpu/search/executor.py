@@ -65,6 +65,8 @@ class Search:
         store = self.store
         settings = store.settings
 
+        self._check_sort_criteria()
+
         universe: set = store.documents_ids()
         if self.filter_docids is not None:
             universe &= self.filter_docids
@@ -101,6 +103,36 @@ class Search:
                 universe, terms, resolver, restricted_fids
             )
         return self._execute_placeholder(universe)
+
+    def _check_sort_criteria(self):
+        """Reference: search/new/mod.rs:998 check_sort_criteria."""
+        if not self.sort_criteria:
+            return
+        settings = self.store.settings
+        if "sort" not in settings.ranking_rules:
+            raise EngineError(
+                ErrorCode.INVALID_SEARCH_SORT,
+                "You must specify where `sort` is listed in the rankingRules"
+                " setting to use the sort parameter at search time.",
+            )
+        sortable = set(settings.sortable_attributes)
+        for criterion in self.sort_criteria:
+            member, _asc = _parse_asc_desc(criterion)
+            if isinstance(member, tuple):
+                if "_geo" not in sortable:
+                    raise EngineError(
+                        ErrorCode.INVALID_SEARCH_SORT,
+                        "Attribute `_geo` is not sortable. Available sortable"
+                        f" attributes are: `{', '.join(sorted(sortable)) or ''}`.",
+                    )
+            elif not any(
+                member == s or member.startswith(s + ".") for s in sortable
+            ):
+                raise EngineError(
+                    ErrorCode.INVALID_SEARCH_SORT,
+                    f"Attribute `{member}` is not sortable. Available sortable"
+                    f" attributes are: `{', '.join(sorted(sortable)) or ''}`.",
+                )
 
     # -- rule assembly -------------------------------------------------------
 

@@ -1,0 +1,196 @@
+"""Facet distribution, facet stats, and typo-tolerant facet-value search.
+
+Reference:
+  - FacetDistribution  (milli/src/search/facet/facet_distribution.rs)
+  - SearchForFacetValues (milli/src/search/facet/search.rs)
+
+Distribution counts each facet value's frequency within the candidate set;
+value keys are the ORIGINAL form of the first-seen occurrence; numbers are
+emitted as numbers. Ordering per facet: lexicographic (default) or by count
+(sortFacetValuesBy), capped at maxValuesPerFacet.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from ..index.store import IndexStore, facet_string_normalize
+from ..types.errors import EngineError, ErrorCode
+
+DEFAULT_VALUES_PER_FACET = 100
+MAX_FACET_VALUES_RETURNED = 100  # facet search cap (search.rs MAX_NUMBER_OF_FACETS)
+
+
+def facet_distribution(
+    store: IndexStore,
+    facets: Iterable[str],
+    candidates: Optional[set],
+    max_values_per_facet: Optional[int] = None,
+    sort_facet_values_by: Optional[dict] = None,
+) -> tuple[dict, dict]:
+    """Returns (facetDistribution, facetStats)."""
+    settings = store.settings
+    max_values = (
+        max_values_per_facet
+        if max_values_per_facet is not None
+        else settings.faceting.max_values_per_facet
+    )
+    order_config = dict(settings.faceting.sort_facet_values_by)
+    if sort_facet_values_by:
+        order_config.update(sort_facet_values_by)
+
+    # expand `*` to every filterable attribute name present in the index
+    requested = list(facets)
+    expanded: list[str] = []
+    for facet in requested:
+        if facet == "*":
+            for name in store.fields_ids_map.names():
+                if settings.is_filterable(name) and name != "_geo":
+                    expanded.append(name)
+        else:
+            expanded.append(facet)
+
+    invalid = [f for f in expanded if not settings.is_filterable(f)]
+    if invalid:
+        attrs = sorted(settings.filterable_attribute_names())
+        field = invalid[0]
+        if attrs:
+            msg = (
+                f"Invalid facet distribution: Attribute `{field}` is not"
+                f" filterable. Available filterable attributes patterns are:"
+                f" `{', '.join(attrs)}`."
+            )
+        else:
+            msg = (
+                f"Invalid facet distribution: Attribute `{field}` is not"
+                " filterable. This index does not have configured filterable"
+                " attributes."
+            )
+        raise EngineError(ErrorCode.INVALID_SEARCH_FACETS, msg)
+
+    distribution: dict = {}
+    stats: dict = {}
+    for facet in expanded:
+        fid = store.fields_ids_map.id(facet)
+        counts: dict = {}
+        min_n = max_n = None
+        if fid is not None:
+            for value, docids in store.facet_number_docids.get(fid, {}).items():
+                n = len(docids if candidates is None else docids & candidates)
+                if n:
+                    key = int(value) if float(value).is_integer() else value
+                    counts[("n", value)] = (key, n)
+                    if min_n is None or value < min_n:
+                        min_n = value
+                    if max_n is None or value > max_n:
+                        max_n = value
+            for norm, docids in store.facet_string_docids.get(fid, {}).items():
+                n = len(docids if candidates is None else docids & candidates)
+                if n:
+                    orig = store.facet_string_original.get((fid, norm), norm)
+                    counts[("s", norm)] = (orig, n)
+
+        order = order_config.get(facet, order_config.get("*", "alpha"))
+        items = list(counts.items())
+        if order == "count":
+            items.sort(key=lambda kv: (-kv[1][1], kv[0]))
+        else:
+            items.sort(key=lambda kv: kv[0])
+        out = {}
+        for (_kind, _key), (display, n) in items[:max_values]:
+            out[str(display)] = n
+        distribution[facet] = out
+        if min_n is not None:
+            stats[facet] = {"min": min_n, "max": max_n}
+    return distribution, stats
+
+
+def search_facet_values(
+    store: IndexStore,
+    facet_name: str,
+    query: Optional[str],
+    candidates: Optional[set] = None,
+    max_values: Optional[int] = None,
+) -> list[dict]:
+    """Typo-tolerant search inside one facet's values
+    (reference: SearchForFacetValues::execute, search/facet/search.rs:75)."""
+    settings = store.settings
+    feats = settings.filter_features_for(facet_name)
+    if not feats or not feats.get("facetSearch", True):
+        attrs = sorted(settings.filterable_attribute_names())
+        raise EngineError(
+            ErrorCode.INVALID_FACET_SEARCH_FACET_NAME,
+            f"The facet {facet_name!r} is not searchable. Available facet"
+            f" searchable attributes patterns are: `{', '.join(attrs) or ''}`.",
+        )
+    limit = max_values if max_values is not None else MAX_FACET_VALUES_RETURNED
+
+    fid = store.fields_ids_map.id(facet_name)
+    if fid is None:
+        return []
+    table = store.facet_string_docids.get(fid, {})
+    values = sorted(table.keys())
+
+    order = settings.faceting.sort_facet_values_by.get(
+        facet_name, settings.faceting.sort_facet_values_by.get("*", "alpha")
+    )
+
+    hits: list[tuple[str, str, int]] = []
+    if not query:
+        for norm in values:
+            count = _count(table[norm], candidates)
+            if count:
+                hits.append((norm, store.facet_string_original.get((fid, norm), norm), count))
+    else:
+        qnorm = facet_string_normalize(query)
+        # typo budgets as for search words (reference uses the same
+        # one/two-typo thresholds with a prefix DFA)
+        tt = settings.typo_tolerance
+        n = len(qnorm)
+        if not tt.enabled or n < tt.min_word_size_for_typos.one_typo:
+            max_typos = 0
+        elif n < tt.min_word_size_for_typos.two_typos:
+            max_typos = 1
+        else:
+            max_typos = 2
+        if max_typos == 0:
+            for norm in values:
+                if norm.startswith(qnorm):
+                    count = _count(table[norm], candidates)
+                    if count:
+                        hits.append(
+                            (norm, store.facet_string_original.get((fid, norm), norm), count)
+                        )
+        else:
+            import numpy as np
+
+            from ..ops.levenshtein import osa_distances, pack_words
+
+            mat, lens = pack_words(values)
+            _full, prefix_min = osa_distances(qnorm, mat, lens)
+            first = qnorm[:1]
+            for i, norm in enumerate(values):
+                d = int(prefix_min[i])
+                if d > max_typos:
+                    continue
+                if d >= 1 and not norm.startswith(first):
+                    # one-typo matches must share the first character
+                    if d == 1:
+                        continue
+                count = _count(table[norm], candidates)
+                if count:
+                    hits.append(
+                        (norm, store.facet_string_original.get((fid, norm), norm), count)
+                    )
+
+    if order == "count":
+        hits.sort(key=lambda h: (-h[2], h[0]))
+    else:
+        hits.sort(key=lambda h: h[0])
+    return [{"value": orig, "count": count} for _norm, orig, count in hits[:limit]]
+
+
+def _count(docids: set, candidates: Optional[set]) -> int:
+    if candidates is None:
+        return len(docids)
+    return len(docids & candidates)

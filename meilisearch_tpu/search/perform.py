@@ -1,0 +1,457 @@
+"""Public search façade: SearchQuery DTO -> API response JSON.
+
+Reference: crates/meilisearch/src/search/mod.rs —
+  SearchQuery (:89), prepare_search (:1622), perform_search (:1775),
+  HitMaker (formatting, `_formatted`, `_matchesPosition`, `_rankingScore`),
+  pagination modes (offset/limit vs page/hitsPerPage), facet distribution
+  merging, and perform_facet_search.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+from ..index.store import IndexStore
+from ..types.errors import EngineError, ErrorCode
+from .executor import Search
+from .facets import facet_distribution, search_facet_values
+from .filters import evaluate_filter
+from .matches import Matcher, MatchingWords
+from .query_terms import DerivationContext, located_query_terms_from_tokens
+
+DEFAULT_CROP_LENGTH = 10
+DEFAULT_CROP_MARKER = "…"
+DEFAULT_HIGHLIGHT_PRE_TAG = "<em>"
+DEFAULT_HIGHLIGHT_POST_TAG = "</em>"
+DEFAULT_SEARCH_LIMIT = 20
+
+
+def _validate_int(query: dict, key: str, default, minimum=0, code=None):
+    value = query.get(key, default)
+    if value is None:
+        value = default
+    if not isinstance(value, int) or isinstance(value, bool) or value < minimum:
+        raise EngineError(
+            code or ErrorCode.BAD_REQUEST,
+            f"Invalid value at `.{key}`: expected a positive integer, but got"
+            f" `{value!r}`.",
+        )
+    return value
+
+
+def perform_search(
+    store: IndexStore, query: dict, features: Optional[dict] = None
+) -> dict:
+    """Execute one search request and build the API response."""
+    started = time.perf_counter()
+
+    q = query.get("q")
+    if q is not None and not isinstance(q, str):
+        raise EngineError(
+            ErrorCode.INVALID_SEARCH_Q,
+            f"Invalid value at `.q`: expected a string, but got `{q!r}`.",
+        )
+
+    offset = _validate_int(query, "offset", 0, code=ErrorCode.INVALID_SEARCH_OFFSET)
+    limit = _validate_int(
+        query, "limit", DEFAULT_SEARCH_LIMIT, code=ErrorCode.INVALID_SEARCH_LIMIT
+    )
+    page = query.get("page")
+    hits_per_page = query.get("hitsPerPage")
+    is_finite = page is not None or hits_per_page is not None
+    if is_finite:
+        page = _validate_int(query, "page", 1, code=ErrorCode.INVALID_SEARCH_PAGE)
+        hits_per_page = _validate_int(
+            query, "hitsPerPage", 20, code=ErrorCode.INVALID_SEARCH_HITS_PER_PAGE
+        )
+        offset = (page - 1) * hits_per_page if page > 0 else 0
+        limit = hits_per_page
+
+    max_total_hits = store.settings.pagination.max_total_hits
+
+    strategy = query.get("matchingStrategy", "last")
+    if strategy not in ("last", "all", "frequency"):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Unknown value `{strategy}` at `.matchingStrategy`: expected one"
+            " of `last`, `all`, `frequency`.",
+        )
+
+    filter_docids = evaluate_filter(store, query.get("filter"))
+
+    sort = query.get("sort")
+    if isinstance(sort, str):
+        sort = [sort]
+
+    distinct = query.get("distinct")
+    if distinct is not None:
+        feats = store.settings.filter_features_for(distinct)
+        if not feats:
+            raise EngineError(
+                ErrorCode.INVALID_SEARCH_DISTINCT,
+                f"Attribute `{distinct}` is not filterable and thus, cannot be"
+                " used as distinct attribute.",
+            )
+
+    threshold = query.get("rankingScoreThreshold")
+    if threshold is not None and not (
+        isinstance(threshold, (int, float)) and 0.0 <= float(threshold) <= 1.0
+    ):
+        raise EngineError(
+            ErrorCode.INVALID_SEARCH_RANKING_SCORE_THRESHOLD,
+            f"Invalid value at `.rankingScoreThreshold`: the value of"
+            f" `rankingScoreThreshold` is invalid, expected a float between"
+            f" `0.0` and `1.0` but got `{threshold}`.",
+        )
+
+    search = Search(
+        store,
+        query=q,
+        filter_docids=filter_docids,
+        offset=offset,
+        limit=min(limit, max_total_hits),
+        sort_criteria=sort,
+        distinct=distinct,
+        terms_matching_strategy=strategy,
+        attributes_to_search_on=query.get("attributesToSearchOn"),
+        exhaustive_number_hits=is_finite,
+        max_total_hits=max_total_hits,
+        locales=query.get("locales"),
+    )
+    result = search.execute()
+
+    hits = build_hits(store, query, result.documents_ids, q)
+
+    total = min(len(result.candidates), max_total_hits)
+    response: dict[str, Any] = {
+        "hits": hits,
+        "query": q or "",
+        "processingTimeMs": int((time.perf_counter() - started) * 1000),
+    }
+    if is_finite:
+        response["hitsPerPage"] = hits_per_page
+        response["page"] = page
+        response["totalPages"] = (
+            (total + hits_per_page - 1) // hits_per_page if hits_per_page else 0
+        )
+        response["totalHits"] = total
+    else:
+        response["offset"] = offset
+        response["limit"] = limit
+        response["estimatedTotalHits"] = total
+
+    facets = query.get("facets")
+    if facets:
+        dist, stats = facet_distribution(
+            store, facets, result.candidates
+        )
+        response["facetDistribution"] = dist
+        response["facetStats"] = stats
+
+    if result.degraded:
+        response["degraded"] = True
+    return response
+
+
+def perform_facet_search(store: IndexStore, body: dict) -> dict:
+    """POST /indexes/{uid}/facet-search (reference: routes/indexes/facet_search.rs)."""
+    started = time.perf_counter()
+    facet_name = body.get("facetName")
+    if not isinstance(facet_name, str):
+        raise EngineError(
+            ErrorCode.INVALID_FACET_SEARCH_FACET_NAME,
+            "Invalid value at `.facetName`: expected a string.",
+        )
+    if not store.settings.facet_search:
+        raise EngineError(
+            ErrorCode.FACET_SEARCH_DISABLED,
+            "The facet search is disabled on this index",
+        )
+    facet_query = body.get("facetQuery")
+
+    # restrict candidates with the sub-search if q/filter present
+    candidates = None
+    if any(
+        body.get(k) is not None
+        for k in ("q", "filter", "vector", "attributesToSearchOn")
+    ):
+        filter_docids = evaluate_filter(store, body.get("filter"))
+        sub = Search(
+            store,
+            query=body.get("q"),
+            filter_docids=filter_docids,
+            terms_matching_strategy=body.get("matchingStrategy", "last"),
+            attributes_to_search_on=body.get("attributesToSearchOn"),
+            limit=10**9,
+        )
+        candidates = sub.execute().candidates
+
+    hits = search_facet_values(
+        store,
+        facet_name,
+        facet_query,
+        candidates,
+        max_values=store.settings.faceting.max_values_per_facet,
+    )
+    return {
+        "facetHits": hits,
+        "facetQuery": facet_query,
+        "processingTimeMs": int((time.perf_counter() - started) * 1000),
+    }
+
+
+# ---------------------------------------------------------------------------
+# hit building
+
+
+def build_hits(
+    store: IndexStore,
+    query: dict,
+    docids: list[int],
+    q: Optional[str],
+) -> list[dict]:
+    retrieve = query.get("attributesToRetrieve") or ["*"]
+    retrieve_vectors = bool(query.get("retrieveVectors", False))
+    to_highlight = query.get("attributesToHighlight") or []
+    to_crop_raw = query.get("attributesToCrop") or []
+    crop_length = query.get("cropLength", DEFAULT_CROP_LENGTH)
+    crop_marker = query.get("cropMarker", DEFAULT_CROP_MARKER)
+    pre_tag = query.get("highlightPreTag", DEFAULT_HIGHLIGHT_PRE_TAG)
+    post_tag = query.get("highlightPostTag", DEFAULT_HIGHLIGHT_POST_TAG)
+    show_matches = bool(query.get("showMatchesPosition", False))
+    show_score = bool(query.get("showRankingScore", False))
+    show_details = bool(query.get("showRankingScoreDetails", False))
+
+    # attributesToCrop entries may carry `field:length`
+    to_crop: dict[str, int] = {}
+    for entry in to_crop_raw:
+        if ":" in entry:
+            field, _, length = entry.rpartition(":")
+            try:
+                to_crop[field] = int(length)
+            except ValueError:
+                to_crop[entry] = crop_length
+        else:
+            to_crop[entry] = crop_length
+
+    displayed = store.settings.displayed_attributes
+    needs_format = bool(to_highlight or to_crop or show_matches)
+
+    matching_words = None
+    tokenizer = store.make_tokenizer(query.get("locales"))
+    if q and (needs_format or True):
+        ctx = DerivationContext(store, store.settings)
+        extracted = located_query_terms_from_tokens(ctx, tokenizer, q)
+        terms = extracted.query_terms
+        for i, t in enumerate(terms):
+            t.start_term_id = t.end_term_id = i
+        matching_words = MatchingWords(terms)
+
+    hits = []
+    for docid in docids:
+        doc = store.documents.get(docid)
+        if doc is None:
+            continue
+        displayed_doc = _select_fields(doc, displayed)
+        base = _select_fields(displayed_doc, retrieve)
+        base = dict(base)
+        if not retrieve_vectors:
+            base.pop("_vectors", None)
+        else:
+            vectors = {}
+            for emb, per_doc in store.vectors.items():
+                if docid in per_doc:
+                    vectors[emb] = {
+                        "embeddings": per_doc[docid].tolist(),
+                        "regenerate": store.vector_regenerate.get(emb, {}).get(
+                            docid, False
+                        ),
+                    }
+            base["_vectors"] = vectors
+
+        if needs_format or to_highlight or to_crop:
+            formatted = {}
+            matches_position = {}
+            # _formatted contains retrieve ∪ highlight ∪ crop fields
+            format_fields = set()
+            for spec in (retrieve, to_highlight, list(to_crop.keys())):
+                for f in spec:
+                    if f == "*":
+                        format_fields.update(_flat_keys(displayed_doc))
+                    else:
+                        format_fields.add(f)
+            hl_all = "*" in to_highlight
+            crop_all = "*" in to_crop
+            for field in sorted(format_fields):
+                value = _lookup(displayed_doc, field)
+                if value is None and field not in displayed_doc:
+                    continue
+                do_hl = hl_all or any(field == h or field.startswith(h + ".") for h in to_highlight)
+                do_crop = crop_all or field in to_crop
+                formatted[field] = _format_value(
+                    value,
+                    matching_words,
+                    tokenizer,
+                    highlight=do_hl,
+                    crop=(to_crop.get(field, crop_length) if do_crop else None),
+                    pre_tag=pre_tag,
+                    post_tag=post_tag,
+                    crop_marker=crop_marker,
+                )
+                if show_matches and matching_words is not None and isinstance(value, str):
+                    matcher = Matcher(matching_words, tokenizer, value)
+                    positions = matcher.matches_position()
+                    if positions:
+                        matches_position[field] = positions
+            base["_formatted"] = _unflatten(formatted)
+            if show_matches:
+                base["_matchesPosition"] = matches_position
+        elif show_matches:
+            matches_position = {}
+            if matching_words is not None:
+                for field, value in doc.items():
+                    if isinstance(value, str):
+                        matcher = Matcher(matching_words, tokenizer, value)
+                        positions = matcher.matches_position()
+                        if positions:
+                            matches_position[field] = positions
+            base["_matchesPosition"] = matches_position
+
+        if show_score:
+            base["_rankingScore"] = 1.0  # refined ranking scores: see scores.py
+        if show_details:
+            base["_rankingScoreDetails"] = {}
+        hits.append(base)
+    return hits
+
+
+def _format_value(
+    value,
+    matching_words,
+    tokenizer,
+    highlight,
+    crop,
+    pre_tag,
+    post_tag,
+    crop_marker,
+):
+    if isinstance(value, str):
+        if matching_words is None:
+            if crop:
+                # crop the beginning without matches
+                m = Matcher(MatchingWords([]), tokenizer, value)
+                return m.format(False, crop, pre_tag, post_tag, crop_marker)
+            return value
+        m = Matcher(matching_words, tokenizer, value)
+        return m.format(highlight, crop, pre_tag, post_tag, crop_marker)
+    if isinstance(value, list):
+        return [
+            _format_value(
+                v, matching_words, tokenizer, highlight, crop, pre_tag, post_tag, crop_marker
+            )
+            for v in value
+        ]
+    if isinstance(value, dict):
+        return {
+            k: _format_value(
+                v, matching_words, tokenizer, highlight, crop, pre_tag, post_tag, crop_marker
+            )
+            for k, v in value.items()
+        }
+    # numbers/bools are stringified in _formatted (reference HitMaker)
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return str(value)
+    return value
+
+
+def _select_fields(doc: dict, patterns: list[str]) -> dict:
+    """permissive-json-pointer field selection: dot paths and `*` wildcards
+    (reference: crates/permissive-json-pointer/src/lib.rs)."""
+    if "*" in patterns:
+        return doc
+    out: dict = {}
+    for pattern in patterns:
+        _select_into(doc, pattern.split("."), out)
+    return out
+
+
+def _select_into(doc, parts, out):
+    key = parts[0]
+    if key == "*":
+        keys = list(doc.keys()) if isinstance(doc, dict) else []
+    else:
+        keys = [key] if isinstance(doc, dict) and key in doc else []
+        if not keys and isinstance(doc, dict):
+            # maybe the full dotted path is a literal key
+            dotted = ".".join(parts)
+            if dotted in doc:
+                out[dotted] = doc[dotted]
+                return
+    for k in keys:
+        value = doc[k]
+        if len(parts) == 1:
+            out[k] = value
+        elif isinstance(value, dict):
+            sub = out.setdefault(k, {})
+            if isinstance(sub, dict):
+                _select_into(value, parts[1:], sub)
+        elif isinstance(value, list):
+            sub_list = []
+            for item in value:
+                if isinstance(item, dict):
+                    sub_item: dict = {}
+                    _select_into(item, parts[1:], sub_item)
+                    if sub_item:
+                        sub_list.append(sub_item)
+            if sub_list:
+                out[k] = sub_list
+
+
+def _lookup(doc, path: str):
+    if path in doc:
+        return doc[path]
+    cur = doc
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None
+    return cur
+
+
+def _flat_keys(doc: dict, prefix: str = "") -> list[str]:
+    out = []
+    for k, v in doc.items():
+        path = f"{prefix}.{k}" if prefix else k
+        out.append(path)
+    return out
+
+
+def _unflatten(formatted: dict) -> dict:
+    """Rebuild nested structure for dotted _formatted keys."""
+    out: dict = {}
+    for key, value in formatted.items():
+        if "." not in key:
+            out[key] = value
+            continue
+        parts = key.split(".")
+        cur = out
+        ok = True
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if nxt is None:
+                nxt = cur[p] = {}
+            elif not isinstance(nxt, dict):
+                ok = False
+                break
+            cur = nxt
+        if ok:
+            cur[parts[-1]] = value
+        else:
+            out[key] = value
+    return out

@@ -435,8 +435,13 @@ def located_query_terms_from_tokens(
                     phrase = [[], -1, -1]
                 else:
                     phrase = phrase
-            negative_next_token = (
-                phrase is None and token.lemma == "-" and encountered_whitespace
+            # A `-` introducing a negative term: charabia yields it as its own
+            # separator token after whitespace; our separator runs group the
+            # whitespace in, so accept a run of whitespace ending with `-`.
+            lemma = token.lemma
+            negative_next_token = phrase is None and (
+                (lemma == "-" and encountered_whitespace)
+                or (lemma.endswith("-") and lemma[:-1].strip() == "" and len(lemma) > 1)
             )
         encountered_whitespace = bool(token.lemma) and token.lemma[-1].isspace()
 
