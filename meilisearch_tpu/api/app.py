@@ -1,0 +1,245 @@
+"""HTTP application: the full route tree with an in-process dispatcher.
+
+Reference: crates/meilisearch/src/routes/mod.rs:87-110 (top-level scopes) and
+routes/indexes/mod.rs:42-54 (per-index sub-routes). The app object dispatches
+(method, path) to handlers; `TestClient` exercises it in-process exactly like
+the reference's actix `init_service` test pattern
+(crates/meilisearch/tests/common/service.rs:190), and api/server.py binds the
+same dispatcher to a socket.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from ..engine.auth import AuthController
+from ..engine.scheduler import IndexScheduler
+from ..engine.tasks import TaskStatus, TaskType
+from ..types.errors import EngineError, ErrorCode
+from ..types.settings import Settings
+from .routes_indexes import register_index_routes
+from .routes_misc import register_misc_routes
+
+VERSION = "1.50.0"
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: dict = field(default_factory=dict)
+    body: Any = None
+    headers: dict = field(default_factory=dict)
+    params: dict = field(default_factory=dict)
+    raw_body: Optional[bytes] = None
+
+    @property
+    def auth_token(self) -> Optional[str]:
+        header = self.headers.get("authorization") or self.headers.get(
+            "Authorization"
+        )
+        if header is None:
+            return None
+        if header.startswith("Bearer "):
+            return header[len("Bearer ") :]
+        return header
+
+
+@dataclass
+class Response:
+    status: int
+    json: Any = None
+    headers: dict = field(default_factory=dict)
+    body: Optional[bytes] = None
+
+
+class Route:
+    def __init__(self, method: str, pattern: str, action: str, handler):
+        self.method = method
+        self.pattern = pattern
+        self.action = action
+        self.handler = handler
+        regex = "^"
+        self.param_names = []
+        for part in pattern.strip("/").split("/"):
+            regex += "/"
+            if part.startswith("{") and part.endswith("}"):
+                name = part[1:-1]
+                self.param_names.append(name)
+                regex += f"(?P<{name}>[^/]+)"
+            else:
+                regex += re.escape(part)
+        if pattern == "/":
+            regex = "^/"
+        regex += "$"
+        self.regex = re.compile(regex)
+
+
+class App:
+    def __init__(
+        self,
+        scheduler: Optional[IndexScheduler] = None,
+        master_key: Optional[str] = None,
+    ):
+        self.scheduler = scheduler or IndexScheduler()
+        self.auth = AuthController(master_key)
+        self.routes: list[Route] = []
+        self.started_at = time.time()
+        register_misc_routes(self)
+        register_index_routes(self)
+
+    # -- route registration ----------------------------------------------
+
+    def route(self, method: str, pattern: str, action: str):
+        def decorator(fn):
+            self.routes.append(Route(method, pattern, action, fn))
+            return fn
+
+        return decorator
+
+    def add(self, method: str, pattern: str, action: str, fn):
+        self.routes.append(Route(method, pattern, action, fn))
+
+    # -- dispatch -----------------------------------------------------------
+
+    def handle(self, req: Request) -> Response:
+        try:
+            path = req.path.rstrip("/") or "/"
+            matched_path = False
+            for route in self.routes:
+                m = route.regex.match(path)
+                if not m:
+                    continue
+                matched_path = True
+                if route.method != req.method:
+                    continue
+                req.params = m.groupdict()
+                index_uid = req.params.get("index_uid")
+                auth_ctx = {}
+                if route.action != "public":
+                    auth_ctx = self.auth.authenticate(
+                        req.auth_token, route.action, index_uid
+                    )
+                req.params["_auth"] = auth_ctx
+                result = route.handler(self, req)
+                if isinstance(result, Response):
+                    return result
+                return Response(200, json=result)
+            if matched_path:
+                return Response(
+                    405,
+                    json={
+                        "message": f"Method `{req.method}` is not allowed on"
+                        f" route `{path}`.",
+                        "code": "bad_request",
+                        "type": "invalid_request",
+                        "link": "https://docs.meilisearch.com/errors#bad_request",
+                    },
+                )
+            return Response(
+                404,
+                json={
+                    "message": f"Route `{req.method} {path}` not found.",
+                    "code": "not_found",
+                    "type": "invalid_request",
+                    "link": "https://docs.meilisearch.com/errors#not_found",
+                },
+            )
+        except EngineError as err:
+            return Response(err.code.http_status, json=err.to_json())
+        except Exception as err:  # internal
+            import traceback
+
+            traceback.print_exc()
+            return Response(
+                500,
+                json={
+                    "message": str(err),
+                    "code": "internal",
+                    "type": "internal",
+                    "link": "https://docs.meilisearch.com/errors#internal",
+                },
+            )
+
+
+class TestClient:
+    """In-process client (the actix test::init_service twin)."""
+
+    __test__ = False  # not a pytest class
+
+    def __init__(self, app: App, api_key: Optional[str] = None):
+        self.app = app
+        self.api_key = api_key
+
+    def request(
+        self,
+        method: str,
+        path: str,
+        body: Any = None,
+        headers: Optional[dict] = None,
+        raw_body: Optional[bytes] = None,
+    ) -> Response:
+        parsed = urllib.parse.urlparse(path)
+        query = {
+            k: v[0] if len(v) == 1 else v
+            for k, v in urllib.parse.parse_qs(parsed.query).items()
+        }
+        hdrs = dict(headers or {})
+        if self.api_key and "authorization" not in {
+            k.lower() for k in hdrs
+        }:
+            hdrs["Authorization"] = f"Bearer {self.api_key}"
+        req = Request(
+            method=method,
+            path=parsed.path,
+            query=query,
+            body=body,
+            headers=hdrs,
+            raw_body=raw_body,
+        )
+        return self.app.handle(req)
+
+    def get(self, path, **kw):
+        return self.request("GET", path, **kw)
+
+    def post(self, path, body=None, **kw):
+        return self.request("POST", path, body=body, **kw)
+
+    def put(self, path, body=None, **kw):
+        return self.request("PUT", path, body=body, **kw)
+
+    def patch(self, path, body=None, **kw):
+        return self.request("PATCH", path, body=body, **kw)
+
+    def delete(self, path, **kw):
+        return self.request("DELETE", path, **kw)
+
+    # -- helpers mirroring the reference test server ------------------------
+
+    def wait_for_task(self, task_uid: int):
+        task = self.app.scheduler.wait_for_task(task_uid)
+        return task.to_json()
+
+    def add_documents(self, index_uid: str, docs, primary_key=None):
+        path = f"/indexes/{index_uid}/documents"
+        if primary_key:
+            path += f"?primaryKey={primary_key}"
+        res = self.post(path, body=docs)
+        assert res.status == 202, res.json
+        return self.wait_for_task(res.json["taskUid"])
+
+    def update_settings(self, index_uid: str, settings: dict):
+        res = self.patch(f"/indexes/{index_uid}/settings", body=settings)
+        assert res.status == 202, res.json
+        return self.wait_for_task(res.json["taskUid"])
+
+    def search(self, index_uid: str, query: dict):
+        res = self.post(f"/indexes/{index_uid}/search", body=query)
+        return res

@@ -1,0 +1,642 @@
+"""Per-index routes: indexes CRUD, documents, search, facet-search, similar,
+settings (+ per-setting sub-routes), stats, compact.
+
+Reference: crates/meilisearch/src/routes/indexes/ (mod.rs, documents.rs,
+search.rs, facet_search.rs, similar.rs, settings.rs).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from typing import Any, Optional
+
+from ..engine.tasks import TaskType
+from ..search.filters import evaluate_filter
+from ..search.perform import perform_facet_search, perform_search
+from ..types.errors import EngineError, ErrorCode
+from ..types.settings import Settings
+
+
+def register_index_routes(app):
+    from .app import Response
+
+    # -- indexes CRUD ------------------------------------------------------
+
+    def list_indexes(app_, req):
+        limit = int(req.query.get("limit", 20))
+        offset = int(req.query.get("offset", 0))
+        stores = app_.scheduler.list_indexes()
+        return {
+            "results": [_index_view(s) for s in stores[offset : offset + limit]],
+            "offset": offset,
+            "limit": limit,
+            "total": len(stores),
+        }
+
+    app.add("GET", "/indexes", "indexes.get", list_indexes)
+
+    def create_index(app_, req):
+        body = req.body or {}
+        uid = body.get("uid")
+        if not isinstance(uid, str):
+            raise EngineError(
+                ErrorCode.INVALID_INDEX_UID,
+                f"Invalid value at `.uid`: expected a string, but got `{uid!r}`.",
+            )
+        task = app_.scheduler.register(
+            TaskType.INDEX_CREATION,
+            index_uid=uid,
+            content={"primaryKey": body.get("primaryKey")},
+        )
+        return Response(202, json=task.summary())
+
+    app.add("POST", "/indexes", "indexes.create", create_index)
+
+    def get_index(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        return _index_view(store)
+
+    app.add("GET", "/indexes/{index_uid}", "indexes.get", get_index)
+
+    def update_index(app_, req):
+        uid = req.params["index_uid"]
+        app_.scheduler.index(uid)  # 404 when missing
+        task = app_.scheduler.register(
+            TaskType.INDEX_UPDATE,
+            index_uid=uid,
+            content={"primaryKey": (req.body or {}).get("primaryKey")},
+        )
+        return Response(202, json=task.summary())
+
+    app.add("PATCH", "/indexes/{index_uid}", "indexes.update", update_index)
+
+    def delete_index(app_, req):
+        uid = req.params["index_uid"]
+        task = app_.scheduler.register(TaskType.INDEX_DELETION, index_uid=uid)
+        return Response(202, json=task.summary())
+
+    app.add("DELETE", "/indexes/{index_uid}", "indexes.delete", delete_index)
+
+    def index_stats(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        return store.stats()
+
+    app.add("GET", "/indexes/{index_uid}/stats", "stats.get", index_stats)
+
+    def compact(app_, req):
+        uid = req.params["index_uid"]
+        app_.scheduler.index(uid)
+        task = app_.scheduler.register(TaskType.INDEX_COMPACTION, index_uid=uid)
+        return Response(202, json=task.summary())
+
+    app.add("POST", "/indexes/{index_uid}/compact", "indexes.update", compact)
+
+    def fields(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        return store.fields_ids_map.names()
+
+    app.add("GET", "/indexes/{index_uid}/fields", "indexes.get", fields)
+
+    # -- search ----------------------------------------------------------------
+
+    def search_post(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        query = dict(req.body or {})
+        _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
+        return perform_search(store, query)
+
+    app.add("POST", "/indexes/{index_uid}/search", "search", search_post)
+
+    def search_get(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        query = _query_params_to_search(req.query)
+        _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
+        return perform_search(store, query)
+
+    app.add("GET", "/indexes/{index_uid}/search", "search", search_get)
+
+    def facet_search(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        return perform_facet_search(store, req.body or {})
+
+    app.add("POST", "/indexes/{index_uid}/facet-search", "search", facet_search)
+
+    def similar_post(app_, req):
+        from ..vector.similar import perform_similar
+
+        store = app_.scheduler.index(req.params["index_uid"])
+        return perform_similar(store, req.body or {})
+
+    app.add("POST", "/indexes/{index_uid}/similar", "search", similar_post)
+
+    def similar_get(app_, req):
+        from ..vector.similar import perform_similar
+
+        store = app_.scheduler.index(req.params["index_uid"])
+        return perform_similar(store, dict(req.query))
+
+    app.add("GET", "/indexes/{index_uid}/similar", "search", similar_get)
+
+    # -- documents ----------------------------------------------------------------
+
+    def parse_documents_payload(req) -> list[dict]:
+        content_type = (
+            req.headers.get("content-type")
+            or req.headers.get("Content-Type")
+            or "application/json"
+        ).split(";")[0].strip()
+        body = req.body
+        if req.raw_body is not None and body is None:
+            raw = req.raw_body.decode("utf-8")
+        else:
+            raw = None
+        if content_type == "application/json":
+            data = body if body is not None else json.loads(raw or "null")
+            if isinstance(data, dict):
+                return [data]
+            if isinstance(data, list):
+                if not all(isinstance(d, dict) for d in data):
+                    raise EngineError(
+                        ErrorCode.BAD_REQUEST,
+                        "The `documents` payload must be an array of JSON objects.",
+                    )
+                return data
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                "The `documents` payload must be an array of JSON objects.",
+            )
+        if content_type == "application/x-ndjson":
+            text = raw if raw is not None else body
+            docs = []
+            for line in (text or "").splitlines():
+                line = line.strip()
+                if line:
+                    docs.append(json.loads(line))
+            return docs
+        if content_type == "text/csv":
+            text = raw if raw is not None else body
+            delimiter = req.query.get("csvDelimiter", ",")
+            reader = csv.reader(io.StringIO(text or ""), delimiter=delimiter)
+            rows = list(reader)
+            if not rows:
+                return []
+            header = rows[0]
+            fields = []
+            for col in header:
+                if ":" in col:
+                    name, _, ty = col.rpartition(":")
+                    fields.append((name, ty))
+                else:
+                    fields.append((col, "string"))
+            docs = []
+            for row in rows[1:]:
+                doc = {}
+                for (name, ty), value in zip(fields, row):
+                    if ty == "number":
+                        try:
+                            doc[name] = float(value) if "." in value else int(value)
+                        except ValueError:
+                            doc[name] = value
+                    elif ty == "boolean":
+                        doc[name] = value.lower() == "true"
+                    else:
+                        doc[name] = value
+                docs.append(doc)
+            return docs
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"The Content-Type `{content_type}` is invalid. Accepted values for"
+            " the Content-Type header are: `application/json`,"
+            " `application/x-ndjson`, `text/csv`",
+        )
+
+    def add_documents(method):
+        def handler(app_, req):
+            uid = req.params["index_uid"]
+            docs = parse_documents_payload(req)
+            task = app_.scheduler.register(
+                TaskType.DOCUMENT_ADDITION_OR_UPDATE,
+                index_uid=uid,
+                details={"receivedDocuments": len(docs), "indexedDocuments": None},
+                content={
+                    "documents": docs,
+                    "method": method,
+                    "primaryKey": req.query.get("primaryKey"),
+                },
+            )
+            return Response(202, json=task.summary())
+
+        return handler
+
+    app.add(
+        "POST", "/indexes/{index_uid}/documents", "documents.add", add_documents("replace")
+    )
+    app.add(
+        "PUT", "/indexes/{index_uid}/documents", "documents.add", add_documents("update")
+    )
+
+    def get_documents_list(app_, req, body: Optional[dict] = None):
+        store = app_.scheduler.index(req.params["index_uid"])
+        params = body if body is not None else req.query
+        limit = int(params.get("limit", 20))
+        offset = int(params.get("offset", 0))
+        fields = params.get("fields")
+        if isinstance(fields, str):
+            fields = [f.strip() for f in fields.split(",")]
+        retrieve_vectors = str(params.get("retrieveVectors", False)).lower() == "true"
+        filter_expr = params.get("filter")
+        ids = params.get("ids")
+        if isinstance(ids, str):
+            ids = [i.strip() for i in ids.split(",")]
+
+        docids = sorted(store.documents.keys())
+        if filter_expr is not None:
+            allowed = evaluate_filter(
+                store, filter_expr, code=ErrorCode.INVALID_DOCUMENT_FILTER
+            )
+            docids = [d for d in docids if d in allowed]
+        if ids is not None:
+            wanted = set()
+            for ext in ids:
+                internal = store.external_to_internal.get(str(ext))
+                if internal is not None:
+                    wanted.add(internal)
+            docids = [d for d in docids if d in wanted]
+        total = len(docids)
+        page = docids[offset : offset + limit]
+        results = []
+        from ..search.perform import _select_fields
+
+        for docid in page:
+            doc = dict(store.documents[docid])
+            if retrieve_vectors:
+                vectors = {}
+                for emb, per_doc in store.vectors.items():
+                    if docid in per_doc:
+                        vectors[emb] = {
+                            "embeddings": per_doc[docid].tolist(),
+                            "regenerate": store.vector_regenerate.get(emb, {}).get(docid, False),
+                        }
+                doc["_vectors"] = vectors
+            else:
+                doc.pop("_vectors", None)
+            if fields and "*" not in fields:
+                doc = _select_fields(doc, fields)
+            results.append(doc)
+        return {
+            "results": results,
+            "offset": offset,
+            "limit": limit,
+            "total": total,
+        }
+
+    app.add(
+        "GET", "/indexes/{index_uid}/documents", "documents.get", get_documents_list
+    )
+
+    def fetch_documents(app_, req):
+        return get_documents_list(app_, req, body=req.body or {})
+
+    app.add(
+        "POST",
+        "/indexes/{index_uid}/documents/fetch",
+        "documents.get",
+        fetch_documents,
+    )
+
+    def get_document(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        ext = req.params["document_id"]
+        internal = store.external_to_internal.get(str(ext))
+        if internal is None:
+            raise EngineError(
+                ErrorCode.DOCUMENT_NOT_FOUND,
+                f"Document `{ext}` not found.",
+            )
+        doc = dict(store.documents[internal])
+        fields = req.query.get("fields")
+        retrieve_vectors = str(req.query.get("retrieveVectors", False)).lower() == "true"
+        if not retrieve_vectors:
+            doc.pop("_vectors", None)
+        if fields and fields != "*":
+            from ..search.perform import _select_fields
+
+            doc = _select_fields(doc, [f.strip() for f in fields.split(",")])
+        return doc
+
+    app.add(
+        "GET",
+        "/indexes/{index_uid}/documents/{document_id}",
+        "documents.get",
+        get_document,
+    )
+
+    def delete_document(app_, req):
+        uid = req.params["index_uid"]
+        task = app_.scheduler.register(
+            TaskType.DOCUMENT_DELETION,
+            index_uid=uid,
+            content={"ids": [req.params["document_id"]]},
+        )
+        return Response(202, json=task.summary())
+
+    app.add(
+        "DELETE",
+        "/indexes/{index_uid}/documents/{document_id}",
+        "documents.delete",
+        delete_document,
+    )
+
+    def delete_batch(app_, req):
+        uid = req.params["index_uid"]
+        ids = req.body or []
+        if not isinstance(ids, list):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST, "The body must be an array of document ids."
+            )
+        task = app_.scheduler.register(
+            TaskType.DOCUMENT_DELETION, index_uid=uid, content={"ids": ids}
+        )
+        return Response(202, json=task.summary())
+
+    app.add(
+        "POST",
+        "/indexes/{index_uid}/documents/delete-batch",
+        "documents.delete",
+        delete_batch,
+    )
+
+    def delete_by_filter(app_, req):
+        uid = req.params["index_uid"]
+        body = req.body or {}
+        if "filter" not in body or body["filter"] is None:
+            raise EngineError(
+                ErrorCode.MISSING_DOCUMENT_FILTER,
+                "Missing field `filter`",
+            )
+        # validate the filter eagerly (reference behavior: 400 on bad syntax)
+        from ..search.filters import parse_filter
+
+        try:
+            parse_filter(body["filter"])
+        except EngineError as e:
+            raise EngineError(ErrorCode.INVALID_DOCUMENT_FILTER, e.message)
+        task = app_.scheduler.register(
+            TaskType.DOCUMENT_DELETION,
+            index_uid=uid,
+            content={"filter": body["filter"]},
+        )
+        return Response(202, json=task.summary())
+
+    app.add(
+        "POST",
+        "/indexes/{index_uid}/documents/delete",
+        "documents.delete",
+        delete_by_filter,
+    )
+
+    def delete_all_documents(app_, req):
+        uid = req.params["index_uid"]
+        task = app_.scheduler.register(
+            TaskType.DOCUMENT_DELETION, index_uid=uid, content={"clear_all": True}
+        )
+        return Response(202, json=task.summary())
+
+    app.add(
+        "DELETE", "/indexes/{index_uid}/documents", "documents.delete", delete_all_documents
+    )
+
+    def edit_documents(app_, req):
+        uid = req.params["index_uid"]
+        task = app_.scheduler.register(
+            TaskType.DOCUMENT_EDITION, index_uid=uid, content=req.body or {}
+        )
+        return Response(202, json=task.summary())
+
+    app.add(
+        "POST", "/indexes/{index_uid}/documents/edit", "documents.add", edit_documents
+    )
+
+    # -- settings ----------------------------------------------------------------
+
+    def get_settings(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        return store.settings.to_json()
+
+    app.add("GET", "/indexes/{index_uid}/settings", "settings.get", get_settings)
+
+    def update_settings(app_, req):
+        uid = req.params["index_uid"]
+        body = req.body
+        if not isinstance(body, dict):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST, "Invalid settings payload: expected an object."
+            )
+        _validate_settings(body)
+        task = app_.scheduler.register(
+            TaskType.SETTINGS_UPDATE, index_uid=uid, content={"settings": body}
+        )
+        return Response(202, json=task.summary())
+
+    app.add("PATCH", "/indexes/{index_uid}/settings", "settings.update", update_settings)
+    app.add("PUT", "/indexes/{index_uid}/settings", "settings.update", update_settings)
+
+    def reset_settings(app_, req):
+        uid = req.params["index_uid"]
+        body = {k: None for k in _SETTING_ROUTES}
+        task = app_.scheduler.register(
+            TaskType.SETTINGS_UPDATE, index_uid=uid, content={"settings": body}
+        )
+        return Response(202, json=task.summary())
+
+    app.add("DELETE", "/indexes/{index_uid}/settings", "settings.update", reset_settings)
+
+    for route_name, json_key in _SETTING_ROUTES.items():
+        _register_sub_setting(app, route_name, json_key)
+
+
+# per-setting sub-routes (reference: routes/indexes/settings.rs macro)
+_SETTING_ROUTES = {
+    "displayed-attributes": "displayedAttributes",
+    "searchable-attributes": "searchableAttributes",
+    "filterable-attributes": "filterableAttributes",
+    "sortable-attributes": "sortableAttributes",
+    "ranking-rules": "rankingRules",
+    "stop-words": "stopWords",
+    "non-separator-tokens": "nonSeparatorTokens",
+    "separator-tokens": "separatorTokens",
+    "dictionary": "dictionary",
+    "synonyms": "synonyms",
+    "distinct-attribute": "distinctAttribute",
+    "proximity-precision": "proximityPrecision",
+    "typo-tolerance": "typoTolerance",
+    "faceting": "faceting",
+    "pagination": "pagination",
+    "embedders": "embedders",
+    "search-cutoff-ms": "searchCutoffMs",
+    "localized-attributes": "localizedAttributes",
+    "facet-search": "facetSearch",
+    "prefix-search": "prefixSearch",
+    "chat": "chat",
+}
+
+
+def _register_sub_setting(app, route_name: str, json_key: str):
+    from .app import Response
+
+    path = "/indexes/{index_uid}/settings/" + route_name
+
+    def get_one(app_, req):
+        store = app_.scheduler.index(req.params["index_uid"])
+        return store.settings.to_json().get(json_key)
+
+    def put_one(app_, req):
+        uid = req.params["index_uid"]
+        body = {json_key: req.body}
+        _validate_settings(body)
+        task = app_.scheduler.register(
+            TaskType.SETTINGS_UPDATE, index_uid=uid, content={"settings": body}
+        )
+        return Response(202, json=task.summary())
+
+    def delete_one(app_, req):
+        uid = req.params["index_uid"]
+        task = app_.scheduler.register(
+            TaskType.SETTINGS_UPDATE,
+            index_uid=uid,
+            content={"settings": {json_key: None}},
+        )
+        return Response(202, json=task.summary())
+
+    app.add("GET", path, "settings.get", get_one)
+    app.add("PUT", path, "settings.update", put_one)
+    # typo-tolerance/faceting/pagination historically accept PATCH
+    app.add("PATCH", path, "settings.update", put_one)
+    app.add("DELETE", path, "settings.update", delete_one)
+
+
+def _validate_settings(body: dict):
+    known = set(_SETTING_ROUTES.values()) | {"exactAttributes"}
+    for key in body:
+        if key not in known:
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                f"Unknown field `{key}`: expected one of"
+                f" {', '.join(sorted(known))}",
+            )
+    rr = body.get("rankingRules")
+    if rr is not None:
+        for rule in rr:
+            if rule in (
+                "words", "typo", "proximity", "attribute", "attributeRank",
+                "wordPosition", "sort", "exactness",
+            ):
+                continue
+            if ":" in rule and rule.rsplit(":", 1)[1] in ("asc", "desc"):
+                continue
+            raise EngineError(
+                ErrorCode.INVALID_SETTINGS_RANKING_RULES,
+                f"Invalid value at `.rankingRules[{rr.index(rule)}]`: `{rule}`"
+                " is not a valid ranking rule.",
+            )
+    pp = body.get("proximityPrecision")
+    if pp is not None and pp not in ("byWord", "byAttribute"):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Unknown value `{pp}` at `.proximityPrecision`: expected one of"
+            " `byWord`, `byAttribute`.",
+        )
+    ps = body.get("prefixSearch")
+    if ps is not None and ps not in ("indexingTime", "disabled"):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Unknown value `{ps}` at `.prefixSearch`: expected one of"
+            " `indexingTime`, `disabled`.",
+        )
+
+
+def _index_view(store) -> dict:
+    from datetime import datetime, timezone
+
+    def iso(ts):
+        return (
+            datetime.fromtimestamp(ts, tz=timezone.utc)
+            .isoformat(timespec="microseconds")
+            .replace("+00:00", "Z")
+        )
+
+    return {
+        "uid": store.uid,
+        "createdAt": iso(store.created_at),
+        "updatedAt": iso(store.updated_at),
+        "primaryKey": store.primary_key,
+    }
+
+
+def _query_params_to_search(query: dict) -> dict:
+    """GET /search query params -> SearchQuery dict
+    (reference: SearchQueryGet, routes/indexes/search.rs)."""
+    out: dict[str, Any] = {}
+    passthrough_str = (
+        "q", "highlightPreTag", "highlightPostTag", "cropMarker",
+        "matchingStrategy", "distinct", "hybridEmbedder",
+    )
+    for k in passthrough_str:
+        if k in query:
+            out[k] = query[k]
+    for k in ("offset", "limit", "page", "hitsPerPage", "cropLength"):
+        if k in query:
+            try:
+                out[k] = int(query[k])
+            except ValueError:
+                out[k] = query[k]
+    for k in ("showMatchesPosition", "showRankingScore", "showRankingScoreDetails", "retrieveVectors"):
+        if k in query:
+            out[k] = str(query[k]).lower() == "true"
+    for k in (
+        "attributesToRetrieve", "attributesToCrop", "attributesToHighlight",
+        "attributesToSearchOn", "facets", "sort", "locales",
+    ):
+        if k in query:
+            value = query[k]
+            out[k] = value if isinstance(value, list) else [
+                v.strip() for v in str(value).split(",")
+            ]
+    if "filter" in query:
+        out["filter"] = query["filter"]
+    if "rankingScoreThreshold" in query:
+        try:
+            out["rankingScoreThreshold"] = float(query["rankingScoreThreshold"])
+        except ValueError:
+            out["rankingScoreThreshold"] = query["rankingScoreThreshold"]
+    if "hybridSemanticRatio" in query:
+        out.setdefault("hybrid", {})["semanticRatio"] = float(
+            query["hybridSemanticRatio"]
+        )
+        if "hybridEmbedder" in query:
+            out["hybrid"]["embedder"] = query["hybridEmbedder"]
+    return out
+
+
+def _apply_tenant_rules(query: dict, auth_ctx, index_uid: str):
+    """Merge tenant-token searchRules filters into the query
+    (reference: meilisearch/src/search/mod.rs add_search_rules)."""
+    if not auth_ctx:
+        return
+    rules = auth_ctx.get("searchRules")
+    if not rules:
+        return
+    from ..engine.auth import _tenant_rules_for_index
+
+    sub = _tenant_rules_for_index(rules, index_uid)
+    if not sub:
+        return
+    rule_filter = sub.get("filter")
+    if rule_filter:
+        existing = query.get("filter")
+        if existing:
+            query["filter"] = [rule_filter, existing]
+        else:
+            query["filter"] = rule_filter

@@ -1,0 +1,467 @@
+"""Top-level routes: health, version, stats, tasks, batches, keys, dumps,
+snapshots, swap-indexes, multi-search, experimental features, network,
+webhooks, metrics, logs.
+
+Reference: crates/meilisearch/src/routes/ (mod.rs, tasks.rs, batches.rs,
+api_key.rs, dump.rs, snapshot.rs, swap_indexes.rs, multi_search.rs,
+features.rs, network.rs, webhooks.rs, metrics.rs, logs.rs).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional
+
+from ..engine.tasks import TaskStatus, TaskType
+from ..types.errors import EngineError, ErrorCode
+
+
+def _parse_csv(value) -> Optional[list[str]]:
+    if value is None:
+        return None
+    if isinstance(value, list):
+        return value
+    return [v.strip() for v in str(value).split(",") if v.strip()]
+
+
+def _task_filters(query: dict) -> dict:
+    filters = {}
+    if query.get("uids"):
+        filters["uids"] = [int(u) for u in _parse_csv(query["uids"])]
+    if query.get("statuses"):
+        statuses = _parse_csv(query["statuses"])
+        valid = {s.value for s in TaskStatus}
+        for s in statuses:
+            if s not in valid:
+                raise EngineError(
+                    ErrorCode.BAD_REQUEST,
+                    f"Invalid value at `.statuses`: `{s}` is not a valid task status."
+                    f" Available statuses are {', '.join(sorted(valid))}.",
+                )
+        filters["statuses"] = statuses
+    if query.get("types"):
+        types = _parse_csv(query["types"])
+        valid = {t.value for t in TaskType}
+        for t in types:
+            if t not in valid:
+                raise EngineError(
+                    ErrorCode.BAD_REQUEST,
+                    f"Invalid value at `.types`: `{t}` is not a valid task type.",
+                )
+        filters["types"] = types
+    if query.get("indexUids"):
+        filters["index_uids"] = _parse_csv(query["indexUids"])
+    if query.get("canceledBy"):
+        filters["canceled_by"] = [int(u) for u in _parse_csv(query["canceledBy"])]
+    if query.get("batchUids"):
+        filters["batch_uids"] = [int(u) for u in _parse_csv(query["batchUids"])]
+    for qk, fk in (
+        ("beforeEnqueuedAt", "before_enqueued_at"),
+        ("afterEnqueuedAt", "after_enqueued_at"),
+        ("beforeStartedAt", "before_started_at"),
+        ("afterStartedAt", "after_started_at"),
+        ("beforeFinishedAt", "before_finished_at"),
+        ("afterFinishedAt", "after_finished_at"),
+    ):
+        if query.get(qk):
+            filters[fk] = query[qk]
+    return filters
+
+
+def register_misc_routes(app):
+    from .app import Response
+
+    # -- health / version / stats ----------------------------------------
+
+    def health(app_, req):
+        return {"status": "available"}
+
+    app.add("GET", "/health", "public", health)
+
+    def version(app_, req):
+        from .app import VERSION
+
+        return {
+            "commitSha": "unknown",
+            "commitDate": "unknown",
+            "pkgVersion": VERSION,
+        }
+
+    app.add("GET", "/version", "version", version)
+
+    def stats(app_, req):
+        return app_.scheduler.stats()
+
+    app.add("GET", "/stats", "stats.get", stats)
+
+    # -- tasks ----------------------------------------------------------------
+
+    def list_tasks(app_, req):
+        filters = _task_filters(req.query)
+        limit = int(req.query.get("limit", 20))
+        from_uid = req.query.get("from")
+        tasks = app_.scheduler.queue.filtered(**filters)
+        if from_uid is not None:
+            tasks = [t for t in tasks if t.uid <= int(from_uid)]
+        reverse = req.query.get("reverse") in ("true", True)
+        if reverse:
+            tasks = list(reversed(tasks))
+        page = tasks[: limit + 1]
+        next_from = page[limit].uid if len(page) > limit else None
+        page = page[:limit]
+        return {
+            "results": [t.to_json() for t in page],
+            "total": len(tasks),
+            "limit": limit,
+            "from": page[0].uid if page else None,
+            "next": next_from,
+        }
+
+    app.add("GET", "/tasks", "tasks.get", list_tasks)
+
+    def get_task(app_, req):
+        try:
+            uid = int(req.params["task_uid"])
+        except ValueError:
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                f"Invalid value in parameter `taskUid`: could not parse"
+                f" `{req.params['task_uid']}` as a positive integer.",
+            )
+        task = app_.scheduler.queue.tasks.get(uid)
+        if task is None:
+            raise EngineError(
+                ErrorCode.TASK_NOT_FOUND, f"Task `{uid}` not found."
+            )
+        return task.to_json()
+
+    app.add("GET", "/tasks/{task_uid}", "tasks.get", get_task)
+
+    def cancel_tasks(app_, req):
+        filters = _task_filters(req.query)
+        if not filters:
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                "Query deserialize error: missing task filters. Available"
+                " filters are `uids`, `indexUids`, `statuses`, `types`,"
+                " `canceledBy`, `beforeEnqueuedAt`, `afterEnqueuedAt`,"
+                " `beforeStartedAt`, `afterStartedAt`, `beforeFinishedAt`,"
+                " `afterFinishedAt`.",
+            )
+        import urllib.parse
+
+        original = urllib.parse.urlencode(
+            {k: v for k, v in req.query.items()}
+        )
+        task = app_.scheduler.register(
+            TaskType.TASK_CANCELATION,
+            content={"query": "?" + original, "filters": filters},
+        )
+        return Response(200, json=task.summary())
+
+    app.add("POST", "/tasks/cancel", "tasks.cancel", cancel_tasks)
+
+    def delete_tasks(app_, req):
+        filters = _task_filters(req.query)
+        if not filters:
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                "Query deserialize error: missing task filters.",
+            )
+        import urllib.parse
+
+        original = urllib.parse.urlencode({k: v for k, v in req.query.items()})
+        task = app_.scheduler.register(
+            TaskType.TASK_DELETION,
+            content={"query": "?" + original, "filters": filters},
+        )
+        return Response(200, json=task.summary())
+
+    app.add("DELETE", "/tasks", "tasks.delete", delete_tasks)
+
+    # -- batches ------------------------------------------------------------
+
+    def list_batches(app_, req):
+        limit = int(req.query.get("limit", 20))
+        batches = sorted(
+            app_.scheduler.queue.batches.values(), key=lambda b: -b.uid
+        )
+        return {
+            "results": [b.to_json() for b in batches[:limit]],
+            "total": len(batches),
+            "limit": limit,
+            "from": batches[0].uid if batches else None,
+            "next": None,
+        }
+
+    app.add("GET", "/batches", "tasks.get", list_batches)
+
+    def get_batch(app_, req):
+        uid = int(req.params["batch_uid"])
+        batch = app_.scheduler.queue.batches.get(uid)
+        if batch is None:
+            raise EngineError(
+                ErrorCode.BATCH_NOT_FOUND, f"Batch `{uid}` not found."
+            )
+        return batch.to_json()
+
+    app.add("GET", "/batches/{batch_uid}", "tasks.get", get_batch)
+
+    # -- swap indexes ------------------------------------------------------
+
+    def swap_indexes(app_, req):
+        body = req.body or []
+        if not isinstance(body, list):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST, "Invalid swap body: expected an array."
+            )
+        seen = set()
+        for swap in body:
+            indexes = swap.get("indexes") if isinstance(swap, dict) else None
+            if not indexes or len(indexes) != 2:
+                raise EngineError(
+                    ErrorCode.INVALID_SWAP_INDEXES,
+                    "Two indexes must be given for each swap.",
+                )
+            for uid in indexes:
+                if uid in seen:
+                    raise EngineError(
+                        ErrorCode.INVALID_SWAP_INDEXES,
+                        f"Indexes must be declared only once during a swap."
+                        f" `{uid}` was specified several times.",
+                    )
+                seen.add(uid)
+        task = app_.scheduler.register(
+            TaskType.INDEX_SWAP, content={"swaps": body}
+        )
+        return Response(202, json=task.summary())
+
+    app.add("POST", "/swap-indexes", "indexes.swap", swap_indexes)
+
+    # -- dumps / snapshots ----------------------------------------------------
+
+    def create_dump(app_, req):
+        task = app_.scheduler.register(TaskType.DUMP_CREATION, content={})
+        return Response(202, json=task.summary())
+
+    app.add("POST", "/dumps", "dumps.create", create_dump)
+
+    def create_snapshot(app_, req):
+        task = app_.scheduler.register(TaskType.SNAPSHOT_CREATION, content={})
+        return Response(202, json=task.summary())
+
+    app.add("POST", "/snapshots", "snapshots.create", create_snapshot)
+
+    # -- keys -------------------------------------------------------------------
+
+    def create_key(app_, req):
+        key = app_.auth.create_key(req.body or {})
+        return Response(201, json=key.to_json())
+
+    app.add("POST", "/keys", "keys.create", create_key)
+
+    def list_keys(app_, req):
+        limit = int(req.query.get("limit", 20))
+        offset = int(req.query.get("offset", 0))
+        keys = app_.auth.list_keys()
+        return {
+            "results": [k.to_json() for k in keys[offset : offset + limit]],
+            "offset": offset,
+            "limit": limit,
+            "total": len(keys),
+        }
+
+    app.add("GET", "/keys", "keys.get", list_keys)
+
+    def get_key(app_, req):
+        return app_.auth.get_key(req.params["key"]).to_json()
+
+    app.add("GET", "/keys/{key}", "keys.get", get_key)
+
+    def patch_key(app_, req):
+        return app_.auth.update_key(req.params["key"], req.body or {}).to_json()
+
+    app.add("PATCH", "/keys/{key}", "keys.update", patch_key)
+
+    def delete_key(app_, req):
+        app_.auth.delete_key(req.params["key"])
+        return Response(204)
+
+    app.add("DELETE", "/keys/{key}", "keys.delete", delete_key)
+
+    # -- multi search -------------------------------------------------------------
+
+    def multi_search(app_, req):
+        from .federation import perform_multi_search
+
+        return perform_multi_search(app_, req)
+
+    app.add("POST", "/multi-search", "search", multi_search)
+
+    # -- experimental features -----------------------------------------------------
+
+    def get_features(app_, req):
+        return dict(app_.scheduler.runtime_features)
+
+    app.add("GET", "/experimental-features", "experimental.get", get_features)
+
+    def patch_features(app_, req):
+        body = req.body or {}
+        for k, v in body.items():
+            if k not in app_.scheduler.runtime_features:
+                raise EngineError(
+                    ErrorCode.BAD_REQUEST,
+                    f"Unknown field `{k}`: expected one of"
+                    f" {', '.join(sorted(app_.scheduler.runtime_features))}",
+                )
+            if v is not None:
+                app_.scheduler.runtime_features[k] = bool(v)
+        return dict(app_.scheduler.runtime_features)
+
+    app.add("PATCH", "/experimental-features", "experimental.update", patch_features)
+
+    # -- network -----------------------------------------------------------------
+
+    def get_network(app_, req):
+        _check_feature(app_, "network")
+        return dict(app_.scheduler.network)
+
+    app.add("GET", "/network", "network.get", get_network)
+
+    def patch_network(app_, req):
+        _check_feature(app_, "network")
+        body = req.body or {}
+        network = app_.scheduler.network
+        if "self" in body:
+            network["self"] = body["self"]
+        if "sharding" in body and body["sharding"] is not None:
+            network["sharding"] = bool(body["sharding"])
+        if "remotes" in body and body["remotes"] is not None:
+            for name, remote in body["remotes"].items():
+                if remote is None:
+                    network["remotes"].pop(name, None)
+                else:
+                    network["remotes"][name] = {
+                        "url": remote.get("url"),
+                        "searchApiKey": remote.get("searchApiKey"),
+                        "writeApiKey": remote.get("writeApiKey"),
+                    }
+        return dict(network)
+
+    app.add("PATCH", "/network", "network.update", patch_network)
+
+    # -- webhooks ------------------------------------------------------------------
+
+    def list_webhooks(app_, req):
+        return {
+            "results": [
+                {"uuid": k, **v} for k, v in app_.scheduler.webhooks.items()
+            ]
+        }
+
+    app.add("GET", "/webhooks", "webhooks.get", list_webhooks)
+
+    def create_webhook(app_, req):
+        body = req.body or {}
+        if not body.get("url"):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST, "The `url` field is mandatory."
+            )
+        wid = str(uuid.uuid4())
+        app_.scheduler.webhooks[wid] = {
+            "url": body["url"],
+            "headers": body.get("headers") or {},
+            "isEditable": True,
+        }
+        return Response(201, json={"uuid": wid, **app_.scheduler.webhooks[wid]})
+
+    app.add("POST", "/webhooks", "webhooks.create", create_webhook)
+
+    def get_webhook(app_, req):
+        wid = req.params["uuid"]
+        hook = app_.scheduler.webhooks.get(wid)
+        if hook is None:
+            raise EngineError(
+                ErrorCode.NOT_FOUND, f"Webhook `{wid}` not found."
+            )
+        return {"uuid": wid, **hook}
+
+    app.add("GET", "/webhooks/{uuid}", "webhooks.get", get_webhook)
+
+    def patch_webhook(app_, req):
+        wid = req.params["uuid"]
+        hook = app_.scheduler.webhooks.get(wid)
+        if hook is None:
+            raise EngineError(ErrorCode.NOT_FOUND, f"Webhook `{wid}` not found.")
+        body = req.body or {}
+        if "url" in body and body["url"]:
+            hook["url"] = body["url"]
+        if "headers" in body and body["headers"] is not None:
+            hook["headers"] = body["headers"]
+        return {"uuid": wid, **hook}
+
+    app.add("PATCH", "/webhooks/{uuid}", "webhooks.update", patch_webhook)
+
+    def delete_webhook(app_, req):
+        wid = req.params["uuid"]
+        if wid not in app_.scheduler.webhooks:
+            raise EngineError(ErrorCode.NOT_FOUND, f"Webhook `{wid}` not found.")
+        del app_.scheduler.webhooks[wid]
+        return Response(204)
+
+    app.add("DELETE", "/webhooks/{uuid}", "webhooks.delete", delete_webhook)
+
+    # -- metrics (prometheus text format) --------------------------------------------
+
+    def metrics(app_, req):
+        _check_feature(app_, "metrics")
+        lines = []
+        stats = app_.scheduler.stats()
+        lines.append("# TYPE meilisearch_index_count gauge")
+        lines.append(f"meilisearch_index_count {len(stats['indexes'])}")
+        lines.append("# TYPE meilisearch_index_docs_count gauge")
+        for uid, s in stats["indexes"].items():
+            lines.append(
+                f'meilisearch_index_docs_count{{index="{uid}"}} {s["numberOfDocuments"]}'
+            )
+        nb_tasks = {}
+        for t in app_.scheduler.queue.tasks.values():
+            key = (t.type.value, t.status.value)
+            nb_tasks[key] = nb_tasks.get(key, 0) + 1
+        lines.append("# TYPE meilisearch_nb_tasks gauge")
+        for (kind, status), count in sorted(nb_tasks.items()):
+            lines.append(
+                f'meilisearch_nb_tasks{{kind="{kind}",value="{status}"}} {count}'
+            )
+        text = "\n".join(lines) + "\n"
+        return Response(
+            200,
+            body=text.encode("utf-8"),
+            headers={"Content-Type": "text/plain; version=0.0.4"},
+        )
+
+    app.add("GET", "/metrics", "metrics.get", metrics)
+
+    # -- logs (stubs mirroring route surface) --------------------------------
+
+    def logs_stream(app_, req):
+        _check_feature(app_, "logsRoute")
+        return Response(200, json=None)
+
+    app.add("POST", "/logs/stream", "public", logs_stream)
+    app.add("DELETE", "/logs/stream", "public", logs_stream)
+
+    def logs_stderr(app_, req):
+        _check_feature(app_, "logsRoute")
+        return Response(200, json=None)
+
+    app.add("POST", "/logs/stderr", "public", logs_stderr)
+
+
+def _check_feature(app_, name: str):
+    if not app_.scheduler.runtime_features.get(name, False):
+        raise EngineError(
+            ErrorCode.FEATURE_NOT_ENABLED,
+            f"Modifying `{name}` requires enabling the `{name}` experimental"
+            " feature. See /experimental-features",
+        )

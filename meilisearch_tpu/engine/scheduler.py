@@ -1,0 +1,556 @@
+"""Index scheduler: the task queue run loop + index registry.
+
+Reference: crates/index-scheduler/src/ —
+  - register + wake-up signal            (lib.rs:772, run loop lib.rs:485)
+  - batch priorities                     (scheduler/create_batch.rs:524):
+    taskCancelation > taskDeletion > snapshotCreation > dumpCreation >
+    upgradeDatabase > per-index tasks (round-robin)
+  - autobatching of consecutive same-index tasks (scheduler/autobatcher.rs)
+  - panic containment: a crashed batch marks its tasks failed, the loop
+    keeps running (lib.rs:501 catch_unwind)
+  - index registry mapping uid -> index  (index_mapper/)
+
+The single scheduler thread is the reference's concurrency model: one writer,
+many MVCC readers — searches here read frozen index snapshots the same way.
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import traceback
+from typing import Callable, Optional
+
+from ..index.store import IndexStore
+from ..types.errors import EngineError, ErrorCode
+from .tasks import Batch, Task, TaskQueue, TaskStatus, TaskType, now_iso
+
+VALID_INDEX_UID = re.compile(r"^[a-zA-Z0-9_-]{1,400}$")
+
+INDEX_TASK_TYPES = {
+    TaskType.INDEX_CREATION,
+    TaskType.INDEX_UPDATE,
+    TaskType.INDEX_DELETION,
+    TaskType.INDEX_COMPACTION,
+    TaskType.DOCUMENT_ADDITION_OR_UPDATE,
+    TaskType.DOCUMENT_EDITION,
+    TaskType.DOCUMENT_DELETION,
+    TaskType.SETTINGS_UPDATE,
+}
+
+# Settings whose change requires re-deriving the posting tables
+# (reference: update/settings.rs expensive path).
+REINDEX_SETTINGS = {
+    "searchable_attributes",
+    "filterable_attributes",
+    "sortable_attributes",
+    "distinct_attribute",
+    "stop_words",
+    "non_separator_tokens",
+    "separator_tokens",
+    "dictionary",
+    "typo_tolerance",
+    "exact_attributes",
+    "proximity_precision",
+    "ranking_rules",
+}
+
+
+class IndexScheduler:
+    def __init__(self, autobatching_enabled: bool = True) -> None:
+        self.queue = TaskQueue()
+        self.indexes: dict[str, IndexStore] = {}
+        self.lock = threading.RLock()
+        self.wake = threading.Condition(self.lock)
+        self.autobatching_enabled = autobatching_enabled
+        self._stop = False
+        self.webhooks: dict[str, dict] = {}
+        self.runtime_features = {
+            "metrics": False,
+            "logsRoute": False,
+            "editDocumentsByFunction": False,
+            "containsFilter": False,
+            "network": False,
+            "getTaskDocumentsRoute": False,
+            "compositeEmbedders": False,
+            "chatCompletions": False,
+            "multimodal": False,
+        }
+        self.network = {"self": None, "remotes": {}, "sharding": False}
+        self.on_task_finished: Optional[Callable[[Task], None]] = None
+        self._thread = threading.Thread(
+            target=self._run, name="scheduler", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # public API
+
+    def register(
+        self, task_type: TaskType, index_uid=None, details=None, content=None
+    ) -> Task:
+        if index_uid is not None and not VALID_INDEX_UID.match(index_uid):
+            raise EngineError(
+                ErrorCode.INVALID_INDEX_UID,
+                f"`{index_uid}` is not a valid index uid. Index uid can be an"
+                " integer or a string containing only alphanumeric characters,"
+                " hyphens (-) and underscores (_), and can not be more than"
+                " 400 bytes.",
+            )
+        with self.wake:
+            task = self.queue.register(task_type, index_uid, details, content)
+            self.wake.notify_all()
+            return task
+
+    def index(self, uid: str) -> IndexStore:
+        with self.lock:
+            store = self.indexes.get(uid)
+            if store is None:
+                raise EngineError(
+                    ErrorCode.INDEX_NOT_FOUND, f"Index `{uid}` not found."
+                )
+            return store
+
+    def index_exists(self, uid: str) -> bool:
+        with self.lock:
+            return uid in self.indexes
+
+    def list_indexes(self) -> list[IndexStore]:
+        with self.lock:
+            return sorted(self.indexes.values(), key=lambda s: s.uid)
+
+    def wait_for_task(self, uid: int, timeout: float = 30.0) -> Task:
+        import time
+
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self.lock:
+                task = self.queue.tasks.get(uid)
+                if task and task.status in (
+                    TaskStatus.SUCCEEDED,
+                    TaskStatus.FAILED,
+                    TaskStatus.CANCELED,
+                ):
+                    return task
+            with self.wake:
+                self.wake.wait(0.02)
+        raise TimeoutError(f"task {uid} did not finish")
+
+    def wait_for_all_tasks(self, timeout: float = 60.0) -> None:
+        import time
+
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self.lock:
+                pending = [
+                    t
+                    for t in self.queue.tasks.values()
+                    if t.status in (TaskStatus.ENQUEUED, TaskStatus.PROCESSING)
+                ]
+                if not pending:
+                    return
+            with self.wake:
+                self.wake.wait(0.02)
+        raise TimeoutError("tasks did not drain")
+
+    def stop(self):
+        with self.wake:
+            self._stop = True
+            self.wake.notify_all()
+        self._thread.join(timeout=2)
+
+    # ------------------------------------------------------------------
+    # the run loop
+
+    def _run(self):
+        while True:
+            with self.wake:
+                if self._stop:
+                    return
+                try:
+                    batch_tasks = self._create_next_batch()
+                except Exception:
+                    # unrecoverable scheduling error: fail every enqueued task
+                    # instead of dying (the reference backs off and retries,
+                    # lib.rs:505; failing keeps the loop deterministic here)
+                    tb = traceback.format_exc()
+                    for task in self._enqueued():
+                        task.status = TaskStatus.FAILED
+                        task.error = {
+                            "message": tb.splitlines()[-1],
+                            "code": "internal",
+                            "type": "internal",
+                            "link": "https://docs.meilisearch.com/errors#internal",
+                        }
+                        task.finished_at = now_iso()
+                    self.wake.notify_all()
+                    continue
+                if not batch_tasks:
+                    self.wake.wait(0.1)
+                    continue
+            try:
+                self._process_batch(batch_tasks)
+            except Exception:  # the catch_unwind twin
+                tb = traceback.format_exc()
+                with self.lock:
+                    for task in batch_tasks:
+                        if task.status == TaskStatus.PROCESSING:
+                            task.status = TaskStatus.FAILED
+                            task.error = {
+                                "message": f"An unexpected crash occurred when processing the task: {tb.splitlines()[-1]}",
+                                "code": "internal",
+                                "type": "internal",
+                                "link": "https://docs.meilisearch.com/errors#internal",
+                            }
+                            task.finished_at = now_iso()
+            with self.wake:
+                self.wake.notify_all()
+
+    def _enqueued(self) -> list[Task]:
+        return sorted(
+            (
+                t
+                for t in self.queue.tasks.values()
+                if t.status == TaskStatus.ENQUEUED
+            ),
+            key=lambda t: t.uid,
+        )
+
+    def _create_next_batch(self) -> list[Task]:
+        """Reference: scheduler/create_batch.rs:524 create_next_batch."""
+        enqueued = self._enqueued()
+        if not enqueued:
+            return []
+        # global priorities
+        for task_type in (
+            TaskType.TASK_CANCELATION,
+            TaskType.TASK_DELETION,
+            TaskType.SNAPSHOT_CREATION,
+            TaskType.DUMP_CREATION,
+            TaskType.UPGRADE_DATABASE,
+            TaskType.EXPORT,
+        ):
+            matching = [t for t in enqueued if t.type == task_type]
+            if matching:
+                if task_type in (TaskType.TASK_CANCELATION,):
+                    return [matching[0]]
+                return matching if task_type == TaskType.TASK_DELETION else [matching[0]]
+        # index swap is standalone
+        swaps = [t for t in enqueued if t.type == TaskType.INDEX_SWAP]
+        if swaps:
+            return [swaps[0]]
+        # index tasks: take the first enqueued task's index, batch its tasks
+        first = enqueued[0]
+        if not self.autobatching_enabled:
+            return [first]
+        return self._autobatch(
+            [t for t in enqueued if t.index_uid == first.index_uid]
+        )
+
+    def _autobatch(self, tasks: list[Task]) -> list[Task]:
+        """Merge consecutive compatible tasks on one index
+        (reference: scheduler/autobatcher.rs BatchKind::accumulate)."""
+        if not tasks:
+            return []
+        batch = [tasks[0]]
+        kind = tasks[0].type
+        if kind in (
+            TaskType.INDEX_CREATION,
+            TaskType.INDEX_UPDATE,
+            TaskType.INDEX_DELETION,
+            TaskType.INDEX_COMPACTION,
+            TaskType.DOCUMENT_EDITION,
+        ):
+            return batch
+        method = (tasks[0].content or {}).get("method")
+        for task in tasks[1:]:
+            if kind == TaskType.DOCUMENT_ADDITION_OR_UPDATE:
+                if (
+                    task.type == TaskType.DOCUMENT_ADDITION_OR_UPDATE
+                    and (task.content or {}).get("method") == method
+                ):
+                    batch.append(task)
+                    continue
+                break
+            if kind == TaskType.DOCUMENT_DELETION:
+                if task.type == TaskType.DOCUMENT_DELETION:
+                    batch.append(task)
+                    continue
+                break
+            if kind == TaskType.SETTINGS_UPDATE:
+                if task.type == TaskType.SETTINGS_UPDATE:
+                    batch.append(task)
+                    continue
+                break
+            break
+        return batch
+
+    # ------------------------------------------------------------------
+    # batch processing
+
+    def _process_batch(self, tasks: list[Task]):
+        batch = self.queue.new_batch()
+        batch.started_at = now_iso()
+        with self.lock:
+            for task in tasks:
+                task.status = TaskStatus.PROCESSING
+                task.started_at = batch.started_at
+                task.batch_uid = batch.uid
+                batch.task_uids.append(task.uid)
+
+        for task in tasks:
+            try:
+                self._process_task(task)
+                task.status = TaskStatus.SUCCEEDED
+            except EngineError as err:
+                task.status = TaskStatus.FAILED
+                task.error = err.to_json()
+            except Exception as err:  # unexpected
+                task.status = TaskStatus.FAILED
+                task.error = {
+                    "message": str(err),
+                    "code": "internal",
+                    "type": "internal",
+                    "link": "https://docs.meilisearch.com/errors#internal",
+                }
+            task.finished_at = now_iso()
+            if self.on_task_finished:
+                try:
+                    self.on_task_finished(task)
+                except Exception:
+                    pass
+        batch.finished_at = now_iso()
+        statuses: dict[str, int] = {}
+        types: dict[str, int] = {}
+        index_uids: dict[str, int] = {}
+        for task in tasks:
+            statuses[task.status.value] = statuses.get(task.status.value, 0) + 1
+            types[task.type.value] = types.get(task.type.value, 0) + 1
+            if task.index_uid:
+                index_uids[task.index_uid] = index_uids.get(task.index_uid, 0) + 1
+            for k, v in (task.details or {}).items():
+                batch.details.setdefault(k, v)
+        batch.stats = {
+            "totalNbTasks": len(tasks),
+            "status": statuses,
+            "types": types,
+            "indexUids": index_uids,
+        }
+
+    def _get_or_create_index(self, uid: str, primary_key=None) -> IndexStore:
+        with self.lock:
+            store = self.indexes.get(uid)
+            if store is None:
+                store = IndexStore(uid, primary_key=primary_key)
+                self.indexes[uid] = store
+            elif primary_key and store.primary_key is None:
+                store.primary_key = primary_key
+            return store
+
+    def _process_task(self, task: Task):
+        t = task.type
+        content = task.content or {}
+        if t == TaskType.INDEX_CREATION:
+            with self.lock:
+                if task.index_uid in self.indexes:
+                    raise EngineError(
+                        ErrorCode.INDEX_ALREADY_EXISTS,
+                        f"Index `{task.index_uid}` already exists.",
+                    )
+                self.indexes[task.index_uid] = IndexStore(
+                    task.index_uid, primary_key=content.get("primaryKey")
+                )
+            task.details = {"primaryKey": content.get("primaryKey")}
+        elif t == TaskType.INDEX_UPDATE:
+            store = self.index(task.index_uid)
+            pk = content.get("primaryKey")
+            if pk is not None:
+                if store.documents and store.primary_key and store.primary_key != pk:
+                    raise EngineError(
+                        ErrorCode.INVALID_STATE,
+                        f"Index `{store.uid}`: Index already has a primary key:"
+                        f" `{store.primary_key}`.",
+                    )
+                store.primary_key = pk
+            task.details = {"primaryKey": pk}
+        elif t == TaskType.INDEX_DELETION:
+            with self.lock:
+                store = self.indexes.pop(task.index_uid, None)
+            if store is None:
+                raise EngineError(
+                    ErrorCode.INDEX_NOT_FOUND,
+                    f"Index `{task.index_uid}` not found.",
+                )
+            task.details = {"deletedDocuments": len(store.documents)}
+        elif t == TaskType.INDEX_SWAP:
+            swaps = content.get("swaps", [])
+            with self.lock:
+                for swap in swaps:
+                    a, b = swap["indexes"]
+                    if a not in self.indexes or b not in self.indexes:
+                        missing = [u for u in (a, b) if u not in self.indexes]
+                        raise EngineError(
+                            ErrorCode.INDEX_NOT_FOUND,
+                            f"Indexes `{', '.join(missing)}` not found.",
+                        )
+                    sa, sb = self.indexes[a], self.indexes[b]
+                    sa.uid, sb.uid = b, a
+                    self.indexes[a], self.indexes[b] = sb, sa
+                    # swap task history (reference: swap_index_uid_in_task)
+                    for other in self.queue.tasks.values():
+                        if other.uid == task.uid:
+                            continue
+                        if other.index_uid == a:
+                            other.index_uid = b
+                        elif other.index_uid == b:
+                            other.index_uid = a
+            task.details = {"swaps": swaps}
+        elif t == TaskType.DOCUMENT_ADDITION_OR_UPDATE:
+            store = self._get_or_create_index(
+                task.index_uid, content.get("primaryKey")
+            )
+            if content.get("primaryKey") and store.primary_key and content[
+                "primaryKey"
+            ] != store.primary_key and store.documents:
+                raise EngineError(
+                    ErrorCode.INVALID_STATE,
+                    f"Index `{store.uid}`: Index already has a primary key:"
+                    f" `{store.primary_key}`.",
+                )
+            if content.get("primaryKey") and not store.documents:
+                store.primary_key = content["primaryKey"]
+            docs = content.get("documents", [])
+            method = content.get("method", "replace")
+            received, indexed = store.add_documents(docs, method=method)
+            task.details = {
+                "receivedDocuments": task.details.get(
+                    "receivedDocuments", received
+                ),
+                "indexedDocuments": indexed,
+            }
+        elif t == TaskType.DOCUMENT_DELETION:
+            store = self._get_or_create_index(task.index_uid)
+            if "filter" in content and content["filter"] is not None:
+                from ..search.filters import evaluate_filter
+
+                docids = evaluate_filter(
+                    store,
+                    content["filter"],
+                    code=ErrorCode.INVALID_DOCUMENT_FILTER,
+                )
+                external = [
+                    store.internal_to_external[d]
+                    for d in (docids or set())
+                    if d in store.internal_to_external
+                ]
+                deleted = store.delete_documents(external)
+                task.details = {
+                    "originalFilter": str(content["filter"]),
+                    "deletedDocuments": deleted,
+                }
+            elif content.get("clear_all"):
+                deleted = store.delete_all_documents()
+                task.details = {"deletedDocuments": deleted}
+            else:
+                ids = [str(i) for i in content.get("ids", [])]
+                deleted = store.delete_documents(ids)
+                task.details = {
+                    "providedIds": len(ids),
+                    "deletedDocuments": deleted,
+                }
+        elif t == TaskType.SETTINGS_UPDATE:
+            store = self._get_or_create_index(task.index_uid)
+            patch = content.get("settings", {})
+            changed = store.settings.apply_json(patch)
+            if changed & REINDEX_SETTINGS and store.documents:
+                store.reindex()
+            else:
+                store._bump()
+            task.details = dict(patch)
+        elif t == TaskType.TASK_CANCELATION:
+            query = content.get("query", "")
+            filters = content.get("filters", {})
+            with self.lock:
+                matched = self.queue.filtered(**filters)
+                canceled = 0
+                for other in matched:
+                    if other.uid == task.uid:
+                        continue
+                    if other.status in (TaskStatus.ENQUEUED, TaskStatus.PROCESSING):
+                        other.status = TaskStatus.CANCELED
+                        other.canceled_by = task.uid
+                        other.finished_at = now_iso()
+                        canceled += 1
+                task.details = {
+                    "matchedTasks": len([m for m in matched if m.uid != task.uid]),
+                    "canceledTasks": canceled,
+                    "originalFilter": query,
+                }
+        elif t == TaskType.TASK_DELETION:
+            query = content.get("query", "")
+            filters = content.get("filters", {})
+            with self.lock:
+                matched = self.queue.filtered(**filters)
+                deleted = 0
+                for other in matched:
+                    if other.uid == task.uid:
+                        continue
+                    if other.status in (
+                        TaskStatus.SUCCEEDED,
+                        TaskStatus.FAILED,
+                        TaskStatus.CANCELED,
+                    ):
+                        del self.queue.tasks[other.uid]
+                        deleted += 1
+                task.details = {
+                    "matchedTasks": len([m for m in matched if m.uid != task.uid]),
+                    "deletedTasks": deleted,
+                    "originalFilter": query,
+                }
+        elif t == TaskType.DUMP_CREATION:
+            from .dumps import create_dump
+
+            path = create_dump(self, content.get("path"))
+            task.details = {"dumpUid": path}
+        elif t == TaskType.SNAPSHOT_CREATION:
+            from .dumps import create_snapshot
+
+            create_snapshot(self, content.get("path"))
+            task.details = {}
+        elif t == TaskType.UPGRADE_DATABASE:
+            task.details = {"upgradeFrom": content.get("from"), "upgradeTo": "current"}
+        elif t == TaskType.INDEX_COMPACTION:
+            self.index(task.index_uid)  # ensure exists
+            task.details = {"preCompactionSize": None, "postCompactionSize": None}
+        elif t == TaskType.DOCUMENT_EDITION:
+            store = self.index(task.index_uid)
+            raise EngineError(
+                ErrorCode.FEATURE_NOT_ENABLED,
+                "Edit documents by function requires the"
+                " `editDocumentsByFunction` experimental feature.",
+            )
+        else:
+            raise AssertionError(t)
+
+    # ------------------------------------------------------------------
+
+    def stats(self) -> dict:
+        with self.lock:
+            indexes = {
+                uid: store.stats() for uid, store in self.indexes.items()
+            }
+            return {
+                "databaseSize": sum(
+                    len(str(s.documents)) for s in self.indexes.values()
+                ),
+                "usedDatabaseSize": 0,
+                "lastUpdate": max(
+                    (
+                        t.finished_at
+                        for t in self.queue.tasks.values()
+                        if t.finished_at
+                    ),
+                    default=None,
+                ),
+                "indexes": indexes,
+            }

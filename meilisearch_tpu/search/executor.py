@@ -40,7 +40,18 @@ class SearchResult:
     candidates: set  # all candidates (for estimatedTotalHits)
     degraded: bool = False
     query_terms: Optional[list] = None
-    scores: list = dc_field(default_factory=list)
+    scores: list = dc_field(default_factory=list)  # aligned with documents_ids
+    # global ranking score per docid for the whole ranked list (hybrid merge)
+    scores_by_docid: dict = dc_field(default_factory=dict)
+
+
+def merge_ranks(ranks: list[tuple[int, int]]) -> float:
+    """Reference: score_details.rs:529 Rank::global_score / merge."""
+    r, m = 1, 1
+    for ri, mi in ranks:
+        r = (r - 1) * mi + ri
+        m *= mi
+    return r / m if m else 1.0
 
 
 @dataclass
@@ -279,15 +290,15 @@ class Search:
 
         # assemble full key matrix in rule order
         keys: list[np.ndarray] = []
+        ea_row = None
         gi = 0
         for rule in rules:
             if rule[0] == "graph":
                 keys.append(cost[gi].astype(np.float64))
                 gi += 1
             elif rule[0] == "exact_attribute":
-                keys.append(
-                    self._exact_attribute_row(candidates, graph, ea_levels)
-                )
+                ea_row = self._exact_attribute_row(candidates, graph, ea_levels)
+                keys.append(ea_row)
             else:
                 keys.extend(self._rule_key_rows(rule, candidates, graph))
 
@@ -299,7 +310,47 @@ class Search:
 
         order = _lexsort_rows([k[valid] for k in keys], candidates[valid])
         ranked = candidates[valid][order]
-        return self._paginate(ranked, set(candidates[valid].tolist()))
+
+        scores_by_docid: dict = {}
+        if self.compute_scores and len(ranked):
+            scores_by_docid = self._compute_global_scores(
+                rules,
+                cost[:, valid][:, order],
+                ea_levels[valid][order],
+                ea_row[valid][order] if ea_row is not None else None,
+                ranked,
+                scorer if graph_dims else None,
+            )
+        return self._paginate(
+            ranked, set(candidates[valid].tolist()), scores_by_docid
+        )
+
+    def _compute_global_scores(
+        self, rules, cost_sorted, levels_sorted, ea_sorted, ranked, scorer
+    ) -> dict:
+        """Global ranking score per ranked docid
+        (reference: ScoreDetails::global_score + Rank::merge)."""
+        out: dict[int, float] = {}
+        max_cache: dict = {}
+        for i, docid in enumerate(ranked.tolist()):
+            k = int(levels_sorted[i]) if len(levels_sorted) else 0
+            ranks: list[tuple[int, int]] = []
+            gi = 0
+            for rule in rules:
+                if rule[0] == "graph":
+                    dim = rule[1]
+                    ckey = (dim, k)
+                    if ckey not in max_cache:
+                        max_cache[ckey] = scorer.max_cost(dim, k) if scorer else 0
+                    next_max = max_cache[ckey] + 1
+                    costv = int(cost_sorted[gi, i])
+                    rank = min(max(next_max - costv, 1), next_max)
+                    ranks.append((rank, next_max))
+                    gi += 1
+                elif rule[0] == "exact_attribute" and ea_sorted is not None:
+                    ranks.append((3 - int(ea_sorted[i]), 3))
+            out[docid] = merge_ranks(ranks)
+        return out
 
     # -- universe ---------------------------------------------------------------
 
@@ -553,7 +604,12 @@ class Search:
                     )
         return out
 
-    def _paginate(self, ranked: np.ndarray, all_candidates: set) -> SearchResult:
+    def _paginate(
+        self,
+        ranked: np.ndarray,
+        all_candidates: set,
+        scores_by_docid: Optional[dict] = None,
+    ) -> SearchResult:
         store = self.store
         distinct_field = self.distinct or store.settings.distinct_attribute
         docids = ranked.tolist()
@@ -586,7 +642,13 @@ class Search:
             max_hits = store.settings.pagination.max_total_hits
         docids = docids[: max_hits]
         page = docids[self.offset : self.offset + self.limit]
-        return SearchResult(documents_ids=page, candidates=all_candidates)
+        scores_by_docid = scores_by_docid or {}
+        return SearchResult(
+            documents_ids=page,
+            candidates=all_candidates,
+            scores=[scores_by_docid.get(d, 1.0) for d in page],
+            scores_by_docid=scores_by_docid,
+        )
 
 
 def _lexsort_rows(keys: list[np.ndarray], docids: np.ndarray) -> np.ndarray:

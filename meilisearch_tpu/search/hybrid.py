@@ -1,0 +1,129 @@
+"""Hybrid (keyword + semantic) search.
+
+Reference: milli/src/search/hybrid.rs — run both searches, weight each side's
+global score by its semantic ratio, merge the two ranked lists keeping the
+best-scored occurrence of each document, re-apply distinct, and report
+`semanticHitCount`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..types.errors import EngineError, ErrorCode
+from .executor import Search, SearchResult
+
+
+def resolve_query_vector(store, query: dict) -> Optional[np.ndarray]:
+    vector = query.get("vector")
+    if vector is not None:
+        return np.asarray(vector, dtype=np.float32)
+    q = query.get("q")
+    if not q:
+        return None
+    from ..vector.embedders import get_embedder
+
+    hybrid = query.get("hybrid") or {}
+    embedder = get_embedder(store, hybrid.get("embedder"))
+    return embedder.embed_search(q)
+
+
+def execute_hybrid(
+    store, keyword_search: Search, query: dict, offset: int, limit: int
+) -> tuple[SearchResult, Optional[int]]:
+    hybrid = query.get("hybrid") or {}
+    ratio = float(hybrid.get("semanticRatio", 0.5))
+    if not (0.0 <= ratio <= 1.0):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            "Invalid value at `.hybrid.semanticRatio`: expected a float"
+            f" between `0.0` and `1.0`, but got `{ratio}`.",
+        )
+    embedder_name = hybrid.get("embedder")
+    if embedder_name is None:
+        raise EngineError(
+            ErrorCode.INVALID_EMBEDDER,
+            "Missing field `.hybrid.embedder`.",
+        )
+
+    # pure keyword
+    if ratio == 0.0 and query.get("vector") is None:
+        return keyword_search.execute(), None
+
+    query_vector = resolve_query_vector(store, query)
+    if query_vector is None:
+        return keyword_search.execute(), None
+
+    from ..vector.store import VectorSearcher
+
+    universe = store.documents_ids()
+    if keyword_search.filter_docids is not None:
+        universe &= keyword_search.filter_docids
+    searcher = VectorSearcher(store, embedder_name)
+    wanted = offset + limit
+    semantic_hits = searcher.search(query_vector, wanted, universe)
+
+    if ratio == 1.0:
+        # pure semantic
+        docids = [d for d, _s in semantic_hits][offset : offset + limit]
+        scores = {d: s for d, s in semantic_hits}
+        result = SearchResult(
+            documents_ids=docids,
+            candidates=universe,
+            scores=[scores.get(d, 0.0) for d in docids],
+            scores_by_docid=scores,
+        )
+        return result, len(docids)
+
+    # hybrid: merge both ranked lists by weighted global score
+    keyword_search.compute_scores = True
+    keyword_search.offset = 0
+    keyword_search.limit = wanted
+    kw = keyword_search.execute()
+
+    # entries: (docid, weighted score for merging, raw score, source)
+    kw_list = [
+        (d, kw.scores_by_docid.get(d, 1.0) * (1.0 - ratio),
+         kw.scores_by_docid.get(d, 1.0), "keyword")
+        for d in kw.documents_ids
+    ]
+    sem_list = [(d, s * ratio, s, "semantic") for d, s in semantic_hits]
+
+    merged: list[tuple[int, float, float, str]] = []
+    i = j = 0
+    while i < len(sem_list) or j < len(kw_list):
+        # ties prefer the semantic side (reference merge_by is_ge with
+        # vector results on the left)
+        if j >= len(kw_list) or (
+            i < len(sem_list) and sem_list[i][1] >= kw_list[j][1]
+        ):
+            merged.append(sem_list[i])
+            i += 1
+        else:
+            merged.append(kw_list[j])
+            j += 1
+
+    seen: set = set()
+    docids: list[int] = []
+    sources: dict[int, str] = {}
+    scores: dict[int, float] = {}
+    for docid, _weighted, raw, source in merged:
+        if docid in seen:
+            continue
+        seen.add(docid)
+        docids.append(docid)
+        sources[docid] = source
+        scores[docid] = raw
+
+    page = docids[offset : offset + limit]
+    semantic_hit_count = sum(1 for d in page if sources.get(d) == "semantic")
+    candidates = set(kw.candidates) | {d for d, _ in semantic_hits}
+    result = SearchResult(
+        documents_ids=page,
+        candidates=candidates,
+        scores=[scores.get(d, 0.0) for d in page],
+        scores_by_docid=scores,
+    )
+    return result, semantic_hit_count

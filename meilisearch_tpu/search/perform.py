@@ -105,6 +105,22 @@ def perform_search(
             f" `0.0` and `1.0` but got `{threshold}`.",
         )
 
+    # semantic / hybrid search kind resolution
+    # (reference: routes/indexes/search.rs search_kind)
+    vector = query.get("vector")
+    hybrid = query.get("hybrid")
+    if vector is not None and hybrid is None:
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            "Invalid request: missing `hybrid` parameter when `vector` is"
+            " present.",
+        )
+
+    semantic_hit_count = None
+    scores_needed = bool(
+        query.get("showRankingScore") or query.get("showRankingScoreDetails")
+    )
+
     search = Search(
         store,
         query=q,
@@ -118,8 +134,17 @@ def perform_search(
         exhaustive_number_hits=is_finite,
         max_total_hits=max_total_hits,
         locales=query.get("locales"),
+        compute_scores=scores_needed or hybrid is not None,
     )
-    result = search.execute()
+
+    if hybrid is not None:
+        from .hybrid import execute_hybrid
+
+        result, semantic_hit_count = execute_hybrid(
+            store, search, query, offset, limit
+        )
+    else:
+        result = search.execute()
 
     hits = build_hits(store, query, result.documents_ids, q)
 
@@ -148,6 +173,15 @@ def perform_search(
         )
         response["facetDistribution"] = dist
         response["facetStats"] = stats
+
+    if semantic_hit_count is not None:
+        response["semanticHitCount"] = semantic_hit_count
+
+    if scores_needed:
+        for hit, docid in zip(hits, result.documents_ids):
+            hit["_rankingScore"] = round(
+                result.scores_by_docid.get(docid, 1.0), 10
+            )
 
     if result.degraded:
         response["degraded"] = True

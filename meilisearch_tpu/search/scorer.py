@@ -649,6 +649,72 @@ class FusedScorer:
             eq &= a[d] == b[d]
         return np.where(lt[None, :], a, b)
 
+    # -- score normalization ---------------------------------------------------
+
+    def max_cost(self, dim: str, k: int) -> int:
+        """Maximum path cost for one rule over the first-k-terms subgraph
+        (reference: graph_based_ranking_rule.rs:144 next_max_cost — the
+        successor of this value is the rule's max_rank)."""
+        key = ("maxcost", dim, k)
+        if key in self._exact_mask_cache:
+            return self._exact_mask_cache[key]
+        nodes = [
+            n
+            for n in self.graph.term_nodes()
+            if dim == "words" or n.located.end_term_id < k
+        ]
+        order = sorted(nodes, key=lambda nd: (nd.located.start_term_id, nd.node_id))
+        ids = {n.node_id for n in nodes}
+        dp: dict[int, int] = {self.graph.root: 0}
+        for node in order:
+            term = node.located
+            rnm = term.term_ids_len - 1
+            best = None
+            for p in node.predecessors:
+                if p not in dp:
+                    continue
+                cost = 0
+                if dim == "typo":
+                    base = term.term_ids_len if term.term.ngram_words else 0
+                    cost = term.term.max_typo_cost() + base
+                elif dim == "proximity":
+                    adjacent = False
+                    if p != self.graph.root:
+                        src = self.graph.nodes[p]
+                        adjacent = (
+                            src.located.end_position + 1 == term.start_position
+                        )
+                    cost = ((MAX_DISTANCE - 1) + rnm) if adjacent else rnm
+                elif dim == "fid":
+                    weights = self.store.fid_weight_map()
+                    max_w = max(weights.values()) if weights else 0
+                    cost = max_w * term.term_ids_len
+                elif dim == "position":
+                    cost = 10 * term.term_ids_len
+                elif dim == "exactness":
+                    cost = term.term_ids_len
+                elif dim == "words":
+                    ns = self.node_states.get(node.node_id)
+                    # a skippable node can contribute its skip cost
+                    cost = (
+                        term.term_ids_len
+                        if ns and ns.removable_group is not None
+                        else 0
+                    )
+                cand = dp[p] + cost
+                if best is None or cand > best:
+                    best = cand
+            if best is not None:
+                dp[node.node_id] = best
+        best_end = 0
+        for p in self.graph.nodes[self.graph.end].predecessors:
+            if p in dp and dp[p] > best_end:
+                best_end = dp[p]
+        if dim == "words" and self.strategy != "all":
+            best_end += max(self.graph.words_in_phrases_count() - 1, 0)
+        self._exact_mask_cache[key] = best_end
+        return best_end
+
     def run(self) -> np.ndarray:
         """Returns the (D, N) cost matrix (INF where no interpretation)."""
         if self.n == 0:

@@ -1,0 +1,222 @@
+"""Embedders.
+
+Reference: milli/src/vector/embedder/ — Embedder enum: HuggingFace (in-process
+inference), OpenAI, Ollama, REST, UserProvided, Composite
+(embedder/mod.rs:23-35); search-time embeddings are LRU-cached.
+
+The TPU build runs local inference through transformers (JAX/torch-cpu) and
+keeps the remote embedders as host HTTP calls.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from functools import lru_cache
+from typing import Optional
+
+import numpy as np
+
+from ..types.errors import EngineError, ErrorCode
+
+KNOWN_SOURCES = (
+    "openAi",
+    "huggingFace",
+    "ollama",
+    "userProvided",
+    "rest",
+    "composite",
+)
+
+
+def validate_embedder_settings(name: str, conf: dict) -> None:
+    source = conf.get("source", "openAi")
+    if source not in KNOWN_SOURCES:
+        raise EngineError(
+            ErrorCode.INVALID_EMBEDDER,
+            f"`.embedders.{name}.source`: Invalid value `{source}`, expected"
+            f" one of {', '.join(KNOWN_SOURCES)}.",
+        )
+    if source == "userProvided" and not conf.get("dimensions"):
+        raise EngineError(
+            ErrorCode.INVALID_EMBEDDER,
+            f"`.embedders.{name}`: Missing field `dimensions` (note: this"
+            " field is mandatory for source `userProvided`)",
+        )
+
+
+class Embedder:
+    """Dispatch over embedder sources."""
+
+    def __init__(self, name: str, conf: dict):
+        self.name = name
+        self.conf = conf
+        self.source = conf.get("source", "openAi")
+        self.dimensions = conf.get("dimensions")
+
+    def embed_search(self, text: str) -> np.ndarray:
+        key = hashlib.sha256(
+            (self.name + "\0" + text).encode("utf-8")
+        ).hexdigest()
+        return _cached_embed(self, key, text)
+
+    def _embed(self, text: str) -> np.ndarray:
+        if self.source == "userProvided":
+            raise EngineError(
+                ErrorCode.VECTOR_EMBEDDING_ERROR,
+                f"Cannot compute embeddings with embedder `{self.name}`:"
+                " `userProvided` embedders cannot embed queries; pass a"
+                " `vector` parameter instead.",
+            )
+        if self.source == "huggingFace":
+            return self._embed_huggingface(text)
+        if self.source in ("openAi", "ollama", "rest"):
+            return self._embed_rest(text)
+        raise EngineError(
+            ErrorCode.VECTOR_EMBEDDING_ERROR,
+            f"Embedder source `{self.source}` is not available.",
+        )
+
+    def _embed_huggingface(self, text: str) -> np.ndarray:
+        try:
+            model_name = self.conf.get(
+                "model", "BAAI/bge-base-en-v1.5"
+            )
+            model, tokenizer = _load_hf_model(model_name)
+            import torch
+
+            with torch.no_grad():
+                tokens = tokenizer(
+                    text, return_tensors="pt", truncation=True, max_length=512
+                )
+                output = model(**tokens)
+                # mean pooling (reference uses the model-configured pooling)
+                emb = output.last_hidden_state.mean(dim=1)[0].numpy()
+            return emb.astype(np.float32)
+        except EngineError:
+            raise
+        except Exception as err:
+            raise EngineError(
+                ErrorCode.VECTOR_EMBEDDING_ERROR,
+                f"Error while generating embeddings with embedder"
+                f" `{self.name}`: {err}",
+            )
+
+    def _embed_rest(self, text: str) -> np.ndarray:
+        import urllib.request
+
+        url = self.conf.get("url")
+        if self.source == "openAi":
+            url = url or "https://api.openai.com/v1/embeddings"
+            payload = {
+                "input": [text],
+                "model": self.conf.get("model", "text-embedding-3-small"),
+            }
+            headers = {"Content-Type": "application/json"}
+            if self.conf.get("apiKey"):
+                headers["Authorization"] = f"Bearer {self.conf['apiKey']}"
+        elif self.source == "ollama":
+            url = url or "http://localhost:11434/api/embed"
+            payload = {"model": self.conf.get("model"), "input": [text]}
+            headers = {"Content-Type": "application/json"}
+        else:
+            if not url:
+                raise EngineError(
+                    ErrorCode.INVALID_EMBEDDER,
+                    f"`.embedders.{self.name}.url`: Missing field `url`"
+                    " (note: this field is mandatory for source `rest`)",
+                )
+            request_template = self.conf.get("request", {"input": "{{text}}"})
+            payload = _inject_text(request_template, text)
+            headers = {"Content-Type": "application/json", **(self.conf.get("headers") or {})}
+            if self.conf.get("apiKey"):
+                headers["Authorization"] = f"Bearer {self.conf['apiKey']}"
+        try:
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode("utf-8"), headers=headers
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                data = json.loads(resp.read().decode("utf-8"))
+        except Exception as err:
+            raise EngineError(
+                ErrorCode.VECTOR_EMBEDDING_ERROR,
+                f"Error while generating embeddings with embedder"
+                f" `{self.name}`: {err}",
+            )
+        emb = _extract_embedding(data, self.conf.get("response"))
+        return np.asarray(emb, dtype=np.float32)
+
+
+@lru_cache(maxsize=4)
+def _load_hf_model(model_name: str):
+    from transformers import AutoModel, AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModel.from_pretrained(model_name)
+    model.eval()
+    return model, tokenizer
+
+
+_search_cache: dict = {}
+
+
+def _cached_embed(embedder: Embedder, key: str, text: str) -> np.ndarray:
+    if key in _search_cache:
+        return _search_cache[key]
+    emb = embedder._embed(text)
+    if len(_search_cache) > 1000:
+        _search_cache.clear()
+    _search_cache[key] = emb
+    return emb
+
+
+def _inject_text(template, text):
+    if isinstance(template, str):
+        return template.replace("{{text}}", text)
+    if isinstance(template, dict):
+        return {k: _inject_text(v, text) for k, v in template.items()}
+    if isinstance(template, list):
+        return [_inject_text(v, text) for v in template]
+    return template
+
+
+def _extract_embedding(data, response_template):
+    # OpenAI shape
+    if isinstance(data, dict) and "data" in data:
+        entries = data["data"]
+        if entries and "embedding" in entries[0]:
+            return entries[0]["embedding"]
+    if isinstance(data, dict) and "embeddings" in data:
+        embs = data["embeddings"]
+        return embs[0] if embs and isinstance(embs[0], list) else embs
+    if isinstance(data, dict) and "embedding" in data:
+        return data["embedding"]
+    if isinstance(data, list):
+        return data[0] if data and isinstance(data[0], list) else data
+    raise EngineError(
+        ErrorCode.VECTOR_EMBEDDING_ERROR,
+        "Could not extract embeddings from the embedder response.",
+    )
+
+
+def get_embedder(store, name: Optional[str]) -> Embedder:
+    embedders = store.settings.embedders
+    if name is None:
+        if len(embedders) == 1:
+            name = next(iter(embedders))
+        else:
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                "The embedder must be specified when the index has several"
+                " embedders configured."
+                if embedders
+                else "Cannot find embedder: the index has no embedders"
+                " configured.",
+            )
+    conf = embedders.get(name)
+    if conf is None:
+        raise EngineError(
+            ErrorCode.INVALID_EMBEDDER,
+            f"Cannot find embedder with name `{name}`.",
+        )
+    return Embedder(name, conf)
