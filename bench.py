@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark: queries/sec on a hackernews-like corpus.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference workload (workloads/hackernews.json) replays ~1M documents and
+search commands; with zero egress we use a synthetic corpus of the same shape
+(meilisearch_tpu/utils/synthetic.py). The search mix exercises typo
+tolerance, multi-word ranking (words/typo/proximity/attribute/exactness),
+filters, and sort — the same paths the reference benches time.
+
+Env knobs: BENCH_DOCS (default 100000), BENCH_ROUNDS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from meilisearch_tpu.index.store import IndexStore
+from meilisearch_tpu.search.perform import perform_search
+from meilisearch_tpu.utils.synthetic import QUERY_SET, generate_hackernews_like
+
+
+def main():
+    n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+
+    t0 = time.perf_counter()
+    docs = generate_hackernews_like(n_docs)
+    gen_s = time.perf_counter() - t0
+
+    store = IndexStore("hackernews", primary_key="id")
+    store.settings.apply_json(
+        {
+            "searchableAttributes": ["title", "url", "author"],
+            "filterableAttributes": ["author", "points", "num_comments"],
+            "sortableAttributes": ["points", "created_at"],
+        }
+    )
+    t0 = time.perf_counter()
+    store.add_documents(docs)
+    index_s = time.perf_counter() - t0
+
+    queries = []
+    for q in QUERY_SET:
+        queries.append({"q": q, "limit": 20})
+    queries.append({"q": "rust", "filter": "points > 1000", "limit": 20})
+    queries.append(
+        {"q": "database", "sort": ["points:desc"], "limit": 20}
+    )
+    queries.append({"q": "ai", "facets": ["author"], "limit": 20})
+
+    # warmup (builds caches, compiles device kernels)
+    for q in queries:
+        perform_search(store, dict(q))
+
+    t0 = time.perf_counter()
+    n_queries = 0
+    for _ in range(rounds):
+        for q in queries:
+            perform_search(store, dict(q))
+            n_queries += 1
+    elapsed = time.perf_counter() - t0
+    qps = n_queries / elapsed
+
+    lat = []
+    for q in queries:
+        t1 = time.perf_counter()
+        perform_search(store, dict(q))
+        lat.append(time.perf_counter() - t1)
+    lat.sort()
+    p50_ms = lat[len(lat) // 2] * 1000
+
+    result = {
+        "metric": "queries_per_sec_hackernews_synthetic_%dk" % (n_docs // 1000),
+        "value": round(qps, 2),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps, 2),
+        "p50_ms": round(p50_ms, 2),
+        "indexing_docs_per_sec": round(n_docs / index_s, 1),
+        "n_docs": n_docs,
+        "corpus_gen_s": round(gen_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Device ranking kernel: the fused lexicographic scorer as one XLA program.
+
+This is the TPU-native replacement for milli's bucket_sort recursion
+(reference: search/new/bucket_sort.rs + graph_based_ranking_rule.rs): the
+host resolves query terms and gathers per-(term, typo-class) posting masks;
+the device then computes, for every candidate document at once, the minimal
+lexicographic cost vector over all query interpretations and returns the
+top-k — a handful of fused elementwise ops (VPU) plus one sort.
+
+Query model (the common chain case):
+  T terms in sequence, C=3 typo classes, `last` matching strategy,
+  rule order: words, typo, proximity, attribute(fid), position, exactness.
+
+Inputs (per query, N = padded candidate count):
+  class_mask : (T, 3, N) bool   — doc matches term t via typo class c
+  pair_cost  : (T-1, 3, 3, N) i8 — relative proximity cost 0..3 between
+               consecutive terms for each (left class, right class)
+  fid_cost   : (T, 3, N) i32    — attribute-rank addend (INF when absent)
+  pos_cost   : (T, 3, N) i32    — word-position addend
+  exact_mask : (T, N) bool      — doc contains the exact original word
+
+The DP carries 4 states per step (3 typo classes + the skip state) with a
+(6, N) cost vector each; `jax.vmap` batches whole queries; sharding the N
+axis over a device mesh turns the same program into the distributed
+scatter-gather search (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = jnp.int32(1 << 24)
+N_DIMS = 6  # words, typo, proximity, fid, position, exactness
+MAX_REL_PROX = 3
+
+
+def _lexmin(a, b):
+    """Lexicographic elementwise min of two (D, N) cost stacks."""
+    lt = jnp.zeros(a.shape[1:], dtype=bool)
+    eq = jnp.ones(a.shape[1:], dtype=bool)
+    for d in range(a.shape[0]):
+        lt = lt | (eq & (a[d] < b[d]))
+        eq = eq & (a[d] == b[d])
+    return jnp.where(lt[None], a, b)
+
+
+@jax.jit
+def chain_cost_matrix(
+    class_mask: jnp.ndarray,  # (T, 3, N) bool
+    pair_cost: jnp.ndarray,  # (T-1, 3, 3, N) int8
+    fid_cost: jnp.ndarray,  # (T, 3, N) int32
+    pos_cost: jnp.ndarray,  # (T, 3, N) int32
+    exact_cost: jnp.ndarray,  # (T, N) int32
+):
+    """The fused DP only: returns the final (6, N) cost matrix so the host
+    can append sort / exact-attribute columns before the final ordering."""
+    T, C, N = class_mask.shape
+
+    def state_costs(t, prev_states):
+        new_states = []
+        visit_prevs = [3] if t == 0 else list(range(C))
+        for cls in range(C):
+            best = None
+            for prev in visit_prevs:
+                entry = jnp.zeros((N_DIMS, N), dtype=jnp.int32)
+                entry = entry.at[1].add(cls)
+                if t > 0:
+                    entry = entry.at[2].add(
+                        pair_cost[t - 1, prev, cls].astype(jnp.int32)
+                    )
+                entry = entry.at[3].add(fid_cost[t, cls])
+                entry = entry.at[4].add(pos_cost[t, cls])
+                entry = entry.at[5].add(exact_cost[t])
+                entry = entry.at[0].add(jnp.where(class_mask[t, cls], 0, INF))
+                cand = prev_states[prev] + entry
+                best = cand if best is None else _lexmin(best, cand)
+            new_states.append(best)
+        skip_entry = jnp.zeros((N_DIMS, N), jnp.int32).at[0].add(1)
+        if t == 0:
+            best_skip = jnp.full((N_DIMS, N), INF, jnp.int32)
+        else:
+            best_skip = None
+            for prev in range(4):
+                cand = prev_states[prev] + skip_entry
+                best_skip = (
+                    cand if best_skip is None else _lexmin(best_skip, cand)
+                )
+        new_states.append(best_skip)
+        return jnp.stack(new_states)
+
+    zero = jnp.zeros((N_DIMS, N), jnp.int32)
+    inf_state = jnp.full((N_DIMS, N), INF, jnp.int32)
+    states = jnp.stack([inf_state, inf_state, inf_state, zero])
+    for t in range(T):
+        states = state_costs(t, states)
+    final = _lexmin(
+        _lexmin(states[0], states[1]), _lexmin(states[2], states[3])
+    )
+    return jnp.minimum(final, INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chain_query_topk(
+    class_mask: jnp.ndarray,  # (T, 3, N) bool
+    pair_cost: jnp.ndarray,  # (T-1, 3, 3, N) int8
+    fid_cost: jnp.ndarray,  # (T, 3, N) int32
+    pos_cost: jnp.ndarray,  # (T, 3, N) int32
+    exact_mask: jnp.ndarray,  # (T, N) bool
+    docids: jnp.ndarray,  # (N,) int32
+    valid: jnp.ndarray,  # (N,) bool — candidate universe membership
+    k: int,
+):
+    """Returns (top_docids (k,), top_key_hi, top_key_lo) — ranked results."""
+    T, C, N = class_mask.shape
+
+    def state_costs(t, prev_states):
+        """prev_states: (4, 6, N) for [cls0, cls1, cls2, skip].
+
+        `last`-strategy suffix semantics: a visit may only follow a visit
+        (or START at t=0); the skip state absorbs every state and never
+        feeds back (reference cheapest_paths.rs nodes_to_skip)."""
+        exact_pen = jnp.where(exact_mask[t], 0, 1).astype(jnp.int32)
+        new_states = []
+        visit_prevs = [3] if t == 0 else list(range(C))
+        for cls in range(C):
+            best = None
+            for prev in visit_prevs:
+                entry = jnp.zeros((N_DIMS, N), dtype=jnp.int32)
+                # typo
+                entry = entry.at[1].add(cls)
+                # proximity: relative pair cost vs previous term class
+                if t > 0:
+                    entry = entry.at[2].add(
+                        pair_cost[t - 1, prev, cls].astype(jnp.int32)
+                    )
+                # fid / position
+                entry = entry.at[3].add(fid_cost[t, cls])
+                entry = entry.at[4].add(pos_cost[t, cls])
+                # exactness
+                entry = entry.at[5].add(exact_pen)
+                # class-mask validity
+                entry = entry.at[0].add(
+                    jnp.where(class_mask[t, cls], 0, INF)
+                )
+                cand = prev_states[prev] + entry
+                best = cand if best is None else _lexmin(best, cand)
+            new_states.append(best)
+        # skip state: +1 on the words dim; the first term is never skippable
+        # (reference removal_order pops the costliest group)
+        skip_entry = jnp.zeros((N_DIMS, N), jnp.int32).at[0].add(1)
+        if t == 0:
+            best_skip = jnp.full((N_DIMS, N), INF, jnp.int32)
+        else:
+            best_skip = None
+            for prev in range(4):
+                cand = prev_states[prev] + skip_entry
+                best_skip = (
+                    cand if best_skip is None else _lexmin(best_skip, cand)
+                )
+        new_states.append(best_skip)
+        return jnp.stack(new_states)
+
+    # START lives in the skip slot before term 0
+    zero = jnp.zeros((N_DIMS, N), jnp.int32)
+    inf_state = jnp.full((N_DIMS, N), INF, jnp.int32)
+    init = jnp.stack([inf_state, inf_state, inf_state, zero])
+
+    states = init
+    for t in range(T):
+        states = state_costs(t, states)
+
+    final = _lexmin(
+        _lexmin(states[0], states[1]), _lexmin(states[2], states[3])
+    )
+    final = jnp.minimum(final, INF)
+    final = jnp.where(valid[None], final, INF)
+
+    # pack the 6 dims into two int32 sort keys:
+    # hi = words(6b) typo(7b) prox(9b) fid upper bits...
+    w = jnp.clip(final[0], 0, 63)
+    ty = jnp.clip(final[1], 0, 127)
+    px = jnp.clip(final[2], 0, 511)
+    fd = jnp.clip(final[3], 0, (1 << 20) - 1)
+    ps = jnp.clip(final[4], 0, (1 << 16) - 1)
+    ex = jnp.clip(final[5], 0, (1 << 10) - 1)
+    invalid = final[0] >= INF
+    key_hi = (w << 23) | (ty << 16) | (px << 7) | (fd >> 13)
+    key_hi = jnp.where(invalid, jnp.int32((1 << 30)), key_hi)
+    key_lo = ((fd & ((1 << 13) - 1)) << 18) | (ps << 2) | (ex >> 8)
+    key_lo2 = ((ex & 255) << 23) | jnp.clip(docids, 0, (1 << 23) - 1)
+
+    sorted_hi, sorted_lo, sorted_lo2, sorted_docs = jax.lax.sort(
+        (key_hi, key_lo, key_lo2, docids), num_keys=3
+    )
+    return sorted_docs[:k], sorted_hi[:k], sorted_lo[:k]
+
+
+def example_inputs(T: int = 4, N: int = 8192, k: int = 10, seed: int = 0):
+    """Build a synthetic example for compile checks and demos."""
+    rng = np.random.default_rng(seed)
+    class_mask = rng.random((T, 3, N)) < np.array([0.2, 0.05, 0.02])[None, :, None]
+    pair_cost = rng.integers(0, MAX_REL_PROX + 1, size=(T - 1, 3, 3, N), dtype=np.int8)
+    fid_cost = rng.integers(0, 4, size=(T, 3, N)).astype(np.int32)
+    pos_cost = rng.integers(0, 10, size=(T, 3, N)).astype(np.int32)
+    exact_mask = rng.random((T, N)) < 0.1
+    docids = np.arange(N, dtype=np.int32)
+    valid = rng.random(N) < 0.9
+    return (
+        jnp.asarray(class_mask),
+        jnp.asarray(pair_cost),
+        jnp.asarray(fid_cost),
+        jnp.asarray(pos_cost),
+        jnp.asarray(exact_mask),
+        jnp.asarray(docids),
+        jnp.asarray(valid),
+    )

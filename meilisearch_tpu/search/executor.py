@@ -274,7 +274,11 @@ class Search:
             scorer = FusedScorer(
                 store, mask_resolver, graph, self.terms_matching_strategy, graph_dims
             )
-            cost = scorer.run()
+            cost = None
+            if _device_scorer_enabled():
+                cost = scorer.run_device()
+            if cost is None:
+                cost = scorer.run()
         else:
             cost = np.zeros((0, len(candidates)), dtype=np.int64)
 
@@ -310,6 +314,8 @@ class Search:
 
         order = _lexsort_rows([k[valid] for k in keys], candidates[valid])
         ranked = candidates[valid][order]
+
+        self._located_terms = [n.located for n in graph.term_nodes()]
 
         scores_by_docid: dict = {}
         if self.compute_scores and len(ranked):
@@ -648,7 +654,26 @@ class Search:
             candidates=all_candidates,
             scores=[scores_by_docid.get(d, 1.0) for d in page],
             scores_by_docid=scores_by_docid,
+            query_terms=getattr(self, "_located_terms", None),
         )
+
+
+def _device_scorer_enabled() -> bool:
+    """MEILI_TPU_DEVICE=1 forces the device DP, =0 disables it; the default
+    (`auto`) uses it when JAX's default backend is an accelerator."""
+    import os
+
+    flag = os.environ.get("MEILI_TPU_DEVICE", "auto")
+    if flag == "1":
+        return True
+    if flag == "0":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def _lexsort_rows(keys: list[np.ndarray], docids: np.ndarray) -> np.ndarray:

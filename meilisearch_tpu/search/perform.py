@@ -146,7 +146,9 @@ def perform_search(
     else:
         result = search.execute()
 
-    hits = build_hits(store, query, result.documents_ids, q)
+    hits = build_hits(
+        store, query, result.documents_ids, q, located_terms=result.query_terms
+    )
 
     total = min(len(result.candidates), max_total_hits)
     response: dict[str, Any] = {
@@ -244,6 +246,7 @@ def build_hits(
     query: dict,
     docids: list[int],
     q: Optional[str],
+    located_terms=None,
 ) -> list[dict]:
     retrieve = query.get("attributesToRetrieve") or ["*"]
     retrieve_vectors = bool(query.get("retrieveVectors", False))
@@ -274,13 +277,14 @@ def build_hits(
 
     matching_words = None
     tokenizer = store.make_tokenizer(query.get("locales"))
-    if q and (needs_format or True):
-        ctx = DerivationContext(store, store.settings)
-        extracted = located_query_terms_from_tokens(ctx, tokenizer, q)
-        terms = extracted.query_terms
-        for i, t in enumerate(terms):
-            t.start_term_id = t.end_term_id = i
-        matching_words = MatchingWords(terms)
+    if q:
+        if located_terms is None:
+            ctx = DerivationContext(store, store.settings)
+            extracted = located_query_terms_from_tokens(ctx, tokenizer, q)
+            located_terms = extracted.query_terms
+            for i, t in enumerate(located_terms):
+                t.start_term_id = t.end_term_id = i
+        matching_words = MatchingWords(located_terms)
 
     hits = []
     for docid in docids:

@@ -131,24 +131,34 @@ class DerivationContext:
     def __init__(self, store, settings) -> None:
         self.store = store
         self.settings = settings
-        self._sorted_words: Optional[list[str]] = None
-        self._packed = None
         self._word_freq_cache: dict[tuple[str, str], int] = {}
+        # per-generation caches shared across searches (the db_cache twin)
+        cache = getattr(store, "_derivation_store_cache", None)
+        if cache is None or cache["generation"] != store.generation:
+            cache = {
+                "generation": store.generation,
+                "sorted_words": None,
+                "packed": None,
+                "terms": {},
+                "prefix_db": {},
+            }
+            store._derivation_store_cache = cache
+        self._cache = cache
 
     # -- dictionary access -------------------------------------------------
 
     @property
     def sorted_words(self) -> list[str]:
-        if self._sorted_words is None:
-            self._sorted_words = self.store.all_words_sorted()
-        return self._sorted_words
+        if self._cache["sorted_words"] is None:
+            self._cache["sorted_words"] = self.store.all_words_sorted()
+        return self._cache["sorted_words"]
 
     def _packed_dict(self):
-        if self._packed is None:
+        if self._cache["packed"] is None:
             from ..ops.levenshtein import pack_words
 
-            self._packed = pack_words(self.sorted_words)
-        return self._packed
+            self._cache["packed"] = pack_words(self.sorted_words)
+        return self._cache["packed"]
 
     def prefix_range(self, prefix: str) -> tuple[int, int]:
         words = self.sorted_words
@@ -240,8 +250,12 @@ class DerivationContext:
             return False
         if len(word.encode("utf-8")) > 4:
             return False
-        lo, hi = self.prefix_range(word)
-        return hi - lo >= 100
+        cached = self._cache["prefix_db"].get(word)
+        if cached is None:
+            lo, hi = self.prefix_range(word)
+            cached = hi - lo >= 100
+            self._cache["prefix_db"][word] = cached
+        return cached
 
     # -- derivations ------------------------------------------------------------
 
@@ -252,6 +266,22 @@ class DerivationContext:
         partially_initialized_term_from_word + full initialization (we compute
         eagerly; laziness is an LMDB-era optimization the batched distance
         pass doesn't need)."""
+        cache_key = (word, max_typo, is_prefix, is_ngram)
+        cached = self._cache["terms"].get(cache_key)
+        if cached is not None:
+            import copy
+
+            return copy.deepcopy(cached)
+        term = self._term_from_word_uncached(word, max_typo, is_prefix, is_ngram)
+        if len(self._cache["terms"]) < 10_000:
+            import copy
+
+            self._cache["terms"][cache_key] = copy.deepcopy(term)
+        return term
+
+    def _term_from_word_uncached(
+        self, word: str, max_typo: int, is_prefix: bool, is_ngram: bool
+    ) -> QueryTerm:
         if len(word) > MAX_WORD_LENGTH:
             return QueryTerm(original=word)
 
@@ -296,8 +326,7 @@ class DerivationContext:
 
         full, prefix_min = osa_distances(word, mat, lens)
         dist = prefix_min if is_prefix else full
-        first = word[0] if word else ""
-        firsts_same = np.array([w[:1] == first for w in words])
+        firsts_same = mat[:, 0] == (ord(word[0]) if word else -1)
 
         if max_typo == 1:
             # one-typo only: candidates must share the first char

@@ -715,10 +715,97 @@ class FusedScorer:
         self._exact_mask_cache[key] = best_end
         return best_end
 
+    DEFAULT_DIMS = ["words", "typo", "proximity", "fid", "position", "exactness"]
+
+    def device_compatible(self) -> bool:
+        """Whether this query maps to the fused device chain kernel
+        (ops/device_scorer.py): `last` strategy, default rule order, 1-gram
+        chain with no live ngram/phrase alternatives."""
+        if self.strategy != "last" or self.exact_flagged:
+            return False
+        if self.dims != self.DEFAULT_DIMS:
+            return False
+        for node in self.graph.term_nodes():
+            term = node.located.term
+            if node.located.term_ids_len > 1:
+                ns = self.node_states[node.node_id]
+                if term.use_prefix_db is not None or any(
+                    m.any() for m in ns.class_masks
+                ):
+                    return False
+            elif term.phrase is not None:
+                return False
+        return True
+
+    def run_device(self):
+        """Build the chain tensors and run the DP on the accelerator.
+        Returns the (D, N) cost matrix or None when incompatible."""
+        if self.n == 0 or not self.device_compatible():
+            return None
+        chain = sorted(
+            (
+                n
+                for n in self.graph.term_nodes()
+                if n.located.term_ids_len == 1
+            ),
+            key=lambda nd: nd.located.start_term_id,
+        )
+        T = len(chain)
+        if T == 0 or T > 16:
+            return None
+        C = 3
+        N = self.n
+        class_mask = np.zeros((T, C, N), dtype=bool)
+        fid_cost = np.full((T, C, N), int(INF), dtype=np.int32)
+        pos_cost = np.full((T, C, N), int(INF), dtype=np.int32)
+        exact_cost = np.zeros((T, N), dtype=np.int32)
+        pair_cost = np.zeros((max(T - 1, 1), C, C, N), dtype=np.int8)
+        for t, node in enumerate(chain):
+            ns = self.node_states[node.node_id]
+            for cls in ns.classes:
+                class_mask[t, cls] = ns.class_masks[ns.classes.index(cls)]
+                fid_cost[t, cls] = np.minimum(
+                    self._fid_addend(node, self._sel("fid", cls, 0)), int(INF)
+                )
+                pos_cost[t, cls] = np.minimum(
+                    self._position_addend(node, self._sel("position", cls, 0)),
+                    int(INF),
+                )
+            exact_cost[t] = self._exactness_addend(node)
+            if t > 0:
+                left = chain[t - 1]
+                adjacent = (
+                    left.located.end_position + 1 == node.located.start_position
+                )
+                if adjacent:
+                    for c1 in range(C):
+                        if c1 not in self.node_states[left.node_id].classes:
+                            continue
+                        for c2 in ns.classes:
+                            pair_cost[t - 1, c1, c2] = self._pair_cost(
+                                left,
+                                self._sel("proximity", c1, 0),
+                                node,
+                                self._sel("proximity", c2, 0),
+                            ).astype(np.int8)
+                # non-adjacent pairs stay 0 (the free term edge)
+        from ..ops.device_scorer import chain_cost_matrix
+
+        out = chain_cost_matrix(
+            class_mask, pair_cost, fid_cost, pos_cost, exact_cost
+        )
+        out = np.asarray(out).astype(np.int64)
+        return np.where(out >= int(INF), int(INF), out)
+
     def run(self) -> np.ndarray:
         """Returns the (D, N) cost matrix (INF where no interpretation)."""
         if self.n == 0:
             return np.zeros((len(self.dims), 0), dtype=np.int64)
+        if self.strategy == "last":
+            # `last` drops suffixes only: one DP with a skip mode suffices
+            # (removal-group order is monotone in term position, so once a
+            # node is skipped every later node must be skipped too)
+            return self._run_with_threshold(None)
         best: Optional[np.ndarray] = None
         thresholds = (
             range(self.n_groups + 1) if self.strategy != "all" else range(1)
@@ -728,10 +815,14 @@ class FusedScorer:
             best = res if best is None else self._lexmin(best, res)
         return best
 
-    def _run_with_threshold(self, T: int) -> np.ndarray:
+    def _run_with_threshold(self, T) -> np.ndarray:
         """One DP where nodes in removal groups < T may be skipped and nodes
         in groups < T-1 may NOT be visited (max_skip <= min_visit invariant,
-        reference cheapest_paths.rs nodes_to_skip)."""
+        reference cheapest_paths.rs nodes_to_skip).
+
+        T=None runs the `last`-strategy suffix-mode DP: every node is
+        visitable, every removable node is skippable, but skip states never
+        feed back into visit states."""
         D = len(self.dims)
         order = sorted(
             self.graph.term_nodes(),
@@ -752,11 +843,17 @@ class FusedScorer:
 
         words_dim = self.dim_idx.get("words")
 
+        suffix_mode = T is None
+
         for node in order:
             ns = self.node_states[node.node_id]
             g = ns.removable_group
-            visitable = g is None or g >= T - 1
-            skippable = g is not None and g < T
+            if suffix_mode:
+                visitable = True
+                skippable = g is not None
+            else:
+                visitable = g is None or g >= T - 1
+                skippable = g is not None and g < T
 
             preds = node.predecessors
             pred_states = []
@@ -768,15 +865,23 @@ class FusedScorer:
                 continue
 
             if visitable:
+                # in suffix mode a REMOVABLE node may not be visited after a
+                # skip; mandatory/phrase nodes (no removal group) always may
+                visit_preds = (
+                    [s for s in pred_states if s[0] != "skip"]
+                    if suffix_mode and g is not None
+                    else pred_states
+                )
                 for cls in ns.classes:
                     for e in eflags:
                         best = None
-                        for s in pred_states:
+                        for s in visit_preds:
                             cand = dp[s] + self._entry_cost(s, node, cls, e)
                             best = (
                                 cand if best is None else self._lexmin(best, cand)
                             )
-                        dp[(node.node_id, cls, e)] = best
+                        if best is not None:
+                            dp[(node.node_id, cls, e)] = best
             if skippable:
                 skip_cost = np.zeros((D, self.n), dtype=np.int64)
                 if words_dim is not None:

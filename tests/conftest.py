@@ -7,9 +7,17 @@ compiles and executes without TPU hardware (mirrors the driver's
 
 import os
 
+# The axon jax plugin is pre-imported at interpreter startup, so env vars set
+# here are too late for platform selection; jax.config still works as long as
+# no backend client has been created yet.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,77 @@
+"""Differential tests: device chain kernel vs the host reference scorer,
+and the multichip sharded path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from meilisearch_tpu.index.store import IndexStore
+from meilisearch_tpu.search.executor import Search
+
+
+def make_store(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta",
+        "lambda", "sigma", "omega", "kappa", "tau",
+    ]
+    docs = []
+    for i in range(n):
+        words = rng.choice(vocab, size=rng.integers(2, 9))
+        docs.append({"id": i, "text": " ".join(words.tolist())})
+    store = IndexStore("t", primary_key="id")
+    store.settings.apply_json({"searchableAttributes": ["text"]})
+    store.add_documents(docs)
+    return store
+
+
+QUERIES = [
+    "alpha beta",
+    "gamma delta epsilon",
+    "alpha omge",  # typo
+    "sigma kappa tau omega",
+    "alph",  # prefix
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_device_matches_host(query, monkeypatch):
+    store = make_store()
+
+    monkeypatch.setenv("MEILI_TPU_DEVICE", "0")
+    host = Search(store, query=query, limit=50).execute().documents_ids
+
+    monkeypatch.setenv("MEILI_TPU_DEVICE", "1")
+    device = Search(store, query=query, limit=50).execute().documents_ids
+
+    assert host == device, (query, host[:10], device[:10])
+
+
+def test_device_incompatible_falls_back(monkeypatch):
+    store = make_store()
+    monkeypatch.setenv("MEILI_TPU_DEVICE", "1")
+    # phrases are not chain-compatible: must still return correct results
+    res = Search(store, query='"alpha beta"', limit=10).execute()
+    monkeypatch.setenv("MEILI_TPU_DEVICE", "0")
+    ref = Search(store, query='"alpha beta"', limit=10).execute()
+    assert res.documents_ids == ref.documents_ids
+
+
+def test_sharded_query_matches_single_device():
+    import jax
+
+    from meilisearch_tpu.ops.device_scorer import (
+        chain_query_topk,
+        example_inputs,
+    )
+    from meilisearch_tpu.parallel.sharded import make_mesh, sharded_query_topk
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    inputs = example_inputs(T=3, N=256 * n_dev, k=8)
+    single_docs, single_hi, _ = chain_query_topk(*inputs, k=8)
+    mesh = make_mesh(n_dev)
+    sharded_docs, sharded_hi = sharded_query_topk(mesh, inputs, k=8)
+    assert np.asarray(single_docs).tolist() == np.asarray(sharded_docs).tolist()
