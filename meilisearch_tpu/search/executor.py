@@ -659,21 +659,15 @@ class Search:
 
 
 def _device_scorer_enabled() -> bool:
-    """MEILI_TPU_DEVICE=1 forces the device DP, =0 disables it; the default
-    (`auto`) uses it when JAX's default backend is an accelerator."""
+    """MEILI_TPU_DEVICE=1 enables the device DP for chain queries.
+
+    Off by default for now: the masks are still host-built, and shipping
+    them to the device costs more than the DP saves. It flips to default-on
+    once posting lists are device-resident and the masks are gathered
+    on-device (the device snapshot milestone)."""
     import os
 
-    flag = os.environ.get("MEILI_TPU_DEVICE", "auto")
-    if flag == "1":
-        return True
-    if flag == "0":
-        return False
-    try:
-        import jax
-
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    return os.environ.get("MEILI_TPU_DEVICE", "0") == "1"
 
 
 def _lexsort_rows(keys: list[np.ndarray], docids: np.ndarray) -> np.ndarray:

@@ -791,10 +791,25 @@ class FusedScorer:
                 # non-adjacent pairs stay 0 (the free term edge)
         from ..ops.device_scorer import chain_cost_matrix
 
+        # pad the candidate axis to a power of two so XLA compiles one
+        # program per (T, bucket) instead of per query
+        n_pad = max(1024, 1 << (N - 1).bit_length())
+        if n_pad != N:
+            pad = n_pad - N
+            class_mask = np.pad(class_mask, ((0, 0), (0, 0), (0, pad)))
+            fid_cost = np.pad(
+                fid_cost, ((0, 0), (0, 0), (0, pad)), constant_values=int(INF)
+            )
+            pos_cost = np.pad(
+                pos_cost, ((0, 0), (0, 0), (0, pad)), constant_values=int(INF)
+            )
+            exact_cost = np.pad(exact_cost, ((0, 0), (0, pad)))
+            pair_cost = np.pad(pair_cost, ((0, 0), (0, 0), (0, 0), (0, pad)))
+
         out = chain_cost_matrix(
             class_mask, pair_cost, fid_cost, pos_cost, exact_cost
         )
-        out = np.asarray(out).astype(np.int64)
+        out = np.asarray(out)[:, :N].astype(np.int64)
         return np.where(out >= int(INF), int(INF), out)
 
     def run(self) -> np.ndarray:
