@@ -281,6 +281,12 @@ class Tokenizer:
         stop_words.rs test_stop_words_not_indexed + the `is_word()` filter in
         process_tokens).
         """
+        if self.custom_separators is None and self.dictionary is None:
+            from .native import native_indexed_words
+
+            result = native_indexed_words(text, self.stop_words)
+            if result is not None:
+                return result
         out: list[tuple[str, int]] = []
         position = 0
         prev: Optional[TokenKind] = None
@@ -301,8 +307,11 @@ class Tokenizer:
                 ):
                     out.append((word, position))
             elif token.kind is TokenKind.SEPARATOR_HARD:
-                prev = TokenKind.SEPARATOR_HARD
+                # leading separators are ignored (reference process_tokens
+                # skip_while(is_separator))
+                if prev is not None:
+                    prev = TokenKind.SEPARATOR_HARD
             elif token.kind is TokenKind.SEPARATOR_SOFT:
-                if prev is not TokenKind.SEPARATOR_HARD:
+                if prev is not None and prev is not TokenKind.SEPARATOR_HARD:
                     prev = TokenKind.SEPARATOR_SOFT
         return out
