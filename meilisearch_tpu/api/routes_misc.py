@@ -458,6 +458,123 @@ def register_misc_routes(app):
     app.add("POST", "/logs/stderr", "public", logs_stderr)
 
 
+    # -- chats (OpenAI-compatible workspaces; reference routes/chats/) --------
+
+    def list_chats(app_, req):
+        _check_feature(app_, "chatCompletions")
+        workspaces = getattr(app_.scheduler, "chat_workspaces", {})
+        return {
+            "results": [{"uid": uid} for uid in sorted(workspaces)],
+            "offset": 0,
+            "limit": 20,
+            "total": len(workspaces),
+        }
+
+    app.add("GET", "/chats", "chats.get", list_chats)
+
+    def get_chat_settings(app_, req):
+        _check_feature(app_, "chatCompletions")
+        workspaces = getattr(app_.scheduler, "chat_workspaces", {})
+        ws = workspaces.get(req.params["workspace"])
+        if ws is None:
+            raise EngineError(
+                ErrorCode.NOT_FOUND,
+                f"Chat `{req.params['workspace']}` not found",
+            )
+        redacted = dict(ws)
+        if redacted.get("apiKey"):
+            redacted["apiKey"] = "XXX...XXX"
+        return redacted
+
+    app.add("GET", "/chats/{workspace}/settings", "chatsSettings.get", get_chat_settings)
+
+    def put_chat_settings(app_, req):
+        _check_feature(app_, "chatCompletions")
+        if not hasattr(app_.scheduler, "chat_workspaces"):
+            app_.scheduler.chat_workspaces = {}
+        body = req.body or {}
+        source = body.get("source", "openAi")
+        if source not in ("openAi", "azureOpenAi", "mistral", "gemini", "vLlm"):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                f"Unknown value `{source}` at `.source`.",
+            )
+        app_.scheduler.chat_workspaces[req.params["workspace"]] = body
+        return body
+
+    app.add("PUT", "/chats/{workspace}/settings", "chatsSettings.update", put_chat_settings)
+    app.add("PATCH", "/chats/{workspace}/settings", "chatsSettings.update", put_chat_settings)
+
+    def delete_chat_settings(app_, req):
+        _check_feature(app_, "chatCompletions")
+        workspaces = getattr(app_.scheduler, "chat_workspaces", {})
+        if req.params["workspace"] not in workspaces:
+            raise EngineError(
+                ErrorCode.NOT_FOUND,
+                f"Chat `{req.params['workspace']}` not found",
+            )
+        del workspaces[req.params["workspace"]]
+        return Response(204)
+
+    app.add("DELETE", "/chats/{workspace}/settings", "chatsSettings.update", delete_chat_settings)
+
+    def chat_completions(app_, req):
+        _check_feature(app_, "chatCompletions")
+        workspaces = getattr(app_.scheduler, "chat_workspaces", {})
+        ws = workspaces.get(req.params["workspace"])
+        if ws is None:
+            raise EngineError(
+                ErrorCode.NOT_FOUND,
+                f"Chat `{req.params['workspace']}` not found",
+            )
+        raise EngineError(
+            ErrorCode.FEATURE_NOT_ENABLED,
+            "Chat completions require an upstream LLM; no egress is available"
+            " in this deployment.",
+        )
+
+    app.add(
+        "POST",
+        "/chats/{workspace}/chat/completions",
+        "chatCompletions",
+        chat_completions,
+    )
+
+    # -- export (push documents+settings to a remote instance) ------------------
+
+    def export(app_, req):
+        body = req.body or {}
+        url = body.get("url")
+        if not url:
+            raise EngineError(ErrorCode.BAD_REQUEST, "Missing field `url`")
+        task = app_.scheduler.register(
+            TaskType.EXPORT,
+            content={
+                "url": url,
+                "apiKey": body.get("apiKey"),
+                "payloadSize": body.get("payloadSize"),
+                "indexes": body.get("indexes"),
+            },
+            details={"url": url, "indexes": body.get("indexes") or {"*": {}}},
+        )
+        return Response(202, json=task.summary())
+
+    app.add("POST", "/export", "export", export)
+
+    # -- render template (reference routes/indexes/render.rs) -------------------
+
+    def render_template(app_, req):
+        raise EngineError(
+            ErrorCode.FEATURE_NOT_ENABLED,
+            "The render-template route requires the `multimodal` experimental"
+            " feature."
+            if not app_.scheduler.runtime_features.get("multimodal")
+            else "Template rendering is not implemented yet.",
+        )
+
+    app.add("POST", "/render-template", "settings.get", render_template)
+
+
 def _check_feature(app_, name: str):
     if not app_.scheduler.runtime_features.get(name, False):
         raise EngineError(

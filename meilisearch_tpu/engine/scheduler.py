@@ -517,6 +517,60 @@ class IndexScheduler:
 
             create_snapshot(self, content.get("path"))
             task.details = {}
+        elif t == TaskType.EXPORT:
+            # push settings + documents to a remote instance
+            # (reference: scheduler/process_export.rs)
+            import json as _json
+            import urllib.request
+
+            url = content["url"].rstrip("/")
+            api_key = content.get("apiKey")
+            patterns = content.get("indexes") or {"*": {}}
+
+            def _post(path, payload, method="POST"):
+                data = _json.dumps(payload).encode("utf-8")
+                req = urllib.request.Request(
+                    url + path, data=data, method=method,
+                    headers={"Content-Type": "application/json"},
+                )
+                if api_key:
+                    req.add_header("Authorization", f"Bearer {api_key}")
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    return _json.loads(resp.read().decode("utf-8"))
+
+            exported = 0
+            with self.lock:
+                stores = list(self.indexes.values())
+            for store in stores:
+                spec = None
+                for pattern, pspec in patterns.items():
+                    if pattern == "*" or store.uid == pattern or (
+                        pattern.endswith("*")
+                        and store.uid.startswith(pattern[:-1])
+                    ):
+                        spec = pspec or {}
+                        break
+                if spec is None:
+                    continue
+                _post(f"/indexes/{store.uid}/settings", store.settings.to_json(), "PATCH")
+                docs = [store.documents[d] for d in sorted(store.documents)]
+                if spec.get("filter"):
+                    from ..search.filters import evaluate_filter
+
+                    allowed = evaluate_filter(store, spec["filter"])
+                    docs = [
+                        store.documents[d]
+                        for d in sorted(store.documents)
+                        if d in allowed
+                    ]
+                for i in range(0, len(docs), 1000):
+                    _post(f"/indexes/{store.uid}/documents", docs[i : i + 1000])
+                exported += len(docs)
+            task.details = {
+                "url": content["url"],
+                "indexes": patterns,
+                "exportedDocuments": exported,
+            }
         elif t == TaskType.UPGRADE_DATABASE:
             task.details = {"upgradeFrom": content.get("from"), "upgradeTo": "current"}
         elif t == TaskType.INDEX_COMPACTION:

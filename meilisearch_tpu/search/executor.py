@@ -43,6 +43,7 @@ class SearchResult:
     scores: list = dc_field(default_factory=list)  # aligned with documents_ids
     # global ranking score per docid for the whole ranked list (hybrid merge)
     scores_by_docid: dict = dc_field(default_factory=dict)
+    details_by_docid: dict = dc_field(default_factory=dict)
 
 
 def merge_ranks(ranks: list[tuple[int, int]]) -> float:
@@ -69,12 +70,24 @@ class Search:
     max_total_hits: Optional[int] = None
     locales: Optional[list[str]] = None
     compute_scores: bool = False
+    compute_score_details: bool = False
+    cutoff_ms: Optional[int] = None
 
     # ------------------------------------------------------------------
 
     def execute(self) -> SearchResult:
+        import time as _time
+
         store = self.store
         settings = store.settings
+        cutoff = (
+            self.cutoff_ms
+            if self.cutoff_ms is not None
+            else settings.search_cutoff_ms
+        )
+        self._deadline = (
+            _time.perf_counter() + cutoff / 1000.0 if cutoff is not None else None
+        )
 
         self._check_sort_criteria()
 
@@ -268,7 +281,14 @@ class Search:
         rules = self._assembled_rules(for_query=True)
         graph_dims = [r[1] for r in rules if r[0] == "graph"]
 
-        if graph_dims:
+        degraded = False
+        if graph_dims and self._deadline_exceeded():
+            # degraded search (reference: bucket_sort.rs:206 deadline path —
+            # remaining rules are Skipped): rank by docid only
+            degraded = True
+            cost = np.zeros((len(graph_dims), len(candidates)), dtype=np.int64)
+            scorer = None
+        elif graph_dims:
             mask_resolver = Resolver(store, candidates, restricted_fids)
             mask_resolver._phrase_cache = resolver._phrase_cache
             scorer = FusedScorer(
@@ -280,6 +300,7 @@ class Search:
             if cost is None:
                 cost = scorer.run()
         else:
+            scorer = None
             cost = np.zeros((0, len(candidates)), dtype=np.int64)
 
         # per-doc words level: how many leading terms the doc's best
@@ -318,7 +339,8 @@ class Search:
         self._located_terms = [n.located for n in graph.term_nodes()]
 
         scores_by_docid: dict = {}
-        if self.compute_scores and len(ranked):
+        details_by_docid: dict = {}
+        if self.compute_scores and len(ranked) and not degraded:
             scores_by_docid = self._compute_global_scores(
                 rules,
                 cost[:, valid][:, order],
@@ -327,9 +349,110 @@ class Search:
                 ranked,
                 scorer if graph_dims else None,
             )
-        return self._paginate(
+            if self.compute_score_details:
+                details_by_docid = self._compute_score_details(
+                    rules,
+                    cost[:, valid][:, order],
+                    ea_levels[valid][order],
+                    ea_row[valid][order] if ea_row is not None else None,
+                    ranked,
+                    scorer if graph_dims else None,
+                )
+        result = self._paginate(
             ranked, set(candidates[valid].tolist()), scores_by_docid
         )
+        result.degraded = degraded
+        result.details_by_docid = details_by_docid
+        return result
+
+    def _deadline_exceeded(self) -> bool:
+        import time as _time
+
+        return self._deadline is not None and _time.perf_counter() > self._deadline
+
+    def _compute_score_details(
+        self, rules, cost_sorted, levels_sorted, ea_sorted, ranked, scorer
+    ) -> dict:
+        """Per-rule `_rankingScoreDetails` entries
+        (reference: score_details.rs ScoreDetails serialization)."""
+        out: dict[int, dict] = {}
+        max_cache: dict = {}
+        for i, docid in enumerate(ranked.tolist()):
+            k = int(levels_sorted[i]) if len(levels_sorted) else 0
+            details: dict = {}
+            order_idx = 0
+            gi = 0
+            for rule in rules:
+                if rule[0] == "graph":
+                    dim = rule[1]
+                    ckey = (dim, k)
+                    if ckey not in max_cache:
+                        max_cache[ckey] = scorer.max_cost(dim, k) if scorer else 0
+                    next_max = max_cache[ckey] + 1
+                    costv = int(cost_sorted[gi, i])
+                    rank = min(max(next_max - costv, 1), next_max)
+                    score = rank / next_max
+                    if dim == "words":
+                        details["words"] = {
+                            "order": order_idx,
+                            "matchingWords": rank,
+                            "maxMatchingWords": next_max,
+                            "score": score,
+                        }
+                    elif dim == "typo":
+                        details["typo"] = {
+                            "order": order_idx,
+                            "typoCount": costv,
+                            "maxTypoCount": next_max - 1,
+                            "score": score,
+                        }
+                    elif dim == "proximity":
+                        details["proximity"] = {"order": order_idx, "score": score}
+                    elif dim == "fid":
+                        details["attribute"] = {
+                            "order": order_idx,
+                            "attributeRankingOrderScore": score,
+                            "queryWordDistanceScore": score,
+                            "score": score,
+                        }
+                    elif dim == "position":
+                        details.setdefault(
+                            "attribute",
+                            {"order": order_idx, "score": score},
+                        )
+                        details["attribute"]["queryWordDistanceScore"] = score
+                    elif dim == "exactness":
+                        details["exactness"] = {
+                            "order": order_idx,
+                            "matchingWords": max(rank - 1, 0),
+                            "maxMatchingWords": next_max - 1,
+                            "score": score,
+                        }
+                    gi += 1
+                    order_idx += 1
+                elif rule[0] == "exact_attribute" and ea_sorted is not None:
+                    ea = int(ea_sorted[i])
+                    details["exactness"] = details.get("exactness", {})
+                    order_idx += 0  # folded into exactness in the API view
+                elif rule[0] == "sort_field":
+                    field, asc = rule[1], rule[2]
+                    key = f"{field}:{'asc' if asc else 'desc'}"
+                    fid = self.store.fields_ids_map.id(field)
+                    value = None
+                    if fid is not None:
+                        nums = self.store.docid_facet_numbers.get((fid, docid))
+                        if nums:
+                            value = (min(nums) if asc else max(nums))
+                        else:
+                            strs = self.store.docid_facet_strings.get((fid, docid))
+                            if strs:
+                                value = strs[0][1]
+                    details[key] = {"order": order_idx, "value": value}
+                    order_idx += 1
+                elif rule[0] == "geo":
+                    order_idx += 1
+            out[docid] = details
+        return out
 
     def _compute_global_scores(
         self, rules, cost_sorted, levels_sorted, ea_sorted, ranked, scorer

@@ -135,6 +135,7 @@ def perform_search(
         max_total_hits=max_total_hits,
         locales=query.get("locales"),
         compute_scores=scores_needed or hybrid is not None,
+        compute_score_details=bool(query.get("showRankingScoreDetails")),
     )
 
     if hybrid is not None:
@@ -181,9 +182,14 @@ def perform_search(
 
     if scores_needed:
         for hit, docid in zip(hits, result.documents_ids):
-            hit["_rankingScore"] = round(
-                result.scores_by_docid.get(docid, 1.0), 10
-            )
+            if query.get("showRankingScore"):
+                hit["_rankingScore"] = round(
+                    result.scores_by_docid.get(docid, 1.0), 10
+                )
+            if query.get("showRankingScoreDetails"):
+                hit["_rankingScoreDetails"] = result.details_by_docid.get(
+                    docid, {}
+                )
 
     if result.degraded:
         response["degraded"] = True

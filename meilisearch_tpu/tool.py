@@ -1,0 +1,92 @@
+"""Offline ops CLI — the meilitool equivalent
+(reference: crates/meilitool/src/main.rs: clear task queue, export dumps and
+documents, offline upgrade, compaction).
+
+Usage:
+  python -m meilisearch_tpu.tool export-dump --snapshot data.ms.snapshot --out dir/
+  python -m meilisearch_tpu.tool import-dump --dump file.dump --out data.ms.snapshot
+  python -m meilisearch_tpu.tool export-documents --snapshot data.ms.snapshot --index movies
+  python -m meilisearch_tpu.tool clear-tasks --snapshot data.ms.snapshot
+  python -m meilisearch_tpu.tool stats --snapshot data.ms.snapshot
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_instance(path):
+    from .engine.dumps import load_dump, load_snapshot
+    from .engine.scheduler import IndexScheduler
+
+    scheduler = IndexScheduler(autobatching_enabled=False)
+    if path.endswith(".dump"):
+        load_dump(scheduler, path)
+    else:
+        load_snapshot(scheduler, path)
+    return scheduler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="meilisearch-tpu-tool")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("export-dump", help="write a logical dump")
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--out", default=None)
+
+    p = sub.add_parser("import-dump", help="load a dump and write a snapshot")
+    p.add_argument("--dump", required=True)
+    p.add_argument("--out", default=None)
+
+    p = sub.add_parser("export-documents", help="print an index's documents as NDJSON")
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--index", required=True)
+
+    p = sub.add_parser("clear-tasks", help="drop all finished tasks")
+    p.add_argument("--snapshot", required=True)
+
+    p = sub.add_parser("stats", help="print instance stats")
+    p.add_argument("--snapshot", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "export-dump":
+        scheduler = _load_instance(args.snapshot)
+        from .engine.dumps import create_dump
+
+        uid = create_dump(scheduler, args.out)
+        print(f"dump created: {uid}")
+        scheduler.stop()
+    elif args.command == "import-dump":
+        scheduler = _load_instance(args.dump)
+        from .engine.dumps import create_snapshot
+
+        path = create_snapshot(scheduler, args.out)
+        print(f"snapshot written: {path}")
+        scheduler.stop()
+    elif args.command == "export-documents":
+        scheduler = _load_instance(args.snapshot)
+        store = scheduler.index(args.index)
+        for docid in sorted(store.documents):
+            sys.stdout.write(json.dumps(store.documents[docid]) + "\n")
+        scheduler.stop()
+    elif args.command == "clear-tasks":
+        scheduler = _load_instance(args.snapshot)
+        n = len(scheduler.queue.tasks)
+        scheduler.queue.tasks.clear()
+        from .engine.dumps import create_snapshot
+
+        create_snapshot(scheduler, None)
+        print(f"cleared {n} tasks")
+        scheduler.stop()
+    elif args.command == "stats":
+        scheduler = _load_instance(args.snapshot)
+        print(json.dumps(scheduler.stats(), indent=2, default=str))
+        scheduler.stop()
+
+
+if __name__ == "__main__":
+    main()
