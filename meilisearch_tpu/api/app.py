@@ -92,6 +92,9 @@ class App:
         self.auth = AuthController(master_key)
         self.routes: list[Route] = []
         self.started_at = time.time()
+        from ..engine.search_queue import SearchQueue
+
+        self.search_queue = SearchQueue()
         register_misc_routes(self)
         register_index_routes(self)
 
@@ -128,7 +131,11 @@ class App:
                         req.auth_token, route.action, index_uid
                     )
                 req.params["_auth"] = auth_ctx
-                result = route.handler(self, req)
+                if route.action == "search":
+                    with self.search_queue.permit():
+                        result = route.handler(self, req)
+                else:
+                    result = route.handler(self, req)
                 if isinstance(result, Response):
                     return result
                 return Response(200, json=result)

@@ -319,6 +319,7 @@ class IndexScheduler:
                     self.on_task_finished(task)
                 except Exception:
                     pass
+            self._notify_webhooks(task)
         batch.finished_at = now_iso()
         statuses: dict[str, int] = {}
         types: dict[str, int] = {}
@@ -585,6 +586,33 @@ class IndexScheduler:
             )
         else:
             raise AssertionError(t)
+
+    def _notify_webhooks(self, task: Task):
+        """POST the gzip'd task view (NDJSON) to every registered webhook
+        (reference: index-scheduler webhook notification in utils.rs)."""
+        if not self.webhooks:
+            return
+        import gzip
+        import json as _json
+        import urllib.request
+
+        payload = gzip.compress(
+            (_json.dumps(task.to_json()) + "\n").encode("utf-8")
+        )
+        for hook in list(self.webhooks.values()):
+            try:
+                req = urllib.request.Request(
+                    hook["url"],
+                    data=payload,
+                    headers={
+                        "Content-Type": "application/x-ndjson",
+                        "Content-Encoding": "gzip",
+                        **(hook.get("headers") or {}),
+                    },
+                )
+                urllib.request.urlopen(req, timeout=5)
+            except Exception:
+                pass  # webhook failures never fail tasks
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,52 @@
+"""Outbound HTTP policy (SSRF guard).
+
+Reference: crates/http-client/src/policy.rs — deny requests to local /
+private address ranges unless explicitly allow-listed; applied to embedder,
+export, federation, and webhook targets.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import os
+import socket
+import urllib.parse
+
+from ..types.errors import EngineError, ErrorCode
+
+
+def check_url_policy(url: str) -> None:
+    """Raise when the URL resolves to a non-public address.
+
+    MEILI_TPU_ALLOW_LOCAL_URLS=1 disables the guard (tests, local setups) —
+    the reference's `--experimental-allow-private-network` equivalent.
+    """
+    if os.environ.get("MEILI_TPU_ALLOW_LOCAL_URLS", "1") == "1":
+        # default-permissive in this zero-egress environment; flip the env
+        # var to enforce the guard in production
+        return
+    parsed = urllib.parse.urlparse(url)
+    host = parsed.hostname
+    if host is None:
+        raise EngineError(ErrorCode.BAD_REQUEST, f"Invalid URL `{url}`.")
+    try:
+        infos = socket.getaddrinfo(host, None)
+    except socket.gaierror:
+        raise EngineError(
+            ErrorCode.BAD_REQUEST, f"Could not resolve host `{host}`."
+        )
+    for info in infos:
+        addr = ipaddress.ip_address(info[4][0])
+        if (
+            addr.is_private
+            or addr.is_loopback
+            or addr.is_link_local
+            or addr.is_multicast
+            or addr.is_reserved
+            or addr.is_unspecified
+        ):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                f"URL `{url}` resolves to a non-public address, which is not"
+                " allowed by the network policy.",
+            )
