@@ -193,6 +193,9 @@ class IndexStore:
         self._lock = threading.RLock()
         self._snapshot_cache: Any = None
         self._snapshot_generation = -1
+        # per-field caches (searchable weight, faceted flag), cleared on bump
+        self._field_cache: dict[str, tuple] = {}
+        self._docids_cache: Optional[frozenset] = None
 
     # ------------------------------------------------------------------
     # tokenizer / searchable config
@@ -274,9 +277,16 @@ class IndexStore:
         return out
 
     def _is_faceted(self, field_path: str) -> bool:
-        return any(
-            _match_pattern(pattern, field_path) for pattern in self.faceted_fields()
-        )
+        cached = self._field_cache.get(field_path)
+        if cached is None or cached[1] is None:
+            faceted = any(
+                _match_pattern(pattern, field_path)
+                for pattern in self.faceted_fields()
+            )
+            weight = cached[0] if cached else False
+            self._field_cache[field_path] = (weight, faceted)
+            return faceted
+        return cached[1]
 
     # ------------------------------------------------------------------
     # document ingestion
@@ -428,6 +438,8 @@ class IndexStore:
     def _bump(self):
         self.generation += 1
         self.updated_at = time.time()
+        self._field_cache.clear()
+        self._docids_cache = None
 
     # -- extraction ------------------------------------------------------
 
@@ -454,13 +466,21 @@ class IndexStore:
             yield from rec(value, key)
 
     def _searchable_weight_for(self, field_path: str) -> Optional[int]:
+        cached = self._field_cache.get(field_path)
+        if cached is not None and cached[0] is not False:
+            return cached[0]
         s = self.settings
+        weight: Optional[int] = None
         if s.searchable_is_wildcard():
-            return 0
-        for weight, pattern in enumerate(s.searchable_attributes):
-            if _match_pattern(pattern, field_path):
-                return weight
-        return None
+            weight = 0
+        else:
+            for w, pattern in enumerate(s.searchable_attributes):
+                if _match_pattern(pattern, field_path):
+                    weight = w
+                    break
+        faceted = cached[1] if cached else None
+        self._field_cache[field_path] = (weight, faceted)
+        return weight
 
     def _tokenize_document(
         self, doc: dict
@@ -705,8 +725,12 @@ class IndexStore:
     # ------------------------------------------------------------------
     # read API (mirrors milli db_cache accessors)
 
-    def documents_ids(self) -> set[int]:
-        return set(self.documents.keys())
+    def documents_ids(self) -> frozenset:
+        """All docids as an immutable per-generation snapshot — callers must
+        not mutate (set operators return fresh sets)."""
+        if self._docids_cache is None:
+            self._docids_cache = frozenset(self.documents.keys())
+        return self._docids_cache
 
     def contains_word(self, word: str) -> bool:
         return word in self.word_docids or word in self.exact_word_docids

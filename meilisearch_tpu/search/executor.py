@@ -740,6 +740,7 @@ class Search:
         scores_by_docid: Optional[dict] = None,
     ) -> SearchResult:
         store = self.store
+        all_candidates = set(all_candidates)  # may arrive as a frozenset
         distinct_field = self.distinct or store.settings.distinct_attribute
         docids = ranked.tolist()
 

@@ -47,7 +47,7 @@ def perform_similar(store, body: dict) -> dict:
     if internal not in per_doc:
         results = []
     else:
-        universe = store.documents_ids()
+        universe = set(store.documents_ids())
         filter_docids = evaluate_filter(store, body.get("filter"))
         if filter_docids is not None:
             universe &= filter_docids
