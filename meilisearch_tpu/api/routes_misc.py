@@ -458,6 +458,65 @@ def register_misc_routes(app):
     app.add("POST", "/logs/stderr", "public", logs_stderr)
 
 
+    # -- dynamic search rules (reference routes/dynamic_search_rules.rs) -------
+
+    def list_dsr(app_, req):
+        body = req.body or {}
+        offset = int(body.get("offset", 0) or 0)
+        limit = int(body.get("limit", 20) or 20)
+        flt = body.get("filter") or {}
+        rules = app_.scheduler.dsr.list(flt.get("query"), flt.get("active"))
+        return {
+            "results": rules[offset : offset + limit],
+            "offset": offset,
+            "limit": limit,
+            "total": len(rules),
+        }
+
+    app.add("POST", "/dynamic-search-rules", "settings.get", list_dsr)
+
+    def clear_dsr(app_, req):
+        task = app_.scheduler.register(TaskType.DSR_CLEAR, content={})
+        return Response(202, json=task.summary())
+
+    app.add("DELETE", "/dynamic-search-rules", "settings.update", clear_dsr)
+
+    def get_dsr(app_, req):
+        rule = app_.scheduler.dsr.rules.get(req.params["uid"])
+        if rule is None:
+            raise EngineError(
+                ErrorCode.NOT_FOUND,
+                f"Dynamic search rule `{req.params['uid']}` not found.",
+            )
+        return rule
+
+    app.add("GET", "/dynamic-search-rules/{uid}", "settings.get", get_dsr)
+
+    def patch_dsr(app_, req):
+        # validate eagerly on a scratch store (400 on bad payloads)
+        from ..search.dynamic_rules import DynamicSearchRules
+
+        scratch = DynamicSearchRules()
+        existing = app_.scheduler.dsr.rules.get(req.params["uid"])
+        if existing:
+            scratch.rules[req.params["uid"]] = dict(existing)
+        scratch.update_or_create(req.params["uid"], req.body or {})
+        task = app_.scheduler.register(
+            TaskType.DSR_UPDATE,
+            content={"uid": req.params["uid"], "patch": req.body or {}},
+        )
+        return Response(202, json=task.summary())
+
+    app.add("PATCH", "/dynamic-search-rules/{uid}", "settings.update", patch_dsr)
+
+    def delete_dsr(app_, req):
+        task = app_.scheduler.register(
+            TaskType.DSR_DELETION, content={"uid": req.params["uid"]}
+        )
+        return Response(202, json=task.summary())
+
+    app.add("DELETE", "/dynamic-search-rules/{uid}", "settings.update", delete_dsr)
+
     # -- chats (OpenAI-compatible workspaces; reference routes/chats/) --------
 
     def list_chats(app_, req):

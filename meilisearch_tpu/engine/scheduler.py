@@ -77,6 +77,9 @@ class IndexScheduler:
             "multimodal": False,
         }
         self.network = {"self": None, "remotes": {}, "sharding": False}
+        from ..search.dynamic_rules import DynamicSearchRules
+
+        self.dsr = DynamicSearchRules()
         self.on_task_finished: Optional[Callable[[Task], None]] = None
         self._thread = threading.Thread(
             target=self._run, name="scheduler", daemon=True
@@ -343,6 +346,7 @@ class IndexScheduler:
             store = self.indexes.get(uid)
             if store is None:
                 store = IndexStore(uid, primary_key=primary_key)
+                store.dynamic_rules = self.dsr
                 self.indexes[uid] = store
             elif primary_key and store.primary_key is None:
                 store.primary_key = primary_key
@@ -358,9 +362,11 @@ class IndexScheduler:
                         ErrorCode.INDEX_ALREADY_EXISTS,
                         f"Index `{task.index_uid}` already exists.",
                     )
-                self.indexes[task.index_uid] = IndexStore(
+                store = IndexStore(
                     task.index_uid, primary_key=content.get("primaryKey")
                 )
+                store.dynamic_rules = self.dsr
+                self.indexes[task.index_uid] = store
             task.details = {"primaryKey": content.get("primaryKey")}
         elif t == TaskType.INDEX_UPDATE:
             store = self.index(task.index_uid)
@@ -572,6 +578,16 @@ class IndexScheduler:
                 "indexes": patterns,
                 "exportedDocuments": exported,
             }
+        elif t == TaskType.DSR_UPDATE:
+            rule = self.dsr.update_or_create(content["uid"], content.get("patch", {}))
+            task.details = {"ruleUid": content["uid"], "active": rule.get("active")}
+        elif t == TaskType.DSR_DELETION:
+            self.dsr.delete(content["uid"])
+            task.details = {"ruleUid": content["uid"]}
+        elif t == TaskType.DSR_CLEAR:
+            n = len(self.dsr.rules)
+            self.dsr.rules.clear()
+            task.details = {"deletedRules": n}
         elif t == TaskType.UPGRADE_DATABASE:
             task.details = {"upgradeFrom": content.get("from"), "upgradeTo": "current"}
         elif t == TaskType.INDEX_COMPACTION:

@@ -47,6 +47,9 @@ class TaskType(str, Enum):
     TASK_DELETION = "taskDeletion"
     UPGRADE_DATABASE = "upgradeDatabase"
     EXPORT = "export"
+    DSR_UPDATE = "dynamicSearchRuleUpdate"
+    DSR_DELETION = "dynamicSearchRuleDeletion"
+    DSR_CLEAR = "dynamicSearchRuleClear"
 
 
 @dataclass

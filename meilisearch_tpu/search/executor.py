@@ -122,6 +122,16 @@ class Search:
         for p in negative_phrases:
             universe -= resolver.phrase_docids(p)
 
+        # dynamic search rules: resolve pins, exclude pinned docs from the
+        # organic ranking (reference: dynamic_search_rules.rs resolve_pins)
+        self._pins = []
+        rules = getattr(store, "dynamic_rules", None)
+        if rules is not None and rules.rules:
+            query_words = [t.term.original for t in terms]
+            self._pins = rules.resolve_pins(store, query_words, not terms)
+            if self._pins:
+                universe = set(universe) - {d for _p, d in self._pins}
+
         if has_query and terms:
             return self._execute_query_graph(
                 universe, terms, resolver, restricted_fids
@@ -771,7 +781,14 @@ class Search:
         if max_hits is None:
             max_hits = store.settings.pagination.max_total_hits
         docids = docids[: max_hits]
-        page = docids[self.offset : self.offset + self.limit]
+        pins = getattr(self, "_pins", None)
+        if pins:
+            from .dynamic_rules import merge_pins_into_page
+
+            page = merge_pins_into_page(docids, pins, self.offset, self.limit)
+            all_candidates |= {d for _p, d in pins}
+        else:
+            page = docids[self.offset : self.offset + self.limit]
         scores_by_docid = scores_by_docid or {}
         return SearchResult(
             documents_ids=page,
