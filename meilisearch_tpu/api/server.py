@@ -107,23 +107,53 @@ def serve(host: str = "127.0.0.1", port: int = 7700, master_key=None, app=None):
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--host", default="127.0.0.1")
-    parser.add_argument("--port", type=int, default=7700)
-    parser.add_argument("--master-key", default=None)
-    parser.add_argument("--import-dump", default=None)
-    parser.add_argument("--import-snapshot", default=None)
-    args = parser.parse_args()
-    app = App(master_key=args.master_key)
-    if args.import_dump:
-        from ..engine.dumps import load_dump
+    import atexit
+    import os
 
-        load_dump(app.scheduler, args.import_dump)
-    if args.import_snapshot:
-        from ..engine.dumps import load_snapshot
+    from ..engine.dumps import create_snapshot, load_dump, load_snapshot
+    from ..option import load_options
 
-        load_snapshot(app.scheduler, args.import_snapshot)
-    serve(args.host, args.port, app=app)
+    opt = load_options()
+    app = App(master_key=opt.master_key)
+    if opt.experimental_enable_metrics:
+        app.scheduler.runtime_features["metrics"] = True
+
+    # boot-time state restore: explicit imports win over the db-path snapshot
+    # (reference: lib.rs open_or_create_database --import-dump/--import-snapshot)
+    db_snapshot = os.path.join(opt.db_path, "data.ms.snapshot")
+    if opt.import_dump:
+        load_dump(app.scheduler, opt.import_dump)
+    elif opt.import_snapshot:
+        load_snapshot(app.scheduler, opt.import_snapshot)
+    elif os.path.exists(db_snapshot):
+        load_snapshot(app.scheduler, db_snapshot)
+
+    def persist():
+        try:
+            os.makedirs(opt.db_path, exist_ok=True)
+            create_snapshot(app.scheduler, opt.db_path)
+        except Exception:
+            pass
+
+    atexit.register(persist)
+
+    if opt.schedule_snapshot:
+        import threading
+
+        def snapshot_loop():
+            import time as _t
+
+            while True:
+                _t.sleep(opt.schedule_snapshot)
+                try:
+                    os.makedirs(opt.snapshot_dir, exist_ok=True)
+                    create_snapshot(app.scheduler, opt.snapshot_dir)
+                except Exception:
+                    pass
+
+        threading.Thread(target=snapshot_loop, daemon=True).start()
+
+    serve(opt.host, opt.port, app=app)
 
 
 if __name__ == "__main__":
