@@ -595,11 +595,30 @@ class IndexScheduler:
             task.details = {"preCompactionSize": None, "postCompactionSize": None}
         elif t == TaskType.DOCUMENT_EDITION:
             store = self.index(task.index_uid)
-            raise EngineError(
-                ErrorCode.FEATURE_NOT_ENABLED,
-                "Edit documents by function requires the"
-                " `editDocumentsByFunction` experimental feature.",
+            if not self.runtime_features.get("editDocumentsByFunction"):
+                raise EngineError(
+                    ErrorCode.FEATURE_NOT_ENABLED,
+                    "Modifying documents with a function requires enabling the"
+                    " `edit documents by function` experimental feature. See"
+                    " https://github.com/orgs/meilisearch/discussions/762",
+                )
+            from .edit_function import edit_documents_by_function
+
+            edited, matched = edit_documents_by_function(
+                store,
+                content.get("function", ""),
+                content.get("filter"),
+                content.get("context"),
             )
+            task.details = {
+                "deletedDocuments": 0,
+                "editedDocuments": edited,
+                "originalFilter": str(content.get("filter"))
+                if content.get("filter")
+                else None,
+                "context": content.get("context"),
+                "function": content.get("function", ""),
+            }
         else:
             raise AssertionError(t)
 
