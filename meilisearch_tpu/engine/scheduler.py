@@ -78,8 +78,16 @@ class IndexScheduler:
         }
         self.network = {"self": None, "remotes": {}, "sharding": False}
         from ..search.dynamic_rules import DynamicSearchRules
+        from .analytics import Analytics
 
         self.dsr = DynamicSearchRules()
+        self.analytics = Analytics(enabled=False)
+        # test-only breakpoint hook: called with stage names so deterministic
+        # interleaving tests can lock-step the scheduler thread
+        # (reference: index-scheduler/src/test_utils.rs:25 Breakpoint channel)
+        self.breakpoint_hook: Optional[Callable[[str], None]] = None
+        # test-only fault injection (reference test_utils.rs FailureLocation)
+        self.failure_locations: set[str] = set()
         self.on_task_finished: Optional[Callable[[Task], None]] = None
         self._thread = threading.Thread(
             target=self._run, name="scheduler", daemon=True
@@ -291,9 +299,19 @@ class IndexScheduler:
     # ------------------------------------------------------------------
     # batch processing
 
+    def _breakpoint(self, stage: str):
+        if self.breakpoint_hook is not None:
+            self.breakpoint_hook(stage)
+        if stage in self.failure_locations:
+            raise RuntimeError(f"planned failure at `{stage}`")
+
     def _process_batch(self, tasks: list[Task]):
+        self._breakpoint("batch_created")
         batch = self.queue.new_batch()
         batch.started_at = now_iso()
+        batch.progress = {"steps": [{"currentStep": "processing tasks",
+                                     "finished": 0, "total": len(tasks)}],
+                          "percentage": 0.0}
         with self.lock:
             for task in tasks:
                 task.status = TaskStatus.PROCESSING
@@ -301,10 +319,13 @@ class IndexScheduler:
                 task.batch_uid = batch.uid
                 batch.task_uids.append(task.uid)
 
-        for task in tasks:
+        for i, task in enumerate(tasks):
             try:
+                self._breakpoint("inside_process_batch")
                 self._process_task(task)
                 task.status = TaskStatus.SUCCEEDED
+                batch.progress["steps"][0]["finished"] = i + 1
+                batch.progress["percentage"] = 100.0 * (i + 1) / len(tasks)
             except EngineError as err:
                 task.status = TaskStatus.FAILED
                 task.error = err.to_json()
@@ -324,6 +345,8 @@ class IndexScheduler:
                     pass
             self._notify_webhooks(task)
         batch.finished_at = now_iso()
+        batch.progress = None  # progress views only exist while processing
+        self._breakpoint("batch_processed")
         statuses: dict[str, int] = {}
         types: dict[str, int] = {}
         index_uids: dict[str, int] = {}

@@ -47,6 +47,9 @@ def execute_hybrid(
             ErrorCode.INVALID_EMBEDDER,
             "Missing field `.hybrid.embedder`.",
         )
+    from ..vector.embedders import get_embedder
+
+    get_embedder(store, embedder_name)  # validates the embedder exists
 
     # pure keyword
     if ratio == 0.0 and query.get("vector") is None:

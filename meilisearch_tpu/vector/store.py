@@ -35,6 +35,9 @@ class VectorSearcher:
             self.docids, self.matrix, self.norms = cached[1]
             return
         per_doc = store.vectors.get(embedder, {})
+        conf = store.settings.embedders.get(embedder, {})
+        quantized = bool(conf.get("binaryQuantized"))
+        self.quantized = quantized
         docids = []
         rows = []
         for docid in sorted(per_doc):
@@ -44,6 +47,12 @@ class VectorSearcher:
         self.docids = np.asarray(docids, dtype=np.int64)
         if rows:
             self.matrix = np.stack(rows).astype(np.float32)
+            if quantized:
+                # binary quantization: keep only the sign bits
+                # (reference: vector/store.rs hamming over quantized vectors)
+                self.matrix = np.where(self.matrix >= 0, 1.0, -1.0).astype(
+                    np.float32
+                )
         else:
             self.matrix = np.zeros((0, 0), dtype=np.float32)
         norms = np.linalg.norm(self.matrix, axis=1) if len(rows) else np.zeros(0)
@@ -72,6 +81,8 @@ class VectorSearcher:
         if self.matrix.size == 0:
             return []
         q = np.asarray(query, dtype=np.float32)
+        if getattr(self, "quantized", False):
+            q = np.where(q >= 0, 1.0, -1.0).astype(np.float32)
         qn = np.linalg.norm(q)
         if qn == 0:
             qn = 1.0
