@@ -200,8 +200,10 @@ class Matcher:
         last = self.matches[li].token_index
         interval_len = last - first + 1
         budget = max(crop_size - interval_len, 0)
-        before = budget // 2
-        after = budget - before
+        # the extra word of an odd budget goes before the match
+        # (reference matches/mod.rs crop_bounds: "…Petit <em>Prince</em>")
+        after = budget // 2
+        before = budget - after
         start = first - before
         end = last + after
         if start < 0:
