@@ -59,9 +59,42 @@ def perform_multi_search(app, req) -> dict:
 
     all_hits: list[tuple[float, int, dict]] = []
     seen_pairs: dict[tuple[str, str], float] = {}
-    per_index_hits: dict[str, list] = {}
+    remote_errors: dict[str, dict] = {}
 
+    # partition queries by remote and proxy them over HTTP
+    # (reference: federated/proxy.rs — header Meili-Proxy-Search: true)
+    remote_queries: dict[str, list[tuple[int, dict]]] = {}
+    local_queries: list[tuple[int, dict]] = []
     for qi, query in enumerate(queries):
+        remote_name = (query.get("federationOptions") or {}).get("remote")
+        if remote_name:
+            remote_queries.setdefault(remote_name, []).append((qi, query))
+        else:
+            local_queries.append((qi, query))
+
+    for remote_name, entries in remote_queries.items():
+        remote = (app.scheduler.network.get("remotes") or {}).get(remote_name)
+        if remote is None:
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                f"Invalid `queries[{entries[0][0]}].federationOptions.remote`:"
+                f" remote `{remote_name}` is not registered",
+            )
+        try:
+            hits = _proxy_search(remote_name, remote, federation, entries)
+            for score, qi, hit in hits:
+                all_hits.append((score, qi, hit))
+        except EngineError:
+            raise
+        except Exception as err:
+            remote_errors[remote_name] = {
+                "message": str(err),
+                "code": "remote_bad_response",
+                "type": "system",
+                "link": "https://docs.meilisearch.com/errors#remote_bad_response",
+            }
+
+    for qi, query in local_queries:
         index_uid = query.get("indexUid")
         if not isinstance(index_uid, str):
             raise EngineError(
@@ -147,6 +180,8 @@ def perform_multi_search(app, req) -> dict:
         "offset": offset,
         "estimatedTotalHits": len(deduped),
     }
+    if remote_errors:
+        response["remoteErrors"] = remote_errors
     if federation.get("facetsByIndex"):
         facets_by_index = {}
         from ..search.facets import facet_distribution
@@ -160,6 +195,61 @@ def perform_multi_search(app, req) -> dict:
             }
         response["facetsByIndex"] = facets_by_index
     return response
+
+
+def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
+    """POST /multi-search on a remote (reference: federated/proxy.rs:16)."""
+    import urllib.request
+
+    from ..utils.http_policy import check_url_policy
+
+    url = remote["url"].rstrip("/") + "/multi-search"
+    check_url_policy(url)
+    sub_queries = []
+    for _qi, query in entries:
+        q = dict(query)
+        # strip the remote marker so the target treats it as local, keep the
+        # weight; request scores for the merge
+        opts = dict(q.get("federationOptions") or {})
+        opts.pop("remote", None)
+        q["federationOptions"] = opts
+        q["showRankingScore"] = True
+        sub_queries.append(q)
+    body = json.dumps(
+        {
+            "federation": {
+                "limit": int(federation.get("limit", 20) or 20)
+                + int(federation.get("offset", 0) or 0),
+                "offset": 0,
+            },
+            "queries": sub_queries,
+        }
+    ).encode("utf-8")
+    req = urllib.request.Request(
+        url,
+        data=body,
+        headers={
+            "Content-Type": "application/json",
+            "Meili-Proxy-Search": "true",
+        },
+    )
+    if remote.get("searchApiKey"):
+        req.add_header("Authorization", f"Bearer {remote['searchApiKey']}")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        data = json.loads(resp.read().decode("utf-8"))
+    out = []
+    qi_base = entries[0][0]
+    for hit in data.get("hits", []):
+        fed = hit.get("_federation") or {}
+        score = float(fed.get("weightedRankingScore", 1.0))
+        # remap the remote's query position to ours
+        pos = fed.get("queriesPosition", 0)
+        local_qi = entries[pos][0] if pos < len(entries) else qi_base
+        fed["queriesPosition"] = local_qi
+        fed["remote"] = remote_name
+        hit["_federation"] = fed
+        out.append((score, local_qi, hit))
+    return out
 
 
 import json  # noqa: E402
