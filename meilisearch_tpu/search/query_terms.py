@@ -324,9 +324,25 @@ class DerivationContext:
         mat, lens = self._packed_dict()
         from ..ops.levenshtein import osa_distances
 
-        full, prefix_min = osa_distances(word, mat, lens)
+        # length prefilter: a word within <=2 edits has a length within 2 of
+        # the query (any length >= m-2 for prefix terms) — this cuts the
+        # distance pass from the whole vocabulary to a narrow band
+        m = len(word)
+        if is_prefix:
+            cand_idx = np.nonzero(lens >= max(m - max_typo, 1))[0]
+        else:
+            cand_idx = np.nonzero(
+                (lens >= m - max_typo) & (lens <= m + max_typo)
+            )[0]
+        if len(cand_idx) == 0:
+            return
+        sub_mat = mat[cand_idx]
+        sub_lens = lens[cand_idx]
+
+        full, prefix_min = osa_distances(word, sub_mat, sub_lens)
         dist = prefix_min if is_prefix else full
-        firsts_same = mat[:, 0] == (ord(word[0]) if word else -1)
+        firsts_same = sub_mat[:, 0] == (ord(word[0]) if word else -1)
+        words = [words[i] for i in cand_idx.tolist()]
 
         if max_typo == 1:
             # one-typo only: candidates must share the first char
