@@ -252,6 +252,38 @@ def register_index_routes(app):
             ids = [i.strip() for i in ids.split(",")]
 
         docids = sorted(store.documents.keys())
+        sort = params.get("sort")
+        if isinstance(sort, str):
+            sort = [s.strip() for s in sort.split(",")]
+        if sort:
+            # sort documents by raw attribute values
+            # (reference: milli documents/sort.rs recursive_sort)
+            from ..search.executor import _parse_asc_desc
+
+            for criterion in reversed(sort):
+                member, asc = _parse_asc_desc(criterion)
+                if not isinstance(member, str):
+                    raise EngineError(
+                        ErrorCode.INVALID_DOCUMENT_FIELDS,
+                        "Cannot sort documents by `_geoPoint`.",
+                    )
+
+                def key(docid, member=member):
+                    value = _lookup_raw(store.documents[docid], member)
+                    if value is None:
+                        return (3, 0)
+                    if isinstance(value, bool):
+                        return (2, str(value).lower())
+                    if isinstance(value, (int, float)):
+                        return (0, value)
+                    if isinstance(value, str):
+                        return (1, value.lower())
+                    return (2, str(value))
+
+                missing = [d for d in docids if key(d)[0] == 3]
+                present = [d for d in docids if key(d)[0] != 3]
+                present.sort(key=key, reverse=not asc)
+                docids = present + missing
         if filter_expr is not None:
             allowed = evaluate_filter(
                 store, filter_expr, code=ErrorCode.INVALID_DOCUMENT_FILTER
@@ -555,6 +587,18 @@ def _validate_settings(body: dict):
             f"Unknown value `{ps}` at `.prefixSearch`: expected one of"
             " `indexingTime`, `disabled`.",
         )
+
+
+def _lookup_raw(doc, path: str):
+    if path in doc:
+        return doc[path]
+    cur = doc
+    for part in path.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None
+    return cur
 
 
 def _index_view(store) -> dict:
