@@ -51,7 +51,13 @@ def main(argv=None):
     p = sub.add_parser("stats", help="print instance stats")
     p.add_argument("--snapshot", required=True)
 
+    sub.add_parser("openapi", help="print the OpenAPI spec for the route tree")
+
     args = parser.parse_args(argv)
+
+    if args.command == "openapi":
+        print(json.dumps(generate_openapi(), indent=2))
+        return
 
     if args.command == "export-dump":
         scheduler = _load_instance(args.snapshot)
@@ -86,6 +92,48 @@ def main(argv=None):
         scheduler = _load_instance(args.snapshot)
         print(json.dumps(scheduler.stats(), indent=2, default=str))
         scheduler.stop()
+
+
+def generate_openapi() -> dict:
+    """Emit an OpenAPI spec from the live route table
+    (reference: crates/openapi-generator emits openapi.json from the route
+    tree; here the dispatcher IS the route tree so the spec cannot drift)."""
+    from .api.app import App, VERSION
+
+    app = App()
+    try:
+        paths: dict = {}
+        for route in app.routes:
+            path = route.pattern
+            entry = paths.setdefault(path, {})
+            entry[route.method.lower()] = {
+                "operationId": f"{route.method.lower()}_{path.strip('/').replace('/', '_').replace('{', '').replace('}', '') or 'root'}",
+                "security": []
+                if route.action == "public"
+                else [{"apiKey": [route.action]}],
+                "responses": {"default": {"description": "JSON response"}},
+                "parameters": [
+                    {
+                        "name": name,
+                        "in": "path",
+                        "required": True,
+                        "schema": {"type": "string"},
+                    }
+                    for name in route.param_names
+                ],
+            }
+        return {
+            "openapi": "3.1.0",
+            "info": {"title": "meilisearch-tpu", "version": VERSION},
+            "paths": dict(sorted(paths.items())),
+            "components": {
+                "securitySchemes": {
+                    "apiKey": {"type": "http", "scheme": "bearer"}
+                }
+            },
+        }
+    finally:
+        app.scheduler.stop()
 
 
 if __name__ == "__main__":
