@@ -79,20 +79,11 @@ class Embedder:
 
     def _embed_huggingface(self, text: str) -> np.ndarray:
         try:
-            model_name = self.conf.get(
-                "model", "BAAI/bge-base-en-v1.5"
-            )
-            model, tokenizer = _load_hf_model(model_name)
-            import torch
+            from ..models.hf_encoder import encode_text
 
-            with torch.no_grad():
-                tokens = tokenizer(
-                    text, return_tensors="pt", truncation=True, max_length=512
-                )
-                output = model(**tokens)
-                # mean pooling (reference uses the model-configured pooling)
-                emb = output.last_hidden_state.mean(dim=1)[0].numpy()
-            return emb.astype(np.float32)
+            model_name = self.conf.get("model", "BAAI/bge-base-en-v1.5")
+            pooling = self.conf.get("pooling", "useModel")
+            return encode_text(model_name, text, pooling)
         except EngineError:
             raise
         except Exception as err:
