@@ -24,7 +24,23 @@ from typing import Any, Optional
 
 import numpy as np
 
+from ..index.arrays import (
+    EMPTY,
+    difference,
+    intersect,
+    member_mask,
+    to_array,
+    union_many,
+)
 from ..index.store import IndexStore, bucketed_position
+
+
+def _docids_array(store: IndexStore) -> np.ndarray:
+    cached = getattr(store, "_docids_array_cache", None)
+    if cached is None or cached[0] != store.generation:
+        cached = (store.generation, to_array(store.documents_ids()))
+        store._docids_array_cache = cached
+    return cached[1]
 from ..types.errors import EngineError, ErrorCode
 from .graph import QueryGraph
 from .query_terms import (
@@ -91,9 +107,11 @@ class Search:
 
         self._check_sort_criteria()
 
-        universe: set = store.documents_ids()
+        # the universe lives as a sorted docid array from here on (the host
+        # mirror of the device candidate axis)
+        universe = _docids_array(store)
         if self.filter_docids is not None:
-            universe &= self.filter_docids
+            universe = intersect(universe, to_array(self.filter_docids))
 
         restricted_fids = self._restricted_fids()
 
@@ -118,9 +136,9 @@ class Search:
         # negative words/phrases shrink the universe
         # (reference: search/new/mod.rs:323 resolve_negative_words/_phrases)
         for w in negative_words:
-            universe -= resolver.word_docids(w, original=True)
+            universe = difference(universe, resolver.word_docids(w, original=True))
         for p in negative_phrases:
-            universe -= resolver.phrase_docids(p)
+            universe = difference(universe, resolver.phrase_docids(p))
 
         # dynamic search rules: resolve pins, exclude pinned docs from the
         # organic ranking (reference: dynamic_search_rules.rs resolve_pins)
@@ -130,7 +148,9 @@ class Search:
             query_words = [t.term.original for t in terms]
             self._pins = rules.resolve_pins(store, query_words, not terms)
             if self._pins:
-                universe = set(universe) - {d for _p, d in self._pins}
+                universe = difference(
+                    universe, to_array({d for _p, d in self._pins})
+                )
 
         if has_query and terms:
             return self._execute_query_graph(
@@ -259,10 +279,9 @@ class Search:
 
     # -- placeholder search ----------------------------------------------------
 
-    def _execute_placeholder(self, universe: set) -> SearchResult:
+    def _execute_placeholder(self, universe: np.ndarray) -> SearchResult:
         rules = self._assembled_rules(for_query=False)
-        candidates = np.fromiter(universe, dtype=np.int64, count=len(universe))
-        candidates.sort()
+        candidates = universe
         keys = []
         for rule in rules:
             keys.extend(self._rule_key_rows(rule, candidates, None))
@@ -284,9 +303,7 @@ class Search:
         graph = QueryGraph.from_terms(ctx, terms)
 
         universe = self._resolve_universe(graph, universe, resolver)
-
-        candidates = np.fromiter(universe, dtype=np.int64, count=len(universe))
-        candidates.sort()
+        candidates = universe
 
         rules = self._assembled_rules(for_query=True)
         graph_dims = [r[1] for r in rules if r[0] == "graph"]
@@ -369,7 +386,7 @@ class Search:
                     scorer if graph_dims else None,
                 )
         result = self._paginate(
-            ranked, set(candidates[valid].tolist()), scores_by_docid
+            ranked, candidates[valid], scores_by_docid
         )
         result.degraded = degraded
         result.details_by_docid = details_by_docid
@@ -525,8 +542,8 @@ class Search:
             succs[nid] = set()
             preds[nid] = set()
 
-        # BFS in dependency order
-        node_docids: dict[int, set] = {}
+        # BFS in dependency order (arrays all the way)
+        node_docids: dict[int, np.ndarray] = {}
         resolved: set[int] = set()
         queue = [graph.root]
         while queue:
@@ -537,22 +554,22 @@ class Search:
             if not preds[nid] <= resolved and nid != graph.root:
                 queue.append(nid)
                 continue
-            pred_docids: set = set()
-            for p in preds[nid]:
-                pred_docids |= node_docids.get(p, set())
+            pred_docids = union_many(
+                [node_docids.get(p, EMPTY) for p in preds[nid]]
+            )
             if nid == graph.root:
-                docids = set(universe)
+                docids = universe
             elif node.kind == "end":
                 return pred_docids
             else:
                 term_docids = resolver.term_all_docids(node.located.term)
-                docids = pred_docids & term_docids
+                docids = intersect(pred_docids, term_docids)
             resolved.add(nid)
             node_docids[nid] = docids
             for s in succs[nid]:
                 if s not in resolved:
                     queue.append(s)
-        return set()
+        return EMPTY
 
     # -- sort / geo / exact-attribute key rows ------------------------------------
 
@@ -676,8 +693,7 @@ class Search:
             prev = info[0]
 
         count_all_positions = sum(x[3] for x in infos)
-        universe_set = set(candidates.tolist())
-        cands = set(universe_set)
+        cands = candidates
         all_words: list[str] = []
         for _tid, words, position, _cnt in infos:
             for offset, word in enumerate(words):
@@ -685,36 +701,37 @@ class Search:
                     continue
                 all_words.append(word)
                 bucket = bucketed_position(position + offset)
-                wp: set = set()
-                for w2 in (word,):
-                    wp |= resolver.word_position_docids(w2, bucket)
-                cands &= wp
-                if not cands:
+                cands = intersect(
+                    cands, resolver.word_position_docids(word, bucket)
+                )
+                if not len(cands):
                     return out
-        rank0: set = set()
-        rank1: set = set()
+        rank0_parts: list = []
+        rank1_parts: list = []
         for fid in sorted(self.store.searchable_fids()):
-            inter: Optional[set] = None
+            inter = cands
             for word in all_words:
-                wd = resolver.word_fid_docids(word, fid) & cands
-                inter = wd if inter is None else inter & wd
-                if not inter:
+                inter = intersect(inter, resolver.word_fid_docids(word, fid))
+                if not len(inter):
                     break
-            if not inter:
+            if not len(inter):
                 continue
             if count_all_positions < 256:
-                wc = store.field_id_word_count_docids.get(
-                    (fid, count_all_positions), set()
-                ) & universe_set
+                wc = resolver.arrays.get(
+                    ("fwc", fid, count_all_positions),
+                    store.field_id_word_count_docids.get(
+                        (fid, count_all_positions)
+                    ),
+                )
+                wc = intersect(wc, candidates)
             else:
-                wc = set()
-            rank0 |= inter & wc
-            rank1 |= inter - wc
-        for i, docid in enumerate(candidates.tolist()):
-            if docid in rank0:
-                out[i] = 0.0
-            elif docid in rank1:
-                out[i] = 1.0
+                wc = EMPTY
+            rank0_parts.append(intersect(inter, wc))
+            rank1_parts.append(difference(inter, wc))
+        rank0 = union_many(rank0_parts)
+        rank1 = union_many(rank1_parts)
+        out = np.where(member_mask(candidates, rank1), 1.0, out)
+        out = np.where(member_mask(candidates, rank0), 0.0, out)
         return out
 
     # -- shared helpers -------------------------------------------------------------
@@ -750,7 +767,8 @@ class Search:
         scores_by_docid: Optional[dict] = None,
     ) -> SearchResult:
         store = self.store
-        all_candidates = set(all_candidates)  # may arrive as a frozenset
+        if not isinstance(all_candidates, np.ndarray):
+            all_candidates = to_array(set(all_candidates))
         distinct_field = self.distinct or store.settings.distinct_attribute
         docids = ranked.tolist()
 
@@ -759,10 +777,8 @@ class Search:
             if fid is not None:
                 kept = []
                 excluded: set = set()
-                seen_count = 0
                 for docid in docids:
                     if docid in excluded:
-                        all_candidates.discard(docid)
                         continue
                     for v in store.docid_facet_numbers.get((fid, docid), ()):
                         excluded |= store.facet_number_docids.get(fid, {}).get(
@@ -773,9 +789,13 @@ class Search:
                             v, set()
                         )
                     kept.append(docid)
-                    seen_count += 1
                 docids = kept
-                all_candidates = set(docids) | (all_candidates - excluded)
+                all_candidates = union_many(
+                    [
+                        to_array(set(docids)),
+                        difference(all_candidates, to_array(excluded)),
+                    ]
+                )
 
         max_hits = self.max_total_hits
         if max_hits is None:
@@ -786,7 +806,9 @@ class Search:
             from .dynamic_rules import merge_pins_into_page
 
             page = merge_pins_into_page(docids, pins, self.offset, self.limit)
-            all_candidates |= {d for _p, d in pins}
+            all_candidates = union_many(
+                [all_candidates, to_array({d for _p, d in pins})]
+            )
         else:
             page = docids[self.offset : self.offset + self.limit]
         scores_by_docid = scores_by_docid or {}

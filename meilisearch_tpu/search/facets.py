@@ -29,6 +29,7 @@ def facet_distribution(
     sort_facet_values_by: Optional[dict] = None,
 ) -> tuple[dict, dict]:
     """Returns (facetDistribution, facetStats)."""
+    candidates = _as_set(candidates)
     settings = store.settings
     max_values = (
         max_values_per_facet
@@ -114,6 +115,7 @@ def search_facet_values(
 ) -> list[dict]:
     """Typo-tolerant search inside one facet's values
     (reference: SearchForFacetValues::execute, search/facet/search.rs:75)."""
+    candidates = _as_set(candidates)
     settings = store.settings
     feats = settings.filter_features_for(facet_name)
     if not feats or not feats.get("facetSearch", True):
@@ -194,3 +196,12 @@ def _count(docids: set, candidates: Optional[set]) -> int:
     if candidates is None:
         return len(docids)
     return len(docids & candidates)
+
+
+def _as_set(candidates) -> Optional[set]:
+    """Query results carry candidates as sorted int64 arrays; the facet
+    counters intersect many small per-value sets, so one set conversion up
+    front keeps that algebra in hashed form."""
+    if candidates is None or isinstance(candidates, (set, frozenset)):
+        return candidates
+    return set(int(d) for d in candidates)

@@ -39,6 +39,13 @@ from typing import Optional
 
 import numpy as np
 
+from ..index.arrays import (
+    EMPTY,
+    ArrayCache,
+    intersect,
+    member_mask,
+    union_many,
+)
 from ..index.store import MAX_DISTANCE, IndexStore
 from .graph import QueryGraph, QueryNode
 from .query_terms import Phrase, QueryTerm
@@ -88,9 +95,8 @@ class Resolver:
         self.store = store
         self.candidates = candidates
         self.restricted_fids = restricted_fids
-        self._word_cache: dict[tuple[str, bool], np.ndarray] = {}
+        self.arrays = ArrayCache(store)
         self._phrase_cache: dict[Phrase, np.ndarray] = {}
-        self._mask_cache: dict = {}
         # word -> fids / position buckets, derived once per store generation
         maps = getattr(store, "_derived_maps", None)
         if maps is None or maps[0] != store.generation:
@@ -105,62 +111,89 @@ class Resolver:
         self.fids_by_word = maps[1]
         self.buckets_by_word = maps[2]
 
-    # -- raw postings -------------------------------------------------------
+    # -- raw postings (sorted int64 arrays, cached per generation) ----------
 
-    def word_docids(self, word: str, original: bool) -> set:
+    def word_docids(self, word: str, original: bool) -> np.ndarray:
         """original=True -> word ∪ exact-word postings; derived words only get
         the tolerant postings (reference db_cache.rs:183)."""
-        if self.restricted_fids is not None:
-            out: set = set()
-            for fid in self.fids_by_word.get(word, ()):
-                if fid in self.restricted_fids:
-                    out |= self.store.word_fid_docids.get((word, fid), set())
-            return out
-        if original:
-            return self.store.get_word_docids(word)
-        return self.store.word_docids.get(word, set())
+        restricted = self.restricted_fids is not None
+        key = ("w", word, original, restricted)
+        cached = self.arrays.cache.get(key)
+        if cached is not None:
+            return cached
+        if restricted:
+            parts = [
+                self.word_fid_docids(word, fid)
+                for fid in self.fids_by_word.get(word, ())
+                if fid in self.restricted_fids
+            ]
+            arr = union_many(parts)
+        elif original:
+            arr = union_many(
+                [
+                    self.arrays.get(
+                        ("wd", word), self.store.word_docids.get(word)
+                    ),
+                    self.arrays.get(
+                        ("we", word), self.store.exact_word_docids.get(word)
+                    ),
+                ]
+            )
+        else:
+            arr = self.arrays.get(("wd", word), self.store.word_docids.get(word))
+        self.arrays.cache[key] = arr
+        return arr
 
-    def word_fid_docids(self, word: str, fid: int) -> set:
+    def word_fid_docids(self, word: str, fid: int) -> np.ndarray:
         if self.restricted_fids is not None and fid not in self.restricted_fids:
-            return set()
-        return self.store.word_fid_docids.get((word, fid), set())
+            return EMPTY
+        return self.arrays.get(
+            ("wf", word, fid), self.store.word_fid_docids.get((word, fid))
+        )
 
-    def word_position_docids(self, word: str, bucket: int) -> set:
-        return self.store.word_position_docids.get((word, bucket), set())
+    def word_position_docids(self, word: str, bucket: int) -> np.ndarray:
+        return self.arrays.get(
+            ("wp", word, bucket),
+            self.store.word_position_docids.get((word, bucket)),
+        )
 
-    def pair_proximity_docids(self, prox: int, w1: str, w2: str) -> set:
+    def pair_proximity_docids(self, prox: int, w1: str, w2: str) -> np.ndarray:
         """ByWord: direct lookup. ByAttribute: same-attribute co-occurrence,
         proximity-independent (reference db_cache.rs:361)."""
         if self.store.settings.proximity_precision == "byAttribute":
             key = ("pp_attr", w1, w2)
-            if key not in self._mask_cache:
-                out: set = set()
+            cached = self.arrays.cache.get(key)
+            if cached is None:
+                parts = []
                 for fid in self.fids_by_word.get(w1, ()):
                     a = self.word_fid_docids(w1, fid)
                     b = self.word_fid_docids(w2, fid)
-                    if a and b:
-                        out |= a & b
-                self._mask_cache[key] = out
-            return self._mask_cache[key]
-        return self.store.word_pair_proximity_docids.get((prox, w1, w2), set())
+                    if len(a) and len(b):
+                        parts.append(intersect(a, b))
+                cached = union_many(parts)
+                self.arrays.cache[key] = cached
+            return cached
+        return self.arrays.get(
+            ("pp", prox, w1, w2),
+            self.store.word_pair_proximity_docids.get((prox, w1, w2)),
+        )
 
-    def phrase_docids(self, phrase: Phrase) -> set:
+    def phrase_docids(self, phrase: Phrase) -> np.ndarray:
         """Reference: resolve_query_graph.rs:187 compute_phrase_docids."""
         if phrase in self._phrase_cache:
             return self._phrase_cache[phrase]
         words = list(phrase)
         present = [w for w in words if w is not None]
         if not present:
-            result: set = set()
-            self._phrase_cache[phrase] = result
-            return result
-        candidates: Optional[set] = None
+            self._phrase_cache[phrase] = EMPTY
+            return EMPTY
+        candidates: Optional[np.ndarray] = None
         for w in present:
             docids = self.word_docids(w, original=True)
-            if not docids:
-                self._phrase_cache[phrase] = set()
-                return set()
-            candidates = docids.copy() if candidates is None else candidates & docids
+            if not len(docids):
+                self._phrase_cache[phrase] = EMPTY
+                return EMPTY
+            candidates = docids if candidates is None else intersect(candidates, docids)
         winsize = min(len(words), 3)
         for start in range(0, len(words) - winsize + 1):
             win = words[start : start + winsize]
@@ -172,21 +205,24 @@ class Resolver:
                         continue
                     if dist == 0:
                         m = self.pair_proximity_docids(1, s1, s2)
-                        if not m:
-                            self._phrase_cache[phrase] = set()
-                            return set()
-                        candidates &= m
+                        if not len(m):
+                            self._phrase_cache[phrase] = EMPTY
+                            return EMPTY
+                        candidates = intersect(candidates, m)
                     else:
-                        bitmap: set = set()
-                        for d in range(dist + 1):
-                            bitmap |= self.pair_proximity_docids(d + 1, s1, s2)
-                        if not bitmap:
-                            self._phrase_cache[phrase] = set()
-                            return set()
-                        candidates &= bitmap
-                    if not candidates:
-                        self._phrase_cache[phrase] = set()
-                        return set()
+                        bitmap = union_many(
+                            [
+                                self.pair_proximity_docids(d + 1, s1, s2)
+                                for d in range(dist + 1)
+                            ]
+                        )
+                        if not len(bitmap):
+                            self._phrase_cache[phrase] = EMPTY
+                            return EMPTY
+                        candidates = intersect(candidates, bitmap)
+                    if not len(candidates):
+                        self._phrase_cache[phrase] = EMPTY
+                        return EMPTY
         self._phrase_cache[phrase] = candidates
         return candidates
 
@@ -215,33 +251,32 @@ class Resolver:
     def class_phrases(self, term: QueryTerm, cls: int) -> list[Phrase]:
         return term.phrases_for_class(cls)
 
-    def term_class_docids(self, term: QueryTerm, cls: int) -> set:
+    def term_class_docids(self, term: QueryTerm, cls: int) -> np.ndarray:
         """Docids matching one typo class of a term
         (reference resolve_query_graph.rs:33 compute_query_term_subset_docids
         with the class-restricted subset)."""
-        out: set = set()
-        for w, original in self.class_words(term, cls):
-            out |= self.word_docids(w, original)
-        for p in self.class_phrases(term, cls):
-            out |= self.phrase_docids(p)
+        parts = [
+            self.word_docids(w, original)
+            for w, original in self.class_words(term, cls)
+        ]
+        parts.extend(self.phrase_docids(p) for p in self.class_phrases(term, cls))
         if cls == 0 and term.use_prefix_db is not None:
-            for w in self.prefix_words(term.use_prefix_db):
-                out |= self.word_docids(w, original=term.ngram_words is None)
-        return out
+            is_original = term.ngram_words is None
+            parts.extend(
+                self.word_docids(w, original=is_original)
+                for w in self.prefix_words(term.use_prefix_db)
+            )
+        return union_many(parts)
 
-    def term_all_docids(self, term: QueryTerm) -> set:
-        out: set = set()
-        for cls in range(0, 3):
-            out |= self.term_class_docids(term, cls)
-        return out
+    def term_all_docids(self, term: QueryTerm) -> np.ndarray:
+        return union_many(
+            [self.term_class_docids(term, cls) for cls in range(0, 3)]
+        )
 
     # -- masks over candidates -----------------------------------------------
 
-    def mask(self, docids: set) -> np.ndarray:
-        if not docids:
-            return np.zeros(len(self.candidates), dtype=bool)
-        arr = np.fromiter(docids, dtype=np.int64, count=len(docids))
-        return np.isin(self.candidates, arr)
+    def mask(self, docids: np.ndarray) -> np.ndarray:
+        return member_mask(self.candidates, docids)
 
 
 @dataclass
@@ -362,16 +397,15 @@ class FusedScorer:
             weight = weight_map.get(fid)
             if weight is None:
                 continue
-            docids: set = set()
-            for w in words + prefix_words:
-                docids |= self.r.word_fid_docids(w, fid)
+            parts = [self.r.word_fid_docids(w, fid) for w in words + prefix_words]
             for p in phrases:
                 first = next((w for w in p if w is not None), None)
                 if first is not None:
                     wd = self.r.word_fid_docids(first, fid)
-                    if wd:
-                        docids |= self.r.phrase_docids(p) & wd
-            if docids:
+                    if len(wd):
+                        parts.append(intersect(self.r.phrase_docids(p), wd))
+            docids = union_many(parts)
+            if len(docids):
                 m = self.r.mask(docids)
                 out = np.where(m, np.minimum(out, weight * tlen), out)
         self._fid_addend_cache[key] = out
@@ -412,17 +446,20 @@ class FusedScorer:
 
         out = np.full(self.n, INF, dtype=np.int64)
         for cost in sorted(by_cost):
-            docids: set = set()
+            parts = []
             for b in by_cost[cost]:
-                for w in words + prefix_words:
-                    docids |= self.r.word_position_docids(w, b)
+                parts.extend(
+                    self.r.word_position_docids(w, b)
+                    for w in words + prefix_words
+                )
                 for p in phrases:
                     first = next((w for w in p if w is not None), None)
                     if first is not None:
                         wd = self.r.word_position_docids(first, b)
-                        if wd:
-                            docids |= self.r.phrase_docids(p) & wd
-            if docids:
+                        if len(wd):
+                            parts.append(intersect(self.r.phrase_docids(p), wd))
+            docids = union_many(parts)
+            if len(docids):
                 m = self.r.mask(docids)
                 out = np.where(m & (out == INF), np.int64(cost), out)
         self._pos_addend_cache[key] = out
@@ -436,7 +473,7 @@ class FusedScorer:
             return self._exact_mask_cache[key]
         term = node.located.term
         tlen = node.located.term_ids_len
-        docids: set = set()
+        docids = EMPTY
         if term.ngram_words is None:
             if term.phrase is not None:
                 docids = self.r.phrase_docids(term.phrase)
@@ -518,7 +555,7 @@ class FusedScorer:
         for rel in (0, 1, 2):
             fwd = rel + 1
             bwd = rel
-            docids: set = set()
+            parts: list = []
             # prefix-db right side
             if self._uses_prefix_db(rterm, cls_r):
                 pwords = self.r.prefix_words(rterm.use_prefix_db)
@@ -526,34 +563,40 @@ class FusedScorer:
                     constraint = (
                         self.r.phrase_docids(lphrase) if lphrase else None
                     )
-                    if constraint is not None and not constraint:
+                    if constraint is not None and not len(constraint):
                         continue
-                    acc: set = set()
-                    for w in pwords:
-                        acc |= self.r.pair_proximity_docids(fwd, lw, w)
+                    acc_parts = [
+                        self.r.pair_proximity_docids(fwd, lw, w) for w in pwords
+                    ]
                     if lphrase is None and bwd >= 1:
-                        acc |= self.r.pair_proximity_docids(
-                            bwd, rterm.use_prefix_db, lw
+                        acc_parts.append(
+                            self.r.pair_proximity_docids(
+                                bwd, rterm.use_prefix_db, lw
+                            )
                         )
+                    acc = union_many(acc_parts)
                     if constraint is not None:
-                        acc &= constraint
-                    docids |= acc
+                        acc = intersect(acc, constraint)
+                    parts.append(acc)
             for lphrase, lw in self._last_words(lterm, cls_l):
                 for rw, rphrase in self._first_words(rterm, cls_r):
-                    constraint: Optional[set] = None
+                    constraint = None
                     for p in (lphrase, rphrase):
                         if p is not None:
                             pd = self.r.phrase_docids(p)
-                            constraint = pd if constraint is None else constraint & pd
-                    if constraint is not None and not constraint:
+                            constraint = (
+                                pd if constraint is None else intersect(constraint, pd)
+                            )
+                    if constraint is not None and not len(constraint):
                         continue
-                    acc = set(self.r.pair_proximity_docids(fwd, lw, rw))
+                    acc_parts = [self.r.pair_proximity_docids(fwd, lw, rw)]
                     if bwd >= 1 and lphrase is None and rphrase is None:
-                        acc |= self.r.pair_proximity_docids(bwd, rw, lw)
+                        acc_parts.append(self.r.pair_proximity_docids(bwd, rw, lw))
+                    acc = union_many(acc_parts)
                     if constraint is not None:
-                        acc &= constraint
-                    docids |= acc
-            masks.append(self.r.mask(docids))
+                        acc = intersect(acc, constraint)
+                    parts.append(acc)
+            masks.append(self.r.mask(union_many(parts)))
 
         out = np.full(self.n, 3, dtype=np.int64)
         for rel in (2, 1, 0):
@@ -570,7 +613,7 @@ class FusedScorer:
         if key in self._exact_mask_cache:
             return self._exact_mask_cache[key]
         term = node.located.term
-        docids: set = set()
+        docids = EMPTY
         if term.ngram_words is None:
             if term.phrase is not None:
                 docids = self.r.phrase_docids(term.phrase)
