@@ -62,6 +62,33 @@ def member_mask(candidates: np.ndarray, arr: np.ndarray) -> np.ndarray:
     return arr[idx] == candidates
 
 
+class CandidateIndex:
+    """Dense docid -> candidate-slot map for repeated membership tests.
+
+    A query computes O(#terms * #dims) membership masks against one fixed
+    candidate array; a dense int32 lookup makes each mask O(|posting|)
+    instead of O(n log |posting|) binary searches.
+    """
+
+    def __init__(self, candidates: np.ndarray, max_docid: int):
+        self.candidates = candidates
+        self.n = len(candidates)
+        size = max(max_docid + 1, int(candidates[-1]) + 1 if self.n else 1)
+        self.idx_of = np.full(size, -1, dtype=np.int32)
+        if self.n:
+            self.idx_of[candidates] = np.arange(self.n, dtype=np.int32)
+
+    def mask(self, docids: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.n, dtype=bool)
+        if len(docids) == 0 or self.n == 0:
+            return out
+        if docids[-1] >= len(self.idx_of):
+            docids = docids[docids < len(self.idx_of)]
+        slots = self.idx_of[docids]
+        out[slots[slots >= 0]] = True
+        return out
+
+
 class ArrayCache:
     """Per-store-generation cache of set -> sorted-array conversions."""
 

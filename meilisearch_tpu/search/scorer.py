@@ -42,6 +42,7 @@ import numpy as np
 from ..index.arrays import (
     EMPTY,
     ArrayCache,
+    CandidateIndex,
     intersect,
     member_mask,
     union_many,
@@ -110,6 +111,7 @@ class Resolver:
             store._derived_maps = maps
         self.fids_by_word = maps[1]
         self.buckets_by_word = maps[2]
+        self._cand_index = CandidateIndex(candidates, store._next_docid)
 
     # -- raw postings (sorted int64 arrays, cached per generation) ----------
 
@@ -276,7 +278,7 @@ class Resolver:
     # -- masks over candidates -----------------------------------------------
 
     def mask(self, docids: np.ndarray) -> np.ndarray:
-        return member_mask(self.candidates, docids)
+        return self._cand_index.mask(docids)
 
 
 @dataclass
@@ -357,6 +359,59 @@ class FusedScorer:
             self.node_states[node.node_id] = NodeStates(
                 node, classes, masks, group_of.get(node.node_id)
             )
+        self._prepare_packing()
+
+    def _prepare_packing(self):
+        """Pack the D cost dims into bit fields of one int64 so the DP's
+        lexicographic min becomes a plain `np.minimum` over (N,) vectors.
+
+        Each dim gets a capacity larger than any reachable path cost; fid and
+        position (whose addends can be INF per candidate) get a per-dim
+        sentinel `dim_inf` sized so that even `len(nodes)` INF accumulations
+        stay inside the field. Falls back to the (D, N) matrix DP when the
+        fields don't fit in the packing budget."""
+        nodes = list(self.graph.term_nodes())
+        max_w = 1
+        wm = self.store.fid_weight_map()
+        if wm:
+            max_w = max(max(wm.values()), 1)
+        bound: dict[str, int] = {d: 1 for d in self.dims}
+        for node in nodes:
+            tlen = node.located.term_ids_len
+            mt = node.located.term.max_typo_cost()
+            for d in self.dims:
+                if d == "words":
+                    bound[d] += tlen
+                elif d == "typo":
+                    bound[d] += mt + tlen
+                elif d == "proximity":
+                    bound[d] += 3 + tlen
+                elif d == "fid":
+                    bound[d] += max_w * tlen
+                elif d == "position":
+                    bound[d] += 10 * tlen
+                elif d == "exactness":
+                    bound[d] += tlen
+
+        self._dim_inf: dict[str, int] = {}
+        caps: dict[str, int] = {}
+        for d in self.dims:
+            if d in ("fid", "position"):
+                inf_d = bound[d] + 1
+                self._dim_inf[d] = inf_d
+                caps[d] = inf_d * (len(nodes) + 1) + bound[d] + 1
+            else:
+                caps[d] = bound[d] + 1
+
+        self._strides: dict[str, int] = {}
+        s = 1
+        for d in reversed(self.dims):
+            self._strides[d] = s
+            s *= caps[d]
+        self._caps = caps
+        self._pack_inf = 1 << 55
+        self._packed_ok = s <= (1 << 55) and len(nodes) <= 100
+        self._entry_base_cache: dict = {}
 
     # -- per-(node,class) cost addends ----------------------------------------
 
@@ -681,6 +736,157 @@ class FusedScorer:
         out[0] = np.where(m, out[0], INF)
         return out
 
+    # -- packed DP (bit-field encoding of the lexicographic cost) -------------
+
+    def _entry_base(self, dst: QueryNode, cls: int, e: int) -> np.ndarray:
+        """Src-independent part of the packed entry cost for (dst, cls, e):
+        every dim's addend except the adjacent-pair proximity term, with the
+        typo-class validity mask folded in as the packed INF sentinel."""
+        key = (dst.node_id, cls, e)
+        cached = self._entry_base_cache.get(key)
+        if cached is not None:
+            return cached
+        term = dst.located
+        rnm = term.term_ids_len - 1
+        strides = self._strides
+        base = np.zeros(self.n, dtype=np.int64)
+        scalar = 0
+        if "typo" in self.dim_idx:
+            scalar += self._typo_cost(dst, cls) * strides["typo"]
+        if "proximity" in self.dim_idx:
+            scalar += rnm * strides["proximity"]
+        if "fid" in self.dim_idx:
+            a = self._fid_addend(dst, self._sel("fid", cls, e))
+            a = np.where(a >= INF, np.int64(self._dim_inf["fid"]), a)
+            base = base + a * strides["fid"]
+        if "position" in self.dim_idx:
+            a = self._position_addend(dst, self._sel("position", cls, e))
+            a = np.where(a >= INF, np.int64(self._dim_inf["position"]), a)
+            base = base + a * strides["position"]
+        if "exactness" in self.dim_idx:
+            if self.exact_flagged:
+                if not e:
+                    scalar += term.term_ids_len * strides["exactness"]
+            else:
+                base = base + self._exactness_addend(dst) * strides["exactness"]
+        if scalar:
+            base = base + scalar
+        ns = self.node_states[dst.node_id]
+        m = ns.class_masks[ns.classes.index(cls)]
+        if self.exact_flagged and e:
+            m = m & self._exact_edge_mask(dst)
+        base = np.where(m, base, np.int64(self._pack_inf))
+        self._entry_base_cache[key] = base
+        return base
+
+    def _run_packed(self, T) -> np.ndarray:
+        """The same DP as `_run_with_threshold`, over (N,) packed costs."""
+        order = sorted(
+            self.graph.term_nodes(),
+            key=lambda nd: (nd.located.start_term_id, nd.node_id),
+        )
+        dp: dict = {("start",): np.zeros(self.n, dtype=np.int64)}
+        eflags = (0, 1) if self.exact_flagged else (0,)
+
+        def get_states(node_id: int):
+            if node_id == self.graph.root:
+                return [("start",)]
+            ns = self.node_states[node_id]
+            states = [(node_id, c, e) for c in ns.classes for e in eflags]
+            states.append(("skip", node_id))
+            return states
+
+        pstride = self._strides.get("proximity")
+        wstride = self._strides.get("words")
+        suffix_mode = T is None
+
+        for node in order:
+            ns = self.node_states[node.node_id]
+            g = ns.removable_group
+            if suffix_mode:
+                visitable = True
+                skippable = g is not None
+            else:
+                visitable = g is None or g >= T - 1
+                skippable = g is not None and g < T
+
+            pred_states = []
+            for p in node.predecessors:
+                for s in get_states(p):
+                    if s in dp:
+                        pred_states.append(s)
+            if not pred_states:
+                continue
+
+            if visitable:
+                visit_preds = (
+                    [s for s in pred_states if s[0] != "skip"]
+                    if suffix_mode and g is not None
+                    else pred_states
+                )
+                for cls in ns.classes:
+                    for e in eflags:
+                        base = self._entry_base(node, cls, e)
+                        best = None
+                        for s in visit_preds:
+                            add = base
+                            if pstride is not None and isinstance(s[0], int):
+                                src_node = self.graph.nodes[s[0]]
+                                if (
+                                    src_node.located.end_position + 1
+                                    == node.located.start_position
+                                ):
+                                    pair = self._pair_cost(
+                                        src_node,
+                                        self._sel("proximity", s[1], s[2]),
+                                        node,
+                                        self._sel("proximity", cls, e),
+                                    )
+                                    add = base + pair * pstride
+                            cand = dp[s] + add
+                            best = (
+                                cand if best is None else np.minimum(best, cand)
+                            )
+                        if best is not None:
+                            dp[(node.node_id, cls, e)] = best
+            if skippable:
+                skip_scalar = (
+                    node.located.term_ids_len * wstride
+                    if wstride is not None
+                    else 0
+                )
+                best = None
+                for s in pred_states:
+                    cand = dp[s] + skip_scalar
+                    best = cand if best is None else np.minimum(best, cand)
+                dp[("skip", node.node_id)] = best
+
+        end_preds = self.graph.nodes[self.graph.end].predecessors
+        best = None
+        for p in end_preds:
+            for s in get_states(p):
+                if s in dp:
+                    best = dp[s] if best is None else np.minimum(best, dp[s])
+        if best is None:
+            best = np.full(self.n, self._pack_inf, dtype=np.int64)
+        return best
+
+    def _unpack(self, packed: np.ndarray) -> np.ndarray:
+        D = len(self.dims)
+        out = np.empty((D, self.n), dtype=np.int64)
+        invalid = packed >= self._pack_inf
+        rem = np.where(invalid, np.int64(0), packed)
+        for i, d in enumerate(self.dims):
+            st = self._strides[d]
+            v = rem // st
+            rem = rem - v * st
+            inf_d = self._dim_inf.get(d)
+            if inf_d is not None:
+                v = np.where(v >= inf_d, np.int64(INF), v)
+            out[i] = v
+        out[:, invalid] = INF
+        return out
+
     @staticmethod
     def _lexmin(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         """Elementwise lexicographic min of two (D, N) matrices."""
@@ -859,6 +1065,20 @@ class FusedScorer:
         """Returns the (D, N) cost matrix (INF where no interpretation)."""
         if self.n == 0:
             return np.zeros((len(self.dims), 0), dtype=np.int64)
+        if self._packed_ok:
+            if self.strategy == "last":
+                packed = self._run_packed(None)
+            else:
+                packed = None
+                thresholds = (
+                    range(self.n_groups + 1)
+                    if self.strategy != "all"
+                    else range(1)
+                )
+                for T in thresholds:
+                    res = self._run_packed(T)
+                    packed = res if packed is None else np.minimum(packed, res)
+            return self._unpack(packed)
         if self.strategy == "last":
             # `last` drops suffixes only: one DP with a skip mode suffices
             # (removal-group order is monotone in term position, so once a
