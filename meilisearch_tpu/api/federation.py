@@ -124,7 +124,7 @@ def perform_multi_search(app, req) -> dict:
         from ..search.executor import Search
         from ..search.filters import evaluate_filter
 
-        filter_docids = evaluate_filter(store, query.get("filter"))
+        filter_docids = evaluate_filter(store, query.get("filter"), as_array=True)
         search = Search(
             store,
             query=query.get("q"),

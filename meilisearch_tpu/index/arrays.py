@@ -16,7 +16,9 @@ import numpy as np
 EMPTY = np.empty(0, dtype=np.int64)
 
 
-def to_array(docids: Optional[set]) -> np.ndarray:
+def to_array(docids) -> np.ndarray:
+    if isinstance(docids, np.ndarray):
+        return docids
     if not docids:
         return EMPTY
     arr = np.fromiter(docids, dtype=np.int64, count=len(docids))
@@ -87,6 +89,135 @@ class CandidateIndex:
         slots = self.idx_of[docids]
         out[slots[slots >= 0]] = True
         return out
+
+
+class FacetArrays:
+    """Per-(generation, fid) sorted facet-value index for range filters.
+
+    `num_values`/`str_values` are the distinct facet values in ascending
+    order with aligned sorted docid arrays, so a range condition is a
+    bisect + one union instead of a scan over every value's set."""
+
+    def __init__(self, store, fid: int):
+        import bisect
+
+        self._bisect = bisect
+        numbers = store.facet_number_docids.get(fid, {})
+        strings = store.facet_string_docids.get(fid, {})
+        cache = ArrayCache(store)
+        self.num_values = sorted(numbers)
+        self.num_arrays = [
+            cache.get(("fn", fid, v), numbers[v]) for v in self.num_values
+        ]
+        self.str_values = sorted(strings)
+        self.str_arrays = [
+            cache.get(("fs", fid, s), strings[s]) for s in self.str_values
+        ]
+
+    def number_eq(self, value: float) -> np.ndarray:
+        i = self._bisect.bisect_left(self.num_values, value)
+        if i < len(self.num_values) and self.num_values[i] == value:
+            return self.num_arrays[i]
+        return EMPTY
+
+    def string_eq(self, norm: str) -> np.ndarray:
+        i = self._bisect.bisect_left(self.str_values, norm)
+        if i < len(self.str_values) and self.str_values[i] == norm:
+            return self.str_arrays[i]
+        return EMPTY
+
+    def number_range(self, lo, hi, lo_strict=False, hi_strict=False):
+        """Union of docids with a number value in the range; None bound =
+        unbounded on that side."""
+        b = self._bisect
+        i = 0 if lo is None else (
+            b.bisect_right(self.num_values, lo)
+            if lo_strict
+            else b.bisect_left(self.num_values, lo)
+        )
+        j = len(self.num_values) if hi is None else (
+            b.bisect_left(self.num_values, hi)
+            if hi_strict
+            else b.bisect_right(self.num_values, hi)
+        )
+        return union_many(self.num_arrays[i:j])
+
+    def string_prefix(self, prefix: str) -> np.ndarray:
+        b = self._bisect
+        i = b.bisect_left(self.str_values, prefix)
+        parts = []
+        while i < len(self.str_values) and self.str_values[i].startswith(prefix):
+            parts.append(self.str_arrays[i])
+            i += 1
+        return union_many(parts)
+
+    def string_range(self, lo, hi, lo_strict=False, hi_strict=False):
+        b = self._bisect
+        i = 0 if lo is None else (
+            b.bisect_right(self.str_values, lo)
+            if lo_strict
+            else b.bisect_left(self.str_values, lo)
+        )
+        j = len(self.str_values) if hi is None else (
+            b.bisect_left(self.str_values, hi)
+            if hi_strict
+            else b.bisect_right(self.str_values, hi)
+        )
+        return union_many(self.str_arrays[i:j])
+
+
+class SortColumns:
+    """Dense per-field sort keys: docid -> min/max number (NaN = none) and
+    min/max string rank (-1 = none), built from the sorted facet index."""
+
+    def __init__(self, store, fid: int):
+        size = max(store._next_docid, 1)
+        fa = facet_arrays(store, fid)
+        self.num_min = np.full(size, np.nan)
+        self.num_max = np.full(size, np.nan)
+        for v, arr in zip(fa.num_values, fa.num_arrays):
+            sel = arr[np.isnan(self.num_min[arr])]
+            self.num_min[sel] = v
+            self.num_max[arr] = v
+        self.str_min = np.full(size, -1, dtype=np.int64)
+        self.str_max = np.full(size, -1, dtype=np.int64)
+        for r, arr in enumerate(fa.str_arrays):
+            sel = arr[self.str_min[arr] < 0]
+            self.str_min[sel] = r
+            self.str_max[arr] = r
+
+
+def sort_columns(store, fid: int) -> SortColumns:
+    cache = getattr(store, "_sort_columns_cache", None)
+    if cache is None or cache[0] != store.generation:
+        cache = (store.generation, {})
+        store._sort_columns_cache = cache
+    cols = cache[1].get(fid)
+    if cols is None:
+        cols = SortColumns(store, fid)
+        cache[1][fid] = cols
+    return cols
+
+
+def docids_array(store) -> np.ndarray:
+    """Sorted array of all live internal docids, cached per generation."""
+    cached = getattr(store, "_docids_array_cache", None)
+    if cached is None or cached[0] != store.generation:
+        cached = (store.generation, to_array(store.documents_ids()))
+        store._docids_array_cache = cached
+    return cached[1]
+
+
+def facet_arrays(store, fid: int) -> FacetArrays:
+    cache = getattr(store, "_facet_arrays_cache", None)
+    if cache is None or cache[0] != store.generation:
+        cache = (store.generation, {})
+        store._facet_arrays_cache = cache
+    idx = cache[1].get(fid)
+    if idx is None:
+        idx = FacetArrays(store, fid)
+        cache[1][fid] = idx
+    return idx
 
 
 class ArrayCache:

@@ -27,20 +27,13 @@ import numpy as np
 from ..index.arrays import (
     EMPTY,
     difference,
+    docids_array as _docids_array,
     intersect,
     member_mask,
     to_array,
     union_many,
 )
 from ..index.store import IndexStore, bucketed_position
-
-
-def _docids_array(store: IndexStore) -> np.ndarray:
-    cached = getattr(store, "_docids_array_cache", None)
-    if cached is None or cached[0] != store.generation:
-        cached = (store.generation, to_array(store.documents_ids()))
-        store._docids_array_cache = cached
-    return cached[1]
 from ..types.errors import EngineError, ErrorCode
 from .graph import QueryGraph
 from .query_terms import (
@@ -309,6 +302,7 @@ class Search:
         graph_dims = [r[1] for r in rules if r[0] == "graph"]
 
         degraded = False
+        packed_key = None
         if graph_dims and self._deadline_exceeded():
             # degraded search (reference: bucket_sort.rs:206 deadline path —
             # remaining rules are Skipped): rank by docid only
@@ -325,10 +319,23 @@ class Search:
             if _device_scorer_enabled():
                 cost = scorer.run_device()
             if cost is None:
-                cost = scorer.run()
+                kind, data = scorer.run_raw()
+                if kind == "packed":
+                    packed_key = data
+                else:
+                    cost = data
         else:
             scorer = None
             cost = np.zeros((0, len(candidates)), dtype=np.int64)
+
+        sortable = all(r[0] in ("graph", "exact_attribute") for r in rules)
+        if packed_key is not None and sortable and not degraded:
+            return self._finish_packed(
+                rules, graph, graph_dims, scorer, packed_key, candidates,
+                degraded,
+            )
+        if packed_key is not None:
+            cost = scorer._unpack(packed_key)
 
         # per-doc words level: how many leading terms the doc's best
         # interpretation kept (drives the ExactAttribute sub-query,
@@ -388,6 +395,70 @@ class Search:
         result = self._paginate(
             ranked, candidates[valid], scores_by_docid
         )
+        result.degraded = degraded
+        result.details_by_docid = details_by_docid
+        return result
+
+    def _finish_packed(
+        self, rules, graph, graph_dims, scorer, packed_key, candidates,
+        degraded,
+    ) -> SearchResult:
+        """Fast finish when every rule is a bit field of the packed DP key:
+        the exact-attribute rank is spliced into the key at its rule position
+        and one stable argsort replaces the float lexsort."""
+        valid = packed_key < scorer._pack_inf
+        cand_v = candidates[valid]
+        key_v = packed_key[valid]
+
+        n_term_ids = graph.n_term_ids()
+        if "words" in scorer.dim_idx:
+            st_w = scorer._strides["words"]
+            cap_w = scorer._caps["words"]
+            wrow = (key_v // st_w) % cap_w
+            ea_levels = np.maximum(n_term_ids - wrow, 0).astype(np.int64)
+        else:
+            ea_levels = np.full(len(cand_v), n_term_ids, dtype=np.int64)
+
+        ea_row = None
+        g_before = 0
+        for rule in rules:
+            if rule[0] == "graph":
+                g_before += 1
+            elif rule[0] == "exact_attribute":
+                ea_row = self._exact_attribute_row(cand_v, graph, ea_levels)
+                # splice the 3-valued EA rank between the dims before and
+                # after it in rule order (g_before >= 1: words precedes it)
+                boundary = scorer._strides[graph_dims[g_before - 1]]
+                hi = key_v // boundary
+                lo = key_v - hi * boundary
+                key_v = (
+                    hi * (3 * boundary)
+                    + ea_row.astype(np.int64) * boundary
+                    + lo
+                )
+                break
+
+        order = np.argsort(key_v, kind="stable")
+        ranked = cand_v[order]
+
+        self._located_terms = [n.located for n in graph.term_nodes()]
+
+        scores_by_docid: dict = {}
+        details_by_docid: dict = {}
+        if self.compute_scores and len(ranked):
+            cost = scorer._unpack(packed_key)
+            cost_sorted = cost[:, valid][:, order]
+            levels_sorted = ea_levels[order]
+            ea_sorted = ea_row[order] if ea_row is not None else None
+            scores_by_docid = self._compute_global_scores(
+                rules, cost_sorted, levels_sorted, ea_sorted, ranked, scorer
+            )
+            if self.compute_score_details:
+                details_by_docid = self._compute_score_details(
+                    rules, cost_sorted, levels_sorted, ea_sorted, ranked,
+                    scorer,
+                )
+        result = self._paginate(ranked, cand_v, scores_by_docid)
         result.degraded = degraded
         result.details_by_docid = details_by_docid
         return result
@@ -591,25 +662,19 @@ class Search:
         store = self.store
         fid = store.fields_ids_map.id(field)
         n = len(candidates)
-        cls = np.full(n, 2.0)
-        val = np.zeros(n)
-        if fid is not None:
-            strings_sorted = sorted(store.facet_string_docids.get(fid, {}))
-            str_rank = {s: i for i, s in enumerate(strings_sorted)}
-            for i, docid in enumerate(candidates.tolist()):
-                nums = store.docid_facet_numbers.get((fid, docid))
-                if nums:
-                    cls[i] = 0.0
-                    v = min(nums) if asc else max(nums)
-                    val[i] = v if asc else -v
-                    continue
-                strs = store.docid_facet_strings.get((fid, docid))
-                if strs:
-                    cls[i] = 1.0
-                    ranks = [str_rank[s] for s, _ in strs if s in str_rank]
-                    if ranks:
-                        r = min(ranks) if asc else max(ranks)
-                        val[i] = r if asc else -r
+        if fid is None:
+            return [np.full(n, 2.0), np.zeros(n)]
+        from ..index.arrays import sort_columns
+
+        cols = sort_columns(store, fid)
+        nv = (cols.num_min if asc else cols.num_max)[candidates]
+        sv = (cols.str_min if asc else cols.str_max)[candidates]
+        has_num = ~np.isnan(nv)
+        has_str = sv >= 0
+        cls = np.where(has_num, 0.0, np.where(has_str, 1.0, 2.0))
+        nkey = np.where(has_num, nv if asc else -nv, 0.0)
+        skey = np.where(~has_num & has_str, (sv if asc else -sv).astype(np.float64), 0.0)
+        val = np.where(has_num, nkey, skey)
         return [cls, val]
 
     def _geo_rows(
@@ -770,7 +835,15 @@ class Search:
         if not isinstance(all_candidates, np.ndarray):
             all_candidates = to_array(set(all_candidates))
         distinct_field = self.distinct or store.settings.distinct_attribute
-        docids = ranked.tolist()
+        if distinct_field is None:
+            # only maxTotalHits docs can ever be paginated; don't materialize
+            # the full ranked list as Python ints
+            cap = self.max_total_hits
+            if cap is None:
+                cap = store.settings.pagination.max_total_hits
+            docids = ranked[:cap].tolist()
+        else:
+            docids = ranked.tolist()
 
         if distinct_field is not None:
             fid = store.fields_ids_map.id(distinct_field)

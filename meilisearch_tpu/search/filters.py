@@ -26,6 +26,18 @@ import math
 from dataclasses import dataclass
 from typing import Any, Optional
 
+import numpy as np
+
+from ..index.arrays import (
+    EMPTY,
+    ArrayCache,
+    difference,
+    docids_array as _docids_array,
+    facet_arrays,
+    intersect,
+    to_array,
+    union_many,
+)
 from ..index.store import IndexStore, facet_string_normalize
 from ..types.errors import EngineError, ErrorCode
 
@@ -483,35 +495,33 @@ class FilterEvaluator:
                 f" allowed for the attribute `{field}`.",
             )
 
-    def evaluate(self, ast) -> set:
-        all_docs = self.store.documents_ids()
+    def evaluate(self, ast) -> "np.ndarray":
+        """Returns the matching docids as a sorted int64 array."""
+        all_docs = _docids_array(self.store)
         return self._eval(ast, all_docs)
 
-    def _eval(self, ast, all_docs: set) -> set:
+    def _eval(self, ast, all_docs) -> "np.ndarray":
         store = self.store
         if ast is None or isinstance(ast, Empty):
-            return set(all_docs)
+            return all_docs
         if isinstance(ast, Or):
-            out: set = set()
-            for item in ast.items:
-                out |= self._eval(item, all_docs)
-            return out
+            return union_many([self._eval(item, all_docs) for item in ast.items])
         if isinstance(ast, And):
-            out = set(all_docs)
+            out = all_docs
             for item in ast.items:
-                out &= self._eval(item, all_docs)
-                if not out:
+                out = intersect(out, self._eval(item, all_docs))
+                if not len(out):
                     return out
             return out
         if isinstance(ast, Not):
-            return all_docs - self._eval(ast.inner, all_docs)
+            return difference(all_docs, self._eval(ast.inner, all_docs))
         if isinstance(ast, GeoRadius):
             self._check_geo()
             out = set()
             for docid, (lat, lng) in store.geo_points.items():
                 if _haversine_m(ast.lat, ast.lng, lat, lng) <= ast.radius_m:
                     out.add(docid)
-            return out
+            return to_array(out)
         if isinstance(ast, GeoBoundingBox):
             self._check_geo()
             (tr_lat, tr_lng) = ast.top_right
@@ -526,14 +536,14 @@ class FilterEvaluator:
                 else:  # wrap around the antimeridian
                     if lng >= bl_lng or lng <= tr_lng:
                         out.add(docid)
-            return out
+            return to_array(out)
         if isinstance(ast, GeoPolygon):
             self._check_geo()
             out = set()
             for docid, (lat, lng) in store.geo_points.items():
                 if _point_in_polygon(lat, lng, ast.points):
                     out.add(docid)
-            return out
+            return to_array(out)
         if isinstance(ast, VectorExists):
             out = set()
             if ast.embedder is None:
@@ -541,7 +551,7 @@ class FilterEvaluator:
                     out |= set(store.vectors[emb].keys())
             else:
                 out |= set(store.vectors.get(ast.embedder, {}).keys())
-            return out
+            return to_array(out)
         if isinstance(ast, Cond):
             return self._eval_cond(ast, all_docs)
         raise AssertionError(ast)
@@ -555,101 +565,104 @@ class FilterEvaluator:
                 f" `{', '.join(sorted(self.store.settings.filterable_attribute_names())) or ''}`.",
             )
 
-    def _eval_cond(self, cond: Cond, all_docs: set) -> set:
+    def _eval_cond(self, cond: Cond, all_docs) -> "np.ndarray":
         store = self.store
         self._check_filterable(cond.field, cond.op)
         fid = self._fid(cond.field)
         if fid is None:
-            return set()
-        numbers = store.facet_number_docids.get(fid, {})
-        strings = store.facet_string_docids.get(fid, {})
+            return EMPTY
+        idx = facet_arrays(store, fid)
+        cache = ArrayCache(store)
 
-        def equal_docids(value: str) -> set:
-            out: set = set()
-            norm = facet_string_normalize(value)
-            out |= strings.get(norm, set())
+        def equal_docids(value: str) -> "np.ndarray":
+            parts = [idx.string_eq(facet_string_normalize(value))]
             number = _parse_finite_float(value)
             if number is not None:
-                out |= numbers.get(number, set())
-            return out
+                parts.append(idx.number_eq(number))
+            return union_many(parts)
 
         op = cond.op
         if op == "=":
             return equal_docids(cond.value)
         if op == "!=":
-            return all_docs - equal_docids(cond.value)
+            return difference(all_docs, equal_docids(cond.value))
         if op == "IN":
-            out = set()
-            for v in cond.value:
-                out |= equal_docids(v)
-            return out
+            return union_many([equal_docids(v) for v in cond.value])
         if op == "EXISTS":
-            return set(store.facet_exists_docids.get(fid, set()))
+            return cache.get(
+                ("fx", fid), store.facet_exists_docids.get(fid, set())
+            )
         if op == "NULL":
-            return set(store.facet_is_null_docids.get(fid, set()))
+            return cache.get(
+                ("fnl", fid), store.facet_is_null_docids.get(fid, set())
+            )
         if op == "EMPTY":
-            return set(store.facet_is_empty_docids.get(fid, set()))
+            return cache.get(
+                ("fe", fid), store.facet_is_empty_docids.get(fid, set())
+            )
         if op == "CONTAINS":
             norm = facet_string_normalize(cond.value)
-            out = set()
-            for s, docids in strings.items():
-                if norm in s:
-                    out |= docids
-            return out
+            return union_many(
+                [
+                    arr
+                    for s, arr in zip(idx.str_values, idx.str_arrays)
+                    if norm in s
+                ]
+            )
         if op == "STARTS WITH":
             norm = facet_string_normalize(cond.value)
-            out = set()
-            for s, docids in strings.items():
-                if s.startswith(norm):
-                    out |= docids
-            return out
+            return idx.string_prefix(norm)
         # range operators: both number range and normalized string range
         # (reference value_bounds.rs — string comparison always applies,
         # number comparison only when the value parses as a finite float)
         if op == "TO":
             lo_n, hi_n = _parse_finite_float(cond.value), _parse_finite_float(cond.value2)
             lo_s, hi_s = facet_string_normalize(cond.value), facet_string_normalize(cond.value2)
-            out = set()
+            parts = [idx.string_range(lo_s, hi_s)]
             if lo_n is not None and hi_n is not None:
-                for v, docids in numbers.items():
-                    if lo_n <= v <= hi_n:
-                        out |= docids
-            for s, docids in strings.items():
-                if lo_s <= s <= hi_s:
-                    out |= docids
-            return out
+                parts.append(idx.number_range(lo_n, hi_n))
+            return union_many(parts)
 
         value = cond.value
         number = _parse_finite_float(value)
         norm = facet_string_normalize(value)
-        out = set()
+        parts = []
         if number is not None:
-            for v, docids in numbers.items():
-                if (
-                    (op == ">" and v > number)
-                    or (op == ">=" and v >= number)
-                    or (op == "<" and v < number)
-                    or (op == "<=" and v <= number)
-                ):
-                    out |= docids
-        for s, docids in strings.items():
-            if (
-                (op == ">" and s > norm)
-                or (op == ">=" and s >= norm)
-                or (op == "<" and s < norm)
-                or (op == "<=" and s <= norm)
-            ):
-                out |= docids
-        return out
+            if op == ">":
+                parts.append(idx.number_range(number, None, lo_strict=True))
+            elif op == ">=":
+                parts.append(idx.number_range(number, None))
+            elif op == "<":
+                parts.append(idx.number_range(None, number, hi_strict=True))
+            elif op == "<=":
+                parts.append(idx.number_range(None, number))
+        if op == ">":
+            parts.append(idx.string_range(norm, None, lo_strict=True))
+        elif op == ">=":
+            parts.append(idx.string_range(norm, None))
+        elif op == "<":
+            parts.append(idx.string_range(None, norm, hi_strict=True))
+        elif op == "<=":
+            parts.append(idx.string_range(None, norm))
+        return union_many(parts)
 
 
 def evaluate_filter(
-    store: IndexStore, filter_input, code=ErrorCode.INVALID_SEARCH_FILTER
-) -> Optional[set]:
+    store: IndexStore,
+    filter_input,
+    code=ErrorCode.INVALID_SEARCH_FILTER,
+    as_array: bool = False,
+):
+    """Evaluates a filter to matching docids: a set by default (the mutation
+    and task paths iterate/discard), or the evaluator's native sorted array
+    with `as_array=True` (the query path)."""
     ast = parse_filter(filter_input)
     if ast is None:
         return None
-    return FilterEvaluator(store, code).evaluate(ast)
+    arr = FilterEvaluator(store, code).evaluate(ast)
+    if as_array:
+        return arr
+    return set(arr.tolist())
 
 
 def _haversine_m(lat1, lng1, lat2, lng2) -> float:

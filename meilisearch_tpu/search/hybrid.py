@@ -12,6 +12,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..index.arrays import docids_array, intersect, to_array, union_many
 from ..types.errors import EngineError, ErrorCode
 from .executor import Search, SearchResult
 
@@ -61,9 +62,9 @@ def execute_hybrid(
 
     from ..vector.store import VectorSearcher
 
-    universe = store.documents_ids()
+    universe = docids_array(store)
     if keyword_search.filter_docids is not None:
-        universe &= keyword_search.filter_docids
+        universe = intersect(universe, to_array(keyword_search.filter_docids))
     searcher = VectorSearcher(store, embedder_name)
     wanted = offset + limit
     semantic_hits = searcher.search(query_vector, wanted, universe)
@@ -122,7 +123,9 @@ def execute_hybrid(
 
     page = docids[offset : offset + limit]
     semantic_hit_count = sum(1 for d in page if sources.get(d) == "semantic")
-    candidates = set(kw.candidates) | {d for d, _ in semantic_hits}
+    candidates = union_many(
+        [to_array(kw.candidates), to_array({d for d, _ in semantic_hits})]
+    )
     result = SearchResult(
         documents_ids=page,
         candidates=candidates,

@@ -78,7 +78,7 @@ def perform_search(
             " of `last`, `all`, `frequency`.",
         )
 
-    filter_docids = evaluate_filter(store, query.get("filter"))
+    filter_docids = evaluate_filter(store, query.get("filter"), as_array=True)
 
     sort = query.get("sort")
     if isinstance(sort, str):
@@ -218,7 +218,7 @@ def perform_facet_search(store: IndexStore, body: dict) -> dict:
         body.get(k) is not None
         for k in ("q", "filter", "vector", "attributesToSearchOn")
     ):
-        filter_docids = evaluate_filter(store, body.get("filter"))
+        filter_docids = evaluate_filter(store, body.get("filter"), as_array=True)
         sub = Search(
             store,
             query=body.get("q"),

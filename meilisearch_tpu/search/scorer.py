@@ -1063,9 +1063,15 @@ class FusedScorer:
 
     def run(self) -> np.ndarray:
         """Returns the (D, N) cost matrix (INF where no interpretation)."""
-        if self.n == 0:
-            return np.zeros((len(self.dims), 0), dtype=np.int64)
-        if self._packed_ok:
+        kind, data = self.run_raw()
+        if kind == "packed":
+            return self._unpack(data)
+        return data
+
+    def run_raw(self):
+        """("packed", (N,) bit-field key) when the packed DP ran — the key IS
+        the lexicographic sort key — else ("matrix", (D, N) cost matrix)."""
+        if self.n and self._packed_ok:
             if self.strategy == "last":
                 packed = self._run_packed(None)
             else:
@@ -1078,7 +1084,12 @@ class FusedScorer:
                 for T in thresholds:
                     res = self._run_packed(T)
                     packed = res if packed is None else np.minimum(packed, res)
-            return self._unpack(packed)
+            return "packed", packed
+        return "matrix", self._run_matrix()
+
+    def _run_matrix(self) -> np.ndarray:
+        if self.n == 0:
+            return np.zeros((len(self.dims), 0), dtype=np.int64)
         if self.strategy == "last":
             # `last` drops suffixes only: one DP with a skip mode suffices
             # (removal-group order is monotone in term position, so once a

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import time
 
+from ..index.arrays import docids_array, intersect
 from ..search.filters import evaluate_filter
 from ..search.perform import build_hits
 from ..types.errors import EngineError, ErrorCode
@@ -47,11 +48,11 @@ def perform_similar(store, body: dict) -> dict:
     if internal not in per_doc:
         results = []
     else:
-        universe = set(store.documents_ids())
-        filter_docids = evaluate_filter(store, body.get("filter"))
+        universe = docids_array(store)
+        filter_docids = evaluate_filter(store, body.get("filter"), as_array=True)
         if filter_docids is not None:
-            universe &= filter_docids
-        universe.discard(internal)
+            universe = intersect(universe, filter_docids)
+        universe = universe[universe != internal]
         query_vec = per_doc[internal][0]
         results = searcher.search(query_vec, offset + limit, universe)
 

@@ -93,7 +93,16 @@ class VectorSearcher:
         sims = (1.0 + cos) / 2.0
 
         if universe is not None:
-            keep = np.isin(self.docids, np.fromiter(universe, dtype=np.int64, count=len(universe))) if universe else np.zeros(len(self.docids), dtype=bool)
+            if not isinstance(universe, np.ndarray):
+                universe = (
+                    np.fromiter(universe, dtype=np.int64, count=len(universe))
+                    if universe
+                    else np.empty(0, dtype=np.int64)
+                )
+            if len(universe):
+                keep = np.isin(self.docids, universe)
+            else:
+                keep = np.zeros(len(self.docids), dtype=bool)
             sims = np.where(keep, sims, -np.inf)
 
         # multiple vectors per doc: keep the best one

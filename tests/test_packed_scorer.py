@@ -73,17 +73,17 @@ def test_packed_cost_matrix_identical(monkeypatch):
     store.add_documents(DOCS)
 
     captured = {}
-    orig_run = scorer_mod.FusedScorer.run
+    orig_run = scorer_mod.FusedScorer.run_raw
 
     def capture_run(self):
-        res = orig_run(self)
-        if not self._packed_ok:
-            captured["matrix"] = res
+        kind, data = orig_run(self)
+        if kind == "packed":
+            captured["packed"] = self._unpack(data)
         else:
-            captured["packed"] = res
-        return res
+            captured["matrix"] = data
+        return kind, data
 
-    monkeypatch.setattr(scorer_mod.FusedScorer, "run", capture_run)
+    monkeypatch.setattr(scorer_mod.FusedScorer, "run_raw", capture_run)
     Search(store, query="quick brown fox", limit=30).execute()
 
     orig_prep = scorer_mod.FusedScorer._prepare_packing
