@@ -87,14 +87,17 @@ class App:
         self,
         scheduler: Optional[IndexScheduler] = None,
         master_key: Optional[str] = None,
+        personalization_api_key: Optional[str] = None,
     ):
         self.scheduler = scheduler or IndexScheduler()
         self.auth = AuthController(master_key)
         self.routes: list[Route] = []
         self.started_at = time.time()
         from ..engine.search_queue import SearchQueue
+        from ..vector.personalization import PersonalizationService
 
         self.search_queue = SearchQueue()
+        self.personalization = PersonalizationService(personalization_api_key)
         register_misc_routes(self)
         register_index_routes(self)
 

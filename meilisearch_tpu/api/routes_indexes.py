@@ -105,7 +105,9 @@ def register_index_routes(app):
         store = app_.scheduler.index(req.params["index_uid"])
         query = dict(req.body or {})
         _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
-        return perform_search(store, query)
+        return perform_search(
+            store, query, personalization=app_.personalization
+        )
 
     app.add("POST", "/indexes/{index_uid}/search", "search", search_post)
 
@@ -113,7 +115,9 @@ def register_index_routes(app):
         store = app_.scheduler.index(req.params["index_uid"])
         query = _query_params_to_search(req.query)
         _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
-        return perform_search(store, query)
+        return perform_search(
+            store, query, personalization=app_.personalization
+        )
 
     app.add("GET", "/indexes/{index_uid}/search", "search", search_get)
 
@@ -350,7 +354,18 @@ def register_index_routes(app):
         doc = dict(store.documents[internal])
         fields = req.query.get("fields")
         retrieve_vectors = str(req.query.get("retrieveVectors", False)).lower() == "true"
-        if not retrieve_vectors:
+        if retrieve_vectors:
+            vectors = {}
+            for emb, per_doc in store.vectors.items():
+                if internal in per_doc:
+                    vectors[emb] = {
+                        "embeddings": per_doc[internal].tolist(),
+                        "regenerate": store.vector_regenerate.get(emb, {}).get(
+                            internal, False
+                        ),
+                    }
+            doc["_vectors"] = vectors
+        else:
             doc.pop("_vectors", None)
         if fields and fields != "*":
             from ..search.perform import _select_fields

@@ -114,7 +114,10 @@ def main():
     from ..option import load_options
 
     opt = load_options()
-    app = App(master_key=opt.master_key)
+    app = App(
+        master_key=opt.master_key,
+        personalization_api_key=opt.experimental_personalization_api_key,
+    )
     if opt.experimental_enable_metrics:
         app.scheduler.runtime_features["metrics"] = True
 

@@ -452,6 +452,9 @@ class IndexScheduler:
             docs = content.get("documents", [])
             method = content.get("method", "replace")
             received, indexed = store.add_documents(docs, method=method)
+            from ..vector.embedders import ensure_document_embeddings
+
+            ensure_document_embeddings(store)
             task.details = {
                 "receivedDocuments": task.details.get(
                     "receivedDocuments", received
@@ -496,6 +499,12 @@ class IndexScheduler:
                 store.reindex()
             else:
                 store._bump()
+            if "embedders" in changed and store.documents:
+                # a new/changed embedder (re)embeds existing documents
+                # (reference: update/settings.rs EmbedderAction)
+                from ..vector.embedders import ensure_document_embeddings
+
+                ensure_document_embeddings(store)
             task.details = dict(patch)
         elif t == TaskType.TASK_CANCELATION:
             query = content.get("query", "")

@@ -31,6 +31,7 @@ class Opt:
     log_level: str = "INFO"
     no_analytics: bool = True
     experimental_enable_metrics: bool = False
+    experimental_personalization_api_key: Optional[str] = None
     extra: dict = field(default_factory=dict)
 
     @property
@@ -61,6 +62,9 @@ _ENV_MAP = {
     "MEILI_LOG_LEVEL": "log_level",
     "MEILI_NO_ANALYTICS": "no_analytics",
     "MEILI_EXPERIMENTAL_ENABLE_METRICS": "experimental_enable_metrics",
+    "MEILI_EXPERIMENTAL_PERSONALIZATION_API_KEY": (
+        "experimental_personalization_api_key"
+    ),
 }
 
 
@@ -82,6 +86,7 @@ def load_options(argv: Optional[list[str]] = None) -> Opt:
     parser.add_argument("--log-level")
     parser.add_argument("--no-analytics", action="store_true", default=None)
     parser.add_argument("--experimental-enable-metrics", action="store_true", default=None)
+    parser.add_argument("--experimental-personalization-api-key")
     parser.add_argument("--config-file-path")
     args = parser.parse_args(argv)
 

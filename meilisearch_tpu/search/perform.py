@@ -41,7 +41,10 @@ def _validate_int(query: dict, key: str, default, minimum=0, code=None):
 
 
 def perform_search(
-    store: IndexStore, query: dict, features: Optional[dict] = None
+    store: IndexStore,
+    query: dict,
+    features: Optional[dict] = None,
+    personalization=None,
 ) -> dict:
     """Execute one search request and build the API response."""
     started = time.perf_counter()
@@ -190,6 +193,15 @@ def perform_search(
                 hit["_rankingScoreDetails"] = result.details_by_docid.get(
                     docid, {}
                 )
+
+    personalize = query.get("personalize")
+    if personalize is not None:
+        # reference: routes/indexes/search.rs:761 — rerank the built hit page
+        # (scores already attached, so they travel with their hits)
+        from ..vector.personalization import PersonalizationService
+
+        service = personalization or PersonalizationService(None)
+        response["hits"] = service.rerank_hits(hits, personalize, q)
 
     if result.degraded:
         response["degraded"] = True

@@ -58,6 +58,13 @@ class ErrorCode(str, Enum):
     INVALID_EMBEDDER = "invalid_embedder"
     VECTOR_EMBEDDING_ERROR = "vector_embedding_error"
     NOT_FOUND = "not_found"
+    INVALID_SEARCH_PERSONALIZE = "invalid_search_personalize"
+    REMOTE_INVALID_API_KEY = "remote_invalid_api_key"
+    REMOTE_BAD_REQUEST = "remote_bad_request"
+    REMOTE_BAD_RESPONSE = "remote_bad_response"
+    REMOTE_REMOTE_ERROR = "remote_remote_error"
+    REMOTE_COULD_NOT_SEND_REQUEST = "remote_could_not_send_request"
+    TOO_MANY_SEARCH_REQUESTS = "too_many_search_requests"
 
     @property
     def http_status(self) -> int:
@@ -87,6 +94,11 @@ _STATUS = {
     ErrorCode.MISSING_AUTHORIZATION_HEADER: 401,
     ErrorCode.INTERNAL: 500,
     ErrorCode.FEATURE_NOT_ENABLED: 400,
+    ErrorCode.REMOTE_INVALID_API_KEY: 403,
+    ErrorCode.REMOTE_REMOTE_ERROR: 502,
+    ErrorCode.REMOTE_BAD_RESPONSE: 502,
+    ErrorCode.REMOTE_COULD_NOT_SEND_REQUEST: 502,
+    ErrorCode.TOO_MANY_SEARCH_REQUESTS: 503,
 }
 
 

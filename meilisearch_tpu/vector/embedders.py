@@ -43,6 +43,29 @@ def validate_embedder_settings(name: str, conf: dict) -> None:
             f"`.embedders.{name}`: Missing field `dimensions` (note: this"
             " field is mandatory for source `userProvided`)",
         )
+    if source == "composite":
+        # reference: vector/settings.rs:230-259 — composite embedders pair a
+        # searchEmbedder (queries) with an indexingEmbedder (documents)
+        for sub in ("searchEmbedder", "indexingEmbedder"):
+            sub_conf = conf.get(sub)
+            if not isinstance(sub_conf, dict):
+                raise EngineError(
+                    ErrorCode.INVALID_EMBEDDER,
+                    f"`.embedders.{name}`: Missing field `{sub}` (note: this"
+                    " field is mandatory for source `composite`)",
+                )
+            sub_source = sub_conf.get("source", "openAi")
+            if sub_source in ("composite", "userProvided"):
+                raise EngineError(
+                    ErrorCode.INVALID_EMBEDDER,
+                    f"`.embedders.{name}.{sub}.source`: Invalid value"
+                    f" `{sub_source}`: nested composite or userProvided"
+                    " embedders are not allowed.",
+                )
+    if conf.get("documentTemplate") is not None:
+        from .templates import Template
+
+        Template(str(conf["documentTemplate"]))  # raises on invalid syntax
 
 
 class Embedder:
@@ -68,6 +91,9 @@ class Embedder:
                 " `userProvided` embedders cannot embed queries; pass a"
                 " `vector` parameter instead.",
             )
+        if self.source == "composite":
+            # queries go through the searchEmbedder half
+            return self._sub_embedder("searchEmbedder")._embed(text)
         if self.source == "huggingFace":
             return self._embed_huggingface(text)
         if self.source in ("openAi", "ollama", "rest"):
@@ -76,6 +102,44 @@ class Embedder:
             ErrorCode.VECTOR_EMBEDDING_ERROR,
             f"Embedder source `{self.source}` is not available.",
         )
+
+    def _sub_embedder(self, which: str) -> "Embedder":
+        sub_conf = self.conf.get(which)
+        if not isinstance(sub_conf, dict):
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                f"`.embedders.{self.name}`: Missing field `{which}`.",
+            )
+        return Embedder(f"{self.name}.{which}", sub_conf)
+
+    def embed_documents(self, texts: list) -> np.ndarray:
+        """Index-time batch embedding (reference Embedder::embed_index;
+        HuggingFace batches through the in-process model, remote sources
+        chunk over HTTP)."""
+        if self.source == "userProvided":
+            raise EngineError(
+                ErrorCode.VECTOR_EMBEDDING_ERROR,
+                f"Cannot compute embeddings with embedder `{self.name}`:"
+                " `userProvided` embedders require `_vectors` in documents.",
+            )
+        if self.source == "composite":
+            return self._sub_embedder("indexingEmbedder").embed_documents(texts)
+        if self.source == "huggingFace":
+            try:
+                from ..models.hf_encoder import _encoder
+
+                model_name = self.conf.get("model", "BAAI/bge-base-en-v1.5")
+                pooling = self.conf.get("pooling", "useModel")
+                return _encoder(model_name, pooling).encode(list(texts))
+            except EngineError:
+                raise
+            except Exception as err:
+                raise EngineError(
+                    ErrorCode.VECTOR_EMBEDDING_ERROR,
+                    f"Error while generating embeddings with embedder"
+                    f" `{self.name}`: {err}",
+                )
+        return np.stack([self._embed_rest(t) for t in texts])
 
     def _embed_huggingface(self, text: str) -> np.ndarray:
         try:
@@ -188,6 +252,53 @@ def _extract_embedding(data, response_template):
         ErrorCode.VECTOR_EMBEDDING_ERROR,
         "Could not extract embeddings from the embedder response.",
     )
+
+
+def ensure_document_embeddings(store) -> None:
+    """Index-time auto-embedding (reference: new/extract/vectors/mod.rs) —
+    for every non-userProvided embedder, render each document through its
+    documentTemplate and embed the docs that have no stored vectors (or were
+    engine-generated, hence `regenerate: true`). Raises on embedding errors,
+    failing the indexing task like the reference does."""
+    settings = store.settings
+    changed = False
+    for name, conf in settings.embedders.items():
+        source = conf.get("source", "openAi")
+        if source == "userProvided":
+            continue
+        embedder = Embedder(name, conf)
+        doc_conf = (
+            conf.get("indexingEmbedder", {}) if source == "composite" else conf
+        )
+        template = doc_conf.get("documentTemplate")
+        max_bytes = doc_conf.get("documentTemplateMaxBytes")
+        per_doc = store.vectors.get(name, {})
+        regen = store.vector_regenerate.get(name, {})
+        todo = [
+            docid
+            for docid in sorted(store.documents_ids())
+            if docid not in per_doc or regen.get(docid, True)
+        ]
+        if not todo:
+            continue
+        searchable = None
+        if not settings.searchable_is_wildcard():
+            searchable = set(settings.searchable_attributes)
+        from .templates import render_document_template
+
+        texts = [
+            render_document_template(
+                template, store.documents[docid], searchable, max_bytes
+            )
+            for docid in todo
+        ]
+        embs = embedder.embed_documents(texts)
+        for docid, emb in zip(todo, np.asarray(embs, dtype=np.float32)):
+            store.vectors[name][docid] = emb[None, :]
+            store.vector_regenerate[name][docid] = True
+        changed = True
+    if changed:
+        store._bump()
 
 
 def get_embedder(store, name: Optional[str]) -> Embedder:
