@@ -48,6 +48,7 @@ MAX_FACET_VALUE_LENGTH = 468
 MAX_POSITION_PER_ATTRIBUTE = 1 << 16
 
 RESERVED_GEO_FIELD = "_geo"
+RESERVED_GEOJSON_FIELD = "_geojson"
 RESERVED_VECTORS_FIELD = "_vectors"
 
 
@@ -188,6 +189,7 @@ class IndexStore:
 
         # geo points: docid -> (lat, lng)
         self.geo_points: dict[int, tuple[float, float]] = {}
+        self.geojson_shapes: dict[int, list] = {}
 
         self.generation = 0
         self._lock = threading.RLock()
@@ -400,6 +402,7 @@ class IndexStore:
             self.vectors.clear()
             self.vector_regenerate.clear()
             self.geo_points.clear()
+            self.geojson_shapes.clear()
             self._bump()
             return n
 
@@ -418,6 +421,7 @@ class IndexStore:
             self.docid_facet_numbers.clear()
             self.docid_facet_strings.clear()
             self.geo_points.clear()
+            self.geojson_shapes.clear()
             for docid, doc in self.documents.items():
                 self._index_document_content(docid, doc)
             self._bump()
@@ -461,7 +465,7 @@ class IndexStore:
                 yield (path, val)
 
         for key, value in doc.items():
-            if key == RESERVED_VECTORS_FIELD or key == RESERVED_GEO_FIELD:
+            if key in (RESERVED_VECTORS_FIELD, RESERVED_GEO_FIELD, RESERVED_GEOJSON_FIELD):
                 continue
             yield from rec(value, key)
 
@@ -642,6 +646,7 @@ class IndexStore:
             self.vectors[emb].pop(docid, None)
             self.vector_regenerate[emb].pop(docid, None)
         self.geo_points.pop(docid, None)
+        self.geojson_shapes.pop(docid, None)
 
     # -- facets -----------------------------------------------------------
 
@@ -721,6 +726,13 @@ class IndexStore:
                     self.geo_points[docid] = (float(lat), float(lng))
             except (TypeError, ValueError):
                 pass
+        geojson = doc.get(RESERVED_GEOJSON_FIELD)
+        if geojson is not None:
+            from .geojson import parse_geojson
+
+            shapes = parse_geojson(geojson)
+            if shapes:
+                self.geojson_shapes[docid] = shapes
 
     # ------------------------------------------------------------------
     # read API (mirrors milli db_cache accessors)

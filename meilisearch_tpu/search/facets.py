@@ -46,7 +46,7 @@ def facet_distribution(
     for facet in requested:
         if facet == "*":
             for name in store.fields_ids_map.names():
-                if settings.is_filterable(name) and name != "_geo":
+                if settings.is_filterable(name) and name not in ("_geo", "_geojson"):
                     expanded.append(name)
         else:
             expanded.append(facet)

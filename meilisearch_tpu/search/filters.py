@@ -516,32 +516,59 @@ class FilterEvaluator:
         if isinstance(ast, Not):
             return difference(all_docs, self._eval(ast.inner, all_docs))
         if isinstance(ast, GeoRadius):
-            self._check_geo()
+            # union of `_geo` point matches and `_geojson` shape matches
+            # (reference index_filter.rs:495-530)
+            geo_on, geojson_on = self._geo_features()
             out = set()
-            for docid, (lat, lng) in store.geo_points.items():
-                if _haversine_m(ast.lat, ast.lng, lat, lng) <= ast.radius_m:
-                    out.add(docid)
+            if geo_on:
+                for docid, (lat, lng) in store.geo_points.items():
+                    if _haversine_m(ast.lat, ast.lng, lat, lng) <= ast.radius_m:
+                        out.add(docid)
+            if geojson_on:
+                from ..index.geojson import shape_in_circle
+
+                for docid, shapes in store.geojson_shapes.items():
+                    if shape_in_circle(shapes, ast.lat, ast.lng, ast.radius_m):
+                        out.add(docid)
             return to_array(out)
         if isinstance(ast, GeoBoundingBox):
-            self._check_geo()
+            geo_on, geojson_on = self._geo_features()
             (tr_lat, tr_lng) = ast.top_right
             (bl_lat, bl_lng) = ast.bottom_left
             out = set()
-            for docid, (lat, lng) in store.geo_points.items():
-                if not (bl_lat <= lat <= tr_lat):
-                    continue
-                if bl_lng <= tr_lng:
-                    if bl_lng <= lng <= tr_lng:
-                        out.add(docid)
-                else:  # wrap around the antimeridian
-                    if lng >= bl_lng or lng <= tr_lng:
+            if geo_on:
+                for docid, (lat, lng) in store.geo_points.items():
+                    if not (bl_lat <= lat <= tr_lat):
+                        continue
+                    if bl_lng <= tr_lng:
+                        if bl_lng <= lng <= tr_lng:
+                            out.add(docid)
+                    else:  # wrap around the antimeridian
+                        if lng >= bl_lng or lng <= tr_lng:
+                            out.add(docid)
+            if geojson_on:
+                from ..index.geojson import shape_in_box
+
+                for docid, shapes in store.geojson_shapes.items():
+                    if shape_in_box(shapes, ast.top_right, ast.bottom_left):
                         out.add(docid)
             return to_array(out)
         if isinstance(ast, GeoPolygon):
-            self._check_geo()
+            # shapes only: requires `_geojson` filtering
+            # (reference index_filter.rs:697-715)
+            if not store.settings.is_filterable("_geojson"):
+                attrs = sorted(store.settings.filterable_attribute_names())
+                raise EngineError(
+                    self.code,
+                    f"Index `{store.uid}`: Attribute `_geojson` is not"
+                    " filterable. Available filterable attribute patterns"
+                    f" are: `{', '.join(attrs) or ''}`.",
+                )
+            from ..index.geojson import shape_in_polygon
+
             out = set()
-            for docid, (lat, lng) in store.geo_points.items():
-                if _point_in_polygon(lat, lng, ast.points):
+            for docid, shapes in store.geojson_shapes.items():
+                if shape_in_polygon(shapes, ast.points):
                     out.add(docid)
             return to_array(out)
         if isinstance(ast, VectorExists):
@@ -564,6 +591,22 @@ class FilterEvaluator:
                 " Available filterable attribute patterns are:"
                 f" `{', '.join(sorted(self.store.settings.filterable_attribute_names())) or ''}`.",
             )
+
+    def _geo_features(self) -> tuple[bool, bool]:
+        """(points filterable, shapes filterable); raises when neither
+        (reference error attribute `_geo/_geojson`)."""
+        settings = self.store.settings
+        geo_on = settings.is_filterable("_geo")
+        geojson_on = settings.is_filterable("_geojson")
+        if not geo_on and not geojson_on:
+            attrs = sorted(settings.filterable_attribute_names())
+            raise EngineError(
+                self.code,
+                f"Index `{self.store.uid}`: Attribute `_geo/_geojson` is not"
+                " filterable. Available filterable attribute patterns are:"
+                f" `{', '.join(attrs) or ''}`.",
+            )
+        return geo_on, geojson_on
 
     def _eval_cond(self, cond: Cond, all_docs) -> "np.ndarray":
         store = self.store
