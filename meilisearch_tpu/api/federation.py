@@ -27,7 +27,6 @@ def perform_multi_search(app, req) -> dict:
         )
 
     if federation is None:
-        results = []
         for i, query in enumerate(queries):
             index_uid = query.get("indexUid")
             if not isinstance(index_uid, str):
@@ -44,12 +43,23 @@ def perform_multi_search(app, req) -> dict:
                     " `federationOptions` from query #"
                     f"{i} or add `federation` to the request.",
                 )
-            app.auth.authenticate(req.auth_token, "search", index_uid)
+            app.auth.authenticate(req.auth_token, "search", query["indexUid"])
+        # group per index so chain-compatible queries share device batches
+        # (SURVEY §2.6 batched query execution)
+        from ..search.perform import perform_search_many
+
+        by_index: dict[str, list[int]] = {}
+        for i, query in enumerate(queries):
+            by_index.setdefault(query["indexUid"], []).append(i)
+        results: list = [None] * len(queries)
+        for index_uid, idxs in by_index.items():
             store = app.scheduler.index(index_uid)
-            q = {k: v for k, v in query.items() if k != "indexUid"}
-            res = perform_search(store, q)
-            res = {"indexUid": index_uid, **res}
-            results.append(res)
+            bodies = [
+                {k: v for k, v in queries[i].items() if k != "indexUid"}
+                for i in idxs
+            ]
+            for i, res in zip(idxs, perform_search_many(store, bodies)):
+                results[i] = {"indexUid": index_uid, **res}
         return {"results": results}
 
     # -- federated ---------------------------------------------------------

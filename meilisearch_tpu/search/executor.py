@@ -53,6 +53,8 @@ class SearchResult:
     # global ranking score per docid for the whole ranked list (hybrid merge)
     scores_by_docid: dict = dc_field(default_factory=dict)
     details_by_docid: dict = dc_field(default_factory=dict)
+    # device-batch path: exact match count (candidates holds only top-K)
+    total_hits: Optional[int] = None
 
 
 def merge_ranks(ranks: list[tuple[int, int]]) -> float:
@@ -714,87 +716,10 @@ class Search:
         out = np.full(n, 2.0)
         if graph is None:
             return out
-        store = self.store
-        resolver = Resolver(store, candidates, self._restricted_fids())
-
-        # collect exact terms (1-grams only; ngrams have no exact term),
-        # restricted to the first k term ids
-        infos = []
-        for node in graph.term_nodes():
-            lt = node.located
-            term = lt.term
-            if lt.end_term_id >= k:
-                continue
-            if term.ngram_words is not None:
-                continue
-            if term.phrase is not None:
-                words = list(term.phrase)
-            elif term.exact is not None:
-                words = [term.exact]
-            else:
-                continue
-            infos.append(
-                (
-                    lt.start_term_id,
-                    words,
-                    lt.start_position,
-                    lt.end_position - lt.start_position + 1,
-                )
-            )
-        infos.sort(key=lambda x: x[0])
-        dedup = []
-        seen_ids = set()
-        for info in infos:
-            if info[0] not in seen_ids:
-                seen_ids.add(info[0])
-                dedup.append(info)
-        infos = dedup
-        if not infos or infos[0][0] != 0:
-            return out
-        prev = 0
-        for info in infos:
-            if info[0] < prev or info[0] - prev > 1:
-                return out
-            prev = info[0]
-
-        count_all_positions = sum(x[3] for x in infos)
-        cands = candidates
-        all_words: list[str] = []
-        for _tid, words, position, _cnt in infos:
-            for offset, word in enumerate(words):
-                if word is None:
-                    continue
-                all_words.append(word)
-                bucket = bucketed_position(position + offset)
-                cands = intersect(
-                    cands, resolver.word_position_docids(word, bucket)
-                )
-                if not len(cands):
-                    return out
-        rank0_parts: list = []
-        rank1_parts: list = []
-        for fid in sorted(self.store.searchable_fids()):
-            inter = cands
-            for word in all_words:
-                inter = intersect(inter, resolver.word_fid_docids(word, fid))
-                if not len(inter):
-                    break
-            if not len(inter):
-                continue
-            if count_all_positions < 256:
-                wc = resolver.arrays.get(
-                    ("fwc", fid, count_all_positions),
-                    store.field_id_word_count_docids.get(
-                        (fid, count_all_positions)
-                    ),
-                )
-                wc = intersect(wc, candidates)
-            else:
-                wc = EMPTY
-            rank0_parts.append(intersect(inter, wc))
-            rank1_parts.append(difference(inter, wc))
-        rank0 = union_many(rank0_parts)
-        rank1 = union_many(rank1_parts)
+        resolver = Resolver(self.store, candidates, self._restricted_fids())
+        rank0, rank1 = exact_attribute_rank_ids(
+            self.store, graph, k, candidates, resolver
+        )
         out = np.where(member_mask(candidates, rank1), 1.0, out)
         out = np.where(member_mask(candidates, rank0), 0.0, out)
         return out
@@ -963,3 +888,88 @@ def _haversine_m(lat1, lng1, lat2, lng2) -> float:
     dl = math.radians(lng2 - lng1)
     a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
     return 2 * r * math.asin(math.sqrt(a))
+
+def exact_attribute_rank_ids(
+    store, graph, k: int, universe: np.ndarray, resolver
+) -> tuple[np.ndarray, np.ndarray]:
+    """(rank0, rank1) docid arrays for the ExactAttribute rule at words
+    level k (reference: search/new/exact_attribute.rs). rank0 = the first-k
+    sub-query exactly fills an attribute; rank1 = the attribute starts with
+    it. Seeded with `universe` (pass all live docids for a global answer)."""
+    infos = []
+    for node in graph.term_nodes():
+        lt = node.located
+        term = lt.term
+        if lt.end_term_id >= k:
+            continue
+        if term.ngram_words is not None:
+            continue
+        if term.phrase is not None:
+            words = list(term.phrase)
+        elif term.exact is not None:
+            words = [term.exact]
+        else:
+            continue
+        infos.append(
+            (
+                lt.start_term_id,
+                words,
+                lt.start_position,
+                lt.end_position - lt.start_position + 1,
+            )
+        )
+    infos.sort(key=lambda x: x[0])
+    dedup = []
+    seen_ids = set()
+    for info in infos:
+        if info[0] not in seen_ids:
+            seen_ids.add(info[0])
+            dedup.append(info)
+    infos = dedup
+    if not infos or infos[0][0] != 0:
+        return EMPTY, EMPTY
+    prev = 0
+    for info in infos:
+        if info[0] < prev or info[0] - prev > 1:
+            return EMPTY, EMPTY
+        prev = info[0]
+
+    count_all_positions = sum(x[3] for x in infos)
+    cands = universe
+    all_words: list[str] = []
+    for _tid, words, position, _cnt in infos:
+        for offset, word in enumerate(words):
+            if word is None:
+                continue
+            all_words.append(word)
+            bucket = bucketed_position(position + offset)
+            cands = intersect(
+                cands, resolver.word_position_docids(word, bucket)
+            )
+            if not len(cands):
+                return EMPTY, EMPTY
+    rank0_parts: list = []
+    rank1_parts: list = []
+    for fid in sorted(store.searchable_fids()):
+        inter = cands
+        for word in all_words:
+            inter = intersect(inter, resolver.word_fid_docids(word, fid))
+            if not len(inter):
+                break
+        if not len(inter):
+            continue
+        if count_all_positions < 256:
+            wc = resolver.arrays.get(
+                ("fwc", fid, count_all_positions),
+                store.field_id_word_count_docids.get(
+                    (fid, count_all_positions)
+                ),
+            )
+            wc = intersect(wc, universe)
+        else:
+            wc = EMPTY
+        rank0_parts.append(intersect(inter, wc))
+        rank1_parts.append(difference(inter, wc))
+    rank0 = union_many(rank0_parts)
+    rank1 = union_many(rank1_parts)
+    return rank0, rank1

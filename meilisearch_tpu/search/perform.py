@@ -45,6 +45,8 @@ def perform_search(
     query: dict,
     features: Optional[dict] = None,
     personalization=None,
+    _collect_search: bool = False,
+    _result_override=None,
 ) -> dict:
     """Execute one search request and build the API response."""
     started = time.perf_counter()
@@ -141,7 +143,12 @@ def perform_search(
         compute_score_details=bool(query.get("showRankingScoreDetails")),
     )
 
-    if hybrid is not None:
+    if _collect_search:
+        return search
+
+    if _result_override is not None:
+        result = _result_override
+    elif hybrid is not None:
         from .hybrid import execute_hybrid
 
         result, semantic_hit_count = execute_hybrid(
@@ -154,7 +161,11 @@ def perform_search(
         store, query, result.documents_ids, q, located_terms=result.query_terms
     )
 
-    total = min(len(result.candidates), max_total_hits)
+    total = (
+        result.total_hits
+        if result.total_hits is not None
+        else min(len(result.candidates), max_total_hits)
+    )
     response: dict[str, Any] = {
         "hits": hits,
         "query": q or "",
@@ -206,6 +217,53 @@ def perform_search(
     if result.degraded:
         response["degraded"] = True
     return response
+
+
+_DEVICE_BATCH_SAFE_KEYS = {
+    "q", "filter", "offset", "limit", "page", "hitsPerPage",
+    "attributesToRetrieve", "attributesToCrop", "cropLength",
+    "attributesToHighlight", "highlightPreTag", "highlightPostTag",
+    "cropMarker", "showMatchesPosition", "matchingStrategy", "locales",
+}
+
+
+def perform_search_many(
+    store: IndexStore, queries: list[dict], features: Optional[dict] = None
+) -> list[dict]:
+    """Execute a batch of search requests against one index: queries that
+    map to the device chain kernel run together as grouped device executes
+    (SURVEY §2.6 batched query execution); the rest take the host path.
+    Responses are order-aligned with `queries`."""
+    from .device_batch import search_many
+
+    prepared: list = []
+    for body in queries:
+        search = None
+        if set(body) <= _DEVICE_BATCH_SAFE_KEYS and (
+            body.get("matchingStrategy") in (None, "last")
+        ):
+            try:
+                search = perform_search(
+                    store, body, features, _collect_search=True
+                )
+            except EngineError:
+                search = None  # re-raised by the final perform_search pass
+        prepared.append(search)
+
+    batched = [s for s in prepared if s is not None]
+    results = iter(search_many(store, batched)) if batched else iter(())
+
+    out = []
+    for body, search in zip(queries, prepared):
+        if search is None:
+            out.append(perform_search(store, body, features))
+        else:
+            out.append(
+                perform_search(
+                    store, body, features, _result_override=next(results)
+                )
+            )
+    return out
 
 
 def perform_facet_search(store: IndexStore, body: dict) -> dict:
