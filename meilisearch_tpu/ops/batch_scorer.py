@@ -32,6 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .jax_setup import configure_jax
+
+configure_jax()
+
 INF32 = jnp.int32(1 << 24)
 INF16 = jnp.int32(20000)  # fid/pos plane sentinel (int16-safe)
 N_DIMS = 6
@@ -127,23 +131,35 @@ def batched_chain_topk(
     """Returns (top_docids (B,k) int32 [-1 padded], counts (B,) int32)."""
 
     def one(ci, pi, pv, aj, fi, fv, oi, ov, ei, ai, av, vi, uv):
+        # each scatter target gets a dump REGION as large as its index
+        # vector: pads are consecutive unique indices there, so padded
+        # scatters stay collision-free (a single shared dump slot serializes
+        # on TPU and costs seconds)
         class_mask = (
-            jnp.zeros(T * 3 * D + 1, bool).at[ci].set(True)[: T * 3 * D]
+            jnp.zeros(T * 3 * D + ci.shape[0], bool)
+            .at[ci]
+            .set(True)[: T * 3 * D]
         ).reshape(T, 3, D)
         tp = max(T - 1, 1)
         pair_cost = (
-            jnp.full(tp * 9 * D + 1, 3, jnp.int8).at[pi].min(pv)[: tp * 9 * D]
+            jnp.full(tp * 9 * D + pi.shape[0], 3, jnp.int8)
+            .at[pi]
+            .min(pv)[: tp * 9 * D]
         ).reshape(tp, 3, 3, D)
         # non-adjacent consecutive terms have the free term edge (cost 0)
         pair_cost = jnp.where(aj[: tp, None, None, None], pair_cost, 0)
         fid_cost = (
-            jnp.full(T * 3 * D + 1, INF16, jnp.int16).at[fi].min(fv)[: T * 3 * D]
+            jnp.full(T * 3 * D + fi.shape[0], INF16, jnp.int16)
+            .at[fi]
+            .min(fv)[: T * 3 * D]
         ).reshape(T, 3, D)
         pos_cost = (
-            jnp.full(T * 3 * D + 1, INF16, jnp.int16).at[oi].min(ov)[: T * 3 * D]
+            jnp.full(T * 3 * D + oi.shape[0], INF16, jnp.int16)
+            .at[oi]
+            .min(ov)[: T * 3 * D]
         ).reshape(T, 3, D)
         exact_mask = (
-            jnp.zeros(T * D + 1, bool).at[ei].set(True)[: T * D]
+            jnp.zeros(T * D + ei.shape[0], bool).at[ei].set(True)[: T * D]
         ).reshape(T, D)
 
         final = _chain_dp(
@@ -154,12 +170,16 @@ def batched_chain_topk(
         # doc's own level (reference exact_attribute.rs; the rank sits between
         # position and exactness in the default rule order)
         ea_rank = (
-            jnp.full((T + 1) * D + 1, 2, jnp.int8).at[ai].min(av)[: (T + 1) * D]
+            jnp.full((T + 1) * D + ai.shape[0], 2, jnp.int8)
+            .at[ai]
+            .min(av)[: (T + 1) * D]
         )
         level = jnp.clip(T - final[0], 0, T)
         ea = ea_rank[level * D + jnp.arange(D)].astype(jnp.int32)
 
-        valid_scatter = jnp.zeros(D + 1, bool).at[vi].set(True)[:D]
+        valid_scatter = (
+            jnp.zeros(D + vi.shape[0], bool).at[vi].set(True)[:D]
+        )
         valid = jnp.where(uv, valid_scatter, live)
         invalid = (~valid) | (final[0] >= INF32)
 

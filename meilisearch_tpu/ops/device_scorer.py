@@ -33,6 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .jax_setup import configure_jax
+
+configure_jax()
+
 INF = jnp.int32(1 << 24)
 N_DIMS = 6  # words, typo, proximity, fid, position, exactness
 MAX_REL_PROX = 3
