@@ -98,6 +98,8 @@ class App:
 
         self.search_queue = SearchQueue()
         self.personalization = PersonalizationService(personalization_api_key)
+        # dumps created by scheduler tasks include the API keys
+        self.scheduler.auth_ref = self.auth
         register_misc_routes(self)
         register_index_routes(self)
 

@@ -241,7 +241,10 @@ def register_misc_routes(app):
     # -- dumps / snapshots ----------------------------------------------------
 
     def create_dump(app_, req):
-        task = app_.scheduler.register(TaskType.DUMP_CREATION, content={})
+        task = app_.scheduler.register(
+            TaskType.DUMP_CREATION,
+            content={"path": getattr(app_.scheduler, "dump_dir", None)},
+        )
         return Response(202, json=task.summary())
 
     app.add("POST", "/dumps", "dumps.create", create_dump)

@@ -120,12 +120,13 @@ def main():
     )
     if opt.experimental_enable_metrics:
         app.scheduler.runtime_features["metrics"] = True
+    app.scheduler.dump_dir = opt.dump_dir
 
     # boot-time state restore: explicit imports win over the db-path snapshot
     # (reference: lib.rs open_or_create_database --import-dump/--import-snapshot)
     db_snapshot = os.path.join(opt.db_path, "data.ms.snapshot")
     if opt.import_dump:
-        load_dump(app.scheduler, opt.import_dump)
+        load_dump(app.scheduler, opt.import_dump, auth=app.auth)
     elif opt.import_snapshot:
         load_snapshot(app.scheduler, opt.import_snapshot)
     elif os.path.exists(db_snapshot):

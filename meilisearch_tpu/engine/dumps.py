@@ -61,21 +61,184 @@ def serialize_instance(scheduler) -> dict:
     }
 
 
-def create_dump(scheduler, path: Optional[str] = None) -> str:
+def _tar_add_bytes(tar, name: str, data: bytes) -> None:
+    info = tarfile.TarInfo(name)
+    info.size = len(data)
+    tar.addfile(info, BytesIO(data))
+
+
+def create_dump(scheduler, path: Optional[str] = None, auth=None) -> str:
+    """Write a dump in the reference's V6 archive layout
+    (crates/dump/README.md: metadata.json, instance_uid.uuid, keys.jsonl,
+    tasks/queue.jsonl, batches/queue.jsonl, indexes/{uid}/{metadata.json,
+    documents.jsonl, settings.json}) — importable by the reference and
+    vice versa."""
     uid = _dump_uid()
     directory = path or os.path.join(tempfile.gettempdir(), "meili_tpu_dumps")
     os.makedirs(directory, exist_ok=True)
-    payload = json.dumps(serialize_instance(scheduler)).encode("utf-8")
     file_path = os.path.join(directory, f"{uid}.dump")
-    with gzip.open(file_path, "wb") as f:
-        f.write(payload)
+
+    def rfc3339(ts: float) -> str:
+        return (
+            datetime.fromtimestamp(ts, tz=timezone.utc)
+            .isoformat()
+            .replace("+00:00", "Z")
+        )
+
+    with scheduler.lock:
+        with tarfile.open(file_path, "w:gz") as tar:
+            metadata = {
+                "dumpVersion": "V6",
+                "dbVersion": "1.50.0",
+                "dumpDate": rfc3339(time.time()),
+            }
+            _tar_add_bytes(
+                tar, "metadata.json", json.dumps(metadata).encode("utf-8")
+            )
+            _tar_add_bytes(
+                tar,
+                "instance_uid.uuid",
+                getattr(scheduler, "instance_uid", "00000000-0000-0000-0000-000000000000").encode(),
+            )
+            keys_lines = b""
+            if auth is not None:
+                keys_lines = b"".join(
+                    (json.dumps(k.to_json()) + "\n").encode("utf-8")
+                    for k in auth.list_keys()
+                )
+            _tar_add_bytes(tar, "keys.jsonl", keys_lines)
+            tasks_lines = b"".join(
+                (json.dumps(t.to_json()) + "\n").encode("utf-8")
+                for t in scheduler.queue.tasks.values()
+            )
+            _tar_add_bytes(tar, "tasks/queue.jsonl", tasks_lines)
+            batch_lines = b"".join(
+                (json.dumps(b.to_json()) + "\n").encode("utf-8")
+                for b in getattr(scheduler.queue, "batches", {}).values()
+            )
+            _tar_add_bytes(tar, "batches/queue.jsonl", batch_lines)
+            for index_uid, store in scheduler.indexes.items():
+                base = f"indexes/{index_uid}"
+                meta = {
+                    "uid": index_uid,
+                    "primaryKey": store.primary_key,
+                    "createdAt": rfc3339(store.created_at),
+                    "updatedAt": rfc3339(store.updated_at),
+                }
+                _tar_add_bytes(
+                    tar, f"{base}/metadata.json", json.dumps(meta).encode()
+                )
+                docs = BytesIO()
+                for docid in sorted(store.documents):
+                    doc = dict(store.documents[docid])
+                    vectors = {}
+                    for emb, per_doc in store.vectors.items():
+                        if docid in per_doc:
+                            vectors[emb] = {
+                                "embeddings": per_doc[docid].tolist(),
+                                "regenerate": store.vector_regenerate.get(
+                                    emb, {}
+                                ).get(docid, False),
+                            }
+                    if vectors:
+                        doc["_vectors"] = vectors
+                    docs.write((json.dumps(doc) + "\n").encode("utf-8"))
+                _tar_add_bytes(tar, f"{base}/documents.jsonl", docs.getvalue())
+                _tar_add_bytes(
+                    tar,
+                    f"{base}/settings.json",
+                    json.dumps(store.settings.to_json()).encode("utf-8"),
+                )
     return uid
 
 
-def load_dump(scheduler, file_path: str) -> None:
+def load_dump(scheduler, file_path: str, auth=None) -> None:
+    """Import a dump: the reference's V6 tar.gz layout, or this engine's
+    legacy gzip-JSON format."""
+    if tarfile.is_tarfile(file_path):
+        _load_v6_dump(scheduler, file_path, auth)
+        return
     with gzip.open(file_path, "rb") as f:
         data = json.loads(f.read().decode("utf-8"))
     import_instance(scheduler, data)
+
+
+def _load_v6_dump(scheduler, file_path: str, auth=None) -> None:
+    from ..index.store import IndexStore
+
+    with tarfile.open(file_path, "r:gz") as tar:
+        names = tar.getnames()
+
+        def read(name: str) -> Optional[bytes]:
+            try:
+                f = tar.extractfile(name)
+            except KeyError:
+                return None
+            return f.read() if f is not None else None
+
+        meta_raw = read("metadata.json")
+        if meta_raw is None:
+            raise ValueError("not a meilisearch dump: missing metadata.json")
+        meta = json.loads(meta_raw)
+        version = meta.get("dumpVersion")
+        if version != "V6":
+            raise ValueError(
+                f"unsupported dump version `{version}`: only V6 dumps can be"
+                " imported (re-export with a recent Meilisearch)."
+            )
+
+        index_uids = sorted(
+            {
+                n.split("/")[1]
+                for n in names
+                if n.startswith("indexes/") and len(n.split("/")) >= 3
+            }
+        )
+        with scheduler.lock:
+            for index_uid in index_uids:
+                imeta = json.loads(
+                    read(f"indexes/{index_uid}/metadata.json") or b"{}"
+                )
+                store = IndexStore(
+                    index_uid, primary_key=imeta.get("primaryKey")
+                )
+                settings_raw = read(f"indexes/{index_uid}/settings.json")
+                if settings_raw:
+                    settings = json.loads(settings_raw)
+                    known = set(store.settings.to_json())
+                    store.settings.apply_json(
+                        {k: v for k, v in settings.items() if k in known}
+                    )
+                docs_raw = read(f"indexes/{index_uid}/documents.jsonl")
+                if docs_raw:
+                    docs = [
+                        json.loads(line)
+                        for line in docs_raw.decode("utf-8").splitlines()
+                        if line.strip()
+                    ]
+                    if docs:
+                        store.add_documents(docs)
+                scheduler.indexes[index_uid] = store
+
+        if auth is not None:
+            keys_raw = read("keys.jsonl") or b""
+            for line in keys_raw.decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                try:
+                    body = json.loads(line)
+                    if body.get("uid") in (k.uid for k in auth.list_keys()):
+                        continue
+                    auth.create_key(
+                        {
+                            k: v
+                            for k, v in body.items()
+                            if k in ("uid", "name", "description", "actions",
+                                     "indexes", "expiresAt")
+                        }
+                    )
+                except Exception:
+                    continue  # key rows are best-effort (default keys exist)
 
 
 def import_instance(scheduler, data: dict) -> None:

@@ -549,7 +549,9 @@ class IndexScheduler:
         elif t == TaskType.DUMP_CREATION:
             from .dumps import create_dump
 
-            path = create_dump(self, content.get("path"))
+            path = create_dump(
+                self, content.get("path"), auth=getattr(self, "auth_ref", None)
+            )
             task.details = {"dumpUid": path}
         elif t == TaskType.SNAPSHOT_CREATION:
             from .dumps import create_snapshot
