@@ -58,6 +58,9 @@ class Response:
     json: Any = None
     headers: dict = field(default_factory=dict)
     body: Optional[bytes] = None
+    # generator of bytes chunks for streaming routes (/logs/stream); the
+    # socket server sends them with chunked transfer encoding
+    stream: Any = None
 
 
 class Route:

@@ -445,14 +445,60 @@ def register_misc_routes(app):
 
     app.add("GET", "/metrics", "metrics.get", metrics)
 
-    # -- logs (stubs mirroring route surface) --------------------------------
+    # -- logs: live span stream (reference routes/logs.rs:29-56) -------------
 
     def logs_stream(app_, req):
         _check_feature(app_, "logsRoute")
-        return Response(200, json=None)
+        body = req.body or {}
+        mode = body.get("mode", "human")
+        if mode not in ("human", "json", "profile"):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                f"Invalid value at `.mode`: `{mode}`, expected one of"
+                " `human`, `json`, `profile`.",
+            )
+        target = body.get("target")
+        from ..utils import tracing
+
+        if getattr(app_, "_logs_stream_active", False):
+            raise EngineError(
+                ErrorCode.BAD_REQUEST,
+                "The `/logs/stream` route is currently in use by someone"
+                " else.",
+            )
+        app_._logs_stream_active = True
+        sub = tracing.subscribe(target)
+
+        def gen():
+            import queue as _q
+
+            try:
+                while getattr(app_, "_logs_stream_active", False):
+                    try:
+                        line = sub.get(timeout=0.5)
+                    except _q.Empty:
+                        continue
+                    yield (line + "\n").encode("utf-8")
+                # stream stopped: drain what was already recorded
+                while True:
+                    try:
+                        line = sub.get_nowait()
+                    except _q.Empty:
+                        break
+                    yield (line + "\n").encode("utf-8")
+            finally:
+                tracing.unsubscribe(sub)
+                app_._logs_stream_active = False
+
+        return Response(200, stream=gen(), headers={"Content-Type": "application/x-ndjson"})
+
+    def logs_stream_stop(app_, req):
+        _check_feature(app_, "logsRoute")
+        app_._logs_stream_active = False
+        return Response(204, json=None)
 
     app.add("POST", "/logs/stream", "public", logs_stream)
-    app.add("DELETE", "/logs/stream", "public", logs_stream)
+    app.add("DELETE", "/logs/stream", "public", logs_stream_stop)
 
     def logs_stderr(app_, req):
         _check_feature(app_, "logsRoute")

@@ -52,6 +52,22 @@ def make_handler(app: App):
                 raw_body=raw or None,
             )
             res = app.handle(req)
+            if getattr(res, "stream", None) is not None:
+                self.send_response(res.status)
+                for k, v in res.headers.items():
+                    self.send_header(k, v)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    for chunk in res.stream:
+                        self.wfile.write(
+                            f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n"
+                        )
+                        self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                return
             if res.body is not None:
                 self.send_response(res.status)
                 for k, v in res.headers.items():

@@ -340,7 +340,9 @@ class IndexStore:
         self, docs: Iterable[dict], method: str = "replace"
     ) -> tuple[int, int]:
         """Add or update documents. Returns (received, indexed)."""
-        with self._lock:
+        from ..utils.tracing import span
+
+        with self._lock, span("indexing::documents", index=self.uid):
             received = 0
             for doc in docs:
                 received += 1

@@ -100,13 +100,16 @@ class Search:
             _time.perf_counter() + cutoff / 1000.0 if cutoff is not None else None
         )
 
+        from ..utils.tracing import span
+
         self._check_sort_criteria()
 
         # the universe lives as a sorted docid array from here on (the host
         # mirror of the device candidate axis)
-        universe = _docids_array(store)
-        if self.filter_docids is not None:
-            universe = intersect(universe, to_array(self.filter_docids))
+        with span("search::universe"):
+            universe = _docids_array(store)
+            if self.filter_docids is not None:
+                universe = intersect(universe, to_array(self.filter_docids))
 
         restricted_fids = self._restricted_fids()
 
@@ -148,10 +151,12 @@ class Search:
                 )
 
         if has_query and terms:
-            return self._execute_query_graph(
-                universe, terms, resolver, restricted_fids
-            )
-        return self._execute_placeholder(universe)
+            with span("search::query", q=self.query):
+                return self._execute_query_graph(
+                    universe, terms, resolver, restricted_fids
+                )
+        with span("search::placeholder"):
+            return self._execute_placeholder(universe)
 
     def _check_sort_criteria(self):
         """Reference: search/new/mod.rs:998 check_sort_criteria."""

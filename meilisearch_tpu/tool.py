@@ -53,6 +53,15 @@ def main(argv=None):
 
     sub.add_parser("openapi", help="print the OpenAPI spec for the route tree")
 
+    p = sub.add_parser(
+        "explain-query",
+        help="render the query graph + derivations (VisualSearchLogger)",
+    )
+    p.add_argument("--snapshot", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--dot-only", action="store_true")
+
     args = parser.parse_args(argv)
 
     if args.command == "openapi":
@@ -91,6 +100,16 @@ def main(argv=None):
     elif args.command == "stats":
         scheduler = _load_instance(args.snapshot)
         print(json.dumps(scheduler.stats(), indent=2, default=str))
+        scheduler.stop()
+    elif args.command == "explain-query":
+        scheduler = _load_instance(args.snapshot)
+        from .search.logger import explain_query
+
+        info = explain_query(scheduler.index(args.index), args.query)
+        if args.dot_only:
+            print(info["dot"])
+        else:
+            print(json.dumps(info, indent=2, ensure_ascii=False))
         scheduler.stop()
 
 
