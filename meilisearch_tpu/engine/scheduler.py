@@ -63,6 +63,11 @@ class IndexScheduler:
         self.lock = threading.RLock()
         self.wake = threading.Condition(self.lock)
         self.autobatching_enabled = autobatching_enabled
+        # reference: index-scheduler lib.rs — queue capacity guard; finished
+        # tasks beyond this are garbage-collected, registrations refused
+        self.max_number_of_tasks = 1_000_000
+        self._must_stop = threading.Event()
+        self._abort_requested_by: Optional[int] = None
         self._stop = False
         self.webhooks: dict[str, dict] = {}
         self.runtime_features = {
@@ -108,10 +113,54 @@ class IndexScheduler:
                 " hyphens (-) and underscores (_), and can not be more than"
                 " 400 bytes.",
             )
+        # queue self-protection (reference lib.rs:809 NoSpaceLeftInTaskQueue):
+        # past the limit only task deletions are accepted, so users can free
+        # space
+        if (
+            len(self.queue.tasks) >= self.max_number_of_tasks
+            and task_type != TaskType.TASK_DELETION
+        ):
+            raise EngineError(
+                ErrorCode.NO_SPACE_LEFT_ON_DEVICE,
+                "Meilisearch cannot receive write operations because the"
+                " limit of the task database has been reached. Please delete"
+                " tasks to continue performing write operations.",
+            )
         with self.wake:
             task = self.queue.register(task_type, index_uid, details, content)
+            if task_type == TaskType.TASK_CANCELATION:
+                # cooperative abort of the in-flight batch when the
+                # cancelation matches a processing task (reference
+                # must_stop_processing.rs)
+                try:
+                    matched = self.queue.filtered(
+                        **(content or {}).get("filters", {})
+                    )
+                    if any(
+                        t.status == TaskStatus.PROCESSING for t in matched
+                    ):
+                        self._abort_requested_by = task.uid
+                        self._must_stop.set()
+                except Exception:
+                    pass
             self.wake.notify_all()
             return task
+
+    def cleanup_task_queue(self) -> int:
+        """Deletes the oldest finished tasks when the queue is at capacity
+        (reference queue/mod.rs:289 cleanup_task_queue)."""
+        with self.lock:
+            if len(self.queue.tasks) < self.max_number_of_tasks:
+                return 0
+            finished = sorted(
+                uid
+                for uid, t in self.queue.tasks.items()
+                if t.status
+                in (TaskStatus.SUCCEEDED, TaskStatus.FAILED, TaskStatus.CANCELED)
+            )
+            for uid in finished[:100_000]:
+                del self.queue.tasks[uid]
+            return len(finished[:100_000])
 
     def index(self, uid: str) -> IndexStore:
         with self.lock:
@@ -179,6 +228,7 @@ class IndexScheduler:
                 if self._stop:
                     return
                 try:
+                    self.cleanup_task_queue()
                     batch_tasks = self._create_next_batch()
                 except Exception:
                     # unrecoverable scheduling error: fail every enqueued task
@@ -319,13 +369,21 @@ class IndexScheduler:
                 task.batch_uid = batch.uid
                 batch.task_uids.append(task.uid)
 
+        from ..index.store import AbortedProcessing
+
+        self._must_stop.clear()
         for i, task in enumerate(tasks):
             try:
+                if self._must_stop.is_set():
+                    raise AbortedProcessing()
                 self._breakpoint("inside_process_batch")
                 self._process_task(task)
                 task.status = TaskStatus.SUCCEEDED
                 batch.progress["steps"][0]["finished"] = i + 1
                 batch.progress["percentage"] = 100.0 * (i + 1) / len(tasks)
+            except AbortedProcessing:
+                task.status = TaskStatus.CANCELED
+                task.canceled_by = self._abort_requested_by
             except EngineError as err:
                 task.status = TaskStatus.FAILED
                 task.error = err.to_json()
@@ -451,7 +509,9 @@ class IndexScheduler:
                 store.primary_key = content["primaryKey"]
             docs = content.get("documents", [])
             method = content.get("method", "replace")
-            received, indexed = store.add_documents(docs, method=method)
+            received, indexed = store.add_documents(
+                docs, method=method, must_stop=self._must_stop
+            )
             from ..vector.embedders import ensure_document_embeddings
 
             ensure_document_embeddings(store)

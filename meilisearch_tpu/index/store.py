@@ -68,6 +68,11 @@ def index_proximity(lhs: int, rhs: int) -> int:
     return min(lhs - rhs + 1, MAX_DISTANCE)
 
 
+class AbortedProcessing(Exception):
+    """Raised when a cooperative must-stop aborts an indexing operation
+    (the task becomes `canceled`, the index is unchanged)."""
+
+
 def facet_string_normalize(value: str) -> str:
     """Facet strings are matched case/whitespace-insensitively.
 
@@ -337,14 +342,24 @@ class IndexStore:
         )
 
     def add_documents(
-        self, docs: Iterable[dict], method: str = "replace"
+        self, docs: Iterable[dict], method: str = "replace", must_stop=None
     ) -> tuple[int, int]:
-        """Add or update documents. Returns (received, indexed)."""
+        """Add or update documents. Returns (received, indexed).
+
+        `must_stop` is the cooperative-abort signal (reference
+        milli/src/must_stop_processing.rs): when set mid-batch, the change
+        is rolled back (the LMDB-wtxn-never-commits equivalent) and
+        AbortedProcessing is raised."""
         from ..utils.tracing import span
 
         with self._lock, span("indexing::documents", index=self.uid):
             received = 0
+            applied: list[tuple[str, Optional[dict]]] = []
             for doc in docs:
+                if must_stop is not None and must_stop.is_set():
+                    self._rollback_documents(applied)
+                    self._bump()
+                    raise AbortedProcessing()
                 received += 1
                 if self.primary_key is None:
                     self.primary_key = self.guess_primary_key(doc)
@@ -357,12 +372,14 @@ class IndexStore:
                 docid = self.external_to_internal.get(external_id)
                 if docid is not None:
                     old = self.documents[docid]
+                    applied.append((external_id, old))
                     if method == "update":
                         merged = dict(old)
                         merged.update(doc)
                         doc = merged
                     self._remove_document_content(docid, old)
                 else:
+                    applied.append((external_id, None))
                     docid = self._next_docid
                     self._next_docid += 1
                     self.external_to_internal[external_id] = docid
@@ -371,6 +388,24 @@ class IndexStore:
                 self._index_document_content(docid, doc)
             self._bump()
             return received, received
+
+    def _rollback_documents(self, applied: list) -> None:
+        """Undo an aborted add_documents: restore replaced docs, delete
+        fresh ones (newest first so re-replacements unwind correctly)."""
+        for external_id, old_doc in reversed(applied):
+            docid = self.external_to_internal.get(external_id)
+            if docid is not None:
+                self._remove_document_content(docid, self.documents[docid])
+                del self.documents[docid]
+                del self.external_to_internal[external_id]
+                del self.internal_to_external[docid]
+            if old_doc is not None:
+                docid = self._next_docid
+                self._next_docid += 1
+                self.external_to_internal[external_id] = docid
+                self.internal_to_external[docid] = external_id
+                self.documents[docid] = old_doc
+                self._index_document_content(docid, old_doc)
 
     def delete_documents(self, external_ids: Iterable[str]) -> int:
         with self._lock:

@@ -65,6 +65,7 @@ class ErrorCode(str, Enum):
     REMOTE_REMOTE_ERROR = "remote_remote_error"
     REMOTE_COULD_NOT_SEND_REQUEST = "remote_could_not_send_request"
     TOO_MANY_SEARCH_REQUESTS = "too_many_search_requests"
+    NO_SPACE_LEFT_ON_DEVICE = "no_space_left_on_device"
 
     @property
     def http_status(self) -> int:
@@ -79,6 +80,8 @@ class ErrorCode(str, Enum):
             return ErrorType.AUTH
         if self is ErrorCode.INTERNAL:
             return ErrorType.INTERNAL
+        if self is ErrorCode.NO_SPACE_LEFT_ON_DEVICE:
+            return ErrorType.SYSTEM
         return ErrorType.INVALID_REQUEST
 
 
@@ -99,6 +102,7 @@ _STATUS = {
     ErrorCode.REMOTE_BAD_RESPONSE: 502,
     ErrorCode.REMOTE_COULD_NOT_SEND_REQUEST: 502,
     ErrorCode.TOO_MANY_SEARCH_REQUESTS: 503,
+    ErrorCode.NO_SPACE_LEFT_ON_DEVICE: 422,
 }
 
 
