@@ -721,10 +721,30 @@ class Search:
         out = np.full(n, 2.0)
         if graph is None:
             return out
-        resolver = Resolver(self.store, candidates, self._restricted_fids())
-        rank0, rank1 = exact_attribute_rank_ids(
-            self.store, graph, k, candidates, resolver
-        )
+        restricted = self._restricted_fids()
+        resolver = Resolver(self.store, candidates, restricted)
+        # the global rank sets are candidate-independent (intersections
+        # commute), so cache them per generation and mask per query
+        ranks = None
+        ckey = None
+        if restricted is None:
+            ckey = (
+                "ear",
+                tuple(
+                    (n.located.term.original, n.located.start_position)
+                    for n in graph.term_nodes()
+                ),
+                k,
+            )
+            ranks = resolver.arrays.cache.get(ckey)
+        if ranks is None:
+            universe = _docids_array(self.store) if restricted is None else candidates
+            ranks = exact_attribute_rank_ids(
+                self.store, graph, k, universe, resolver
+            )
+            if ckey is not None:
+                resolver.arrays.cache[ckey] = ranks
+        rank0, rank1 = ranks
         out = np.where(member_mask(candidates, rank1), 1.0, out)
         out = np.where(member_mask(candidates, rank0), 0.0, out)
         return out
