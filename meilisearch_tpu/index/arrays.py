@@ -90,6 +90,14 @@ class CandidateIndex:
         out[slots[slots >= 0]] = True
         return out
 
+    def count(self, docids: np.ndarray) -> int:
+        """|docids ∩ candidates| in O(|docids|)."""
+        if len(docids) == 0 or self.n == 0:
+            return 0
+        if docids[-1] >= len(self.idx_of):
+            docids = docids[docids < len(self.idx_of)]
+        return int(np.count_nonzero(self.idx_of[docids] >= 0))
+
 
 class FacetArrays:
     """Per-(generation, fid) sorted facet-value index for range filters.

@@ -14,6 +14,9 @@ from __future__ import annotations
 
 from typing import Iterable, Optional
 
+import numpy as np
+
+from ..index.arrays import ArrayCache, CandidateIndex, to_array
 from ..index.store import IndexStore, facet_string_normalize
 from ..types.errors import EngineError, ErrorCode
 
@@ -29,7 +32,7 @@ def facet_distribution(
     sort_facet_values_by: Optional[dict] = None,
 ) -> tuple[dict, dict]:
     """Returns (facetDistribution, facetStats)."""
-    candidates = _as_set(candidates)
+    counter = _Counter(store, candidates)
     settings = store.settings
     max_values = (
         max_values_per_facet
@@ -77,7 +80,7 @@ def facet_distribution(
         min_n = max_n = None
         if fid is not None:
             for value, docids in store.facet_number_docids.get(fid, {}).items():
-                n = len(docids if candidates is None else docids & candidates)
+                n = counter.count(("fn", fid, value), docids)
                 if n:
                     key = int(value) if float(value).is_integer() else value
                     counts[("n", value)] = (key, n)
@@ -86,7 +89,7 @@ def facet_distribution(
                     if max_n is None or value > max_n:
                         max_n = value
             for norm, docids in store.facet_string_docids.get(fid, {}).items():
-                n = len(docids if candidates is None else docids & candidates)
+                n = counter.count(("fs", fid, norm), docids)
                 if n:
                     orig = store.facet_string_original.get((fid, norm), norm)
                     counts[("s", norm)] = (orig, n)
@@ -115,7 +118,7 @@ def search_facet_values(
 ) -> list[dict]:
     """Typo-tolerant search inside one facet's values
     (reference: SearchForFacetValues::execute, search/facet/search.rs:75)."""
-    candidates = _as_set(candidates)
+    counter = _Counter(store, candidates)
     settings = store.settings
     feats = settings.filter_features_for(facet_name)
     if not feats or not feats.get("facetSearch", True):
@@ -140,7 +143,7 @@ def search_facet_values(
     hits: list[tuple[str, str, int]] = []
     if not query:
         for norm in values:
-            count = _count(table[norm], candidates)
+            count = counter.count(("fs", fid, norm), table[norm])
             if count:
                 hits.append((norm, store.facet_string_original.get((fid, norm), norm), count))
     else:
@@ -158,7 +161,7 @@ def search_facet_values(
         if max_typos == 0:
             for norm in values:
                 if norm.startswith(qnorm):
-                    count = _count(table[norm], candidates)
+                    count = counter.count(("fs", fid, norm), table[norm])
                     if count:
                         hits.append(
                             (norm, store.facet_string_original.get((fid, norm), norm), count)
@@ -179,7 +182,7 @@ def search_facet_values(
                     # one-typo matches must share the first character
                     if d == 1:
                         continue
-                count = _count(table[norm], candidates)
+                count = counter.count(("fs", fid, norm), table[norm])
                 if count:
                     hits.append(
                         (norm, store.facet_string_original.get((fid, norm), norm), count)
@@ -192,16 +195,24 @@ def search_facet_values(
     return [{"value": orig, "count": count} for _norm, orig, count in hits[:limit]]
 
 
-def _count(docids: set, candidates: Optional[set]) -> int:
-    if candidates is None:
-        return len(docids)
-    return len(docids & candidates)
+class _Counter:
+    """Counts |value posting ∩ candidates| via a dense candidate-index map
+    over the per-generation cached posting arrays — O(|posting|) per value
+    instead of hashed set intersections."""
 
+    def __init__(self, store, candidates):
+        self.none = candidates is None
+        if self.none:
+            return
+        self.cache = ArrayCache(store)
+        arr = (
+            candidates
+            if isinstance(candidates, np.ndarray)
+            else to_array(set(candidates))
+        )
+        self.cidx = CandidateIndex(arr, store._next_docid)
 
-def _as_set(candidates) -> Optional[set]:
-    """Query results carry candidates as sorted int64 arrays; the facet
-    counters intersect many small per-value sets, so one set conversion up
-    front keeps that algebra in hashed form."""
-    if candidates is None or isinstance(candidates, (set, frozenset)):
-        return candidates
-    return set(int(d) for d in candidates)
+    def count(self, key, docids_set) -> int:
+        if self.none:
+            return len(docids_set)
+        return self.cidx.count(self.cache.get(key, docids_set))
