@@ -52,13 +52,18 @@ RESERVED_GEOJSON_FIELD = "_geojson"
 RESERVED_VECTORS_FIELD = "_vectors"
 
 
+_bucket_cache: dict[int, int] = {}
+
+
 def bucketed_position(relative: int) -> int:
     """Reference: milli/src/lib.rs:248-260."""
     if relative < 16:
         return relative
-    if relative < 24:
-        return 24
-    return int(2 ** math.ceil(math.log2(relative)))
+    b = _bucket_cache.get(relative)
+    if b is None:
+        b = 24 if relative < 24 else int(2 ** math.ceil(math.log2(relative)))
+        _bucket_cache[relative] = b
+    return b
 
 
 def index_proximity(lhs: int, rhs: int) -> int:
@@ -598,22 +603,25 @@ class IndexStore:
         # which exact_attributes_fids needs to resolve patterns against
         per_fid = self._tokenize_document(doc)
         exact_fids = self.exact_attributes_fids()
+        word_table = self.word_docids
+        exact_table = self.exact_word_docids
+        wf_table = self.word_fid_docids
+        wp_table = self.word_position_docids
+        pp_table = self.word_pair_proximity_docids
+        bucketed = bucketed_position
         for fid, words_positions in per_fid.items():
-            is_exact = fid in exact_fids
+            target = exact_table if fid in exact_fids else word_table
             for word, pos in words_positions:
-                if is_exact:
-                    self.exact_word_docids[word].add(docid)
-                else:
-                    self.word_docids[word].add(docid)
-                self.word_fid_docids[(word, fid)].add(docid)
-                self.word_position_docids[(word, bucketed_position(min(pos, 0xFFFF)))].add(
+                target[word].add(docid)
+                wf_table[(word, fid)].add(docid)
+                wp_table[(word, bucketed(pos if pos < 0xFFFF else 0xFFFF))].add(
                     docid
                 )
             count = len(words_positions)
             if count <= MAX_COUNTED_WORDS:
                 self.field_id_word_count_docids[(fid, count)].add(docid)
             for (w1, w2), prox in self._pairs_from_positions(words_positions).items():
-                self.word_pair_proximity_docids[(prox, w1, w2)].add(docid)
+                pp_table[(prox, w1, w2)].add(docid)
 
         self._index_facets(docid, doc)
         self._index_vectors(docid, doc)
