@@ -745,8 +745,8 @@ class Search:
             if ckey is not None:
                 resolver.arrays.cache[ckey] = ranks
         rank0, rank1 = ranks
-        out = np.where(member_mask(candidates, rank1), 1.0, out)
-        out = np.where(member_mask(candidates, rank0), 0.0, out)
+        out = np.where(resolver._cand_index.mask(rank1), 1.0, out)
+        out = np.where(resolver._cand_index.mask(rank0), 0.0, out)
         return out
 
     # -- shared helpers -------------------------------------------------------------
