@@ -635,11 +635,17 @@ def register_misc_routes(app):
                 ErrorCode.NOT_FOUND,
                 f"Chat `{req.params['workspace']}` not found",
             )
-        raise EngineError(
-            ErrorCode.FEATURE_NOT_ENABLED,
-            "Chat completions require an upstream LLM; no egress is available"
-            " in this deployment.",
-        )
+        from ..engine.chat import execute_chat_completion, sse_chunks
+
+        body = req.body or {}
+        response = execute_chat_completion(app_.scheduler, ws, body)
+        if body.get("stream"):
+            return Response(
+                200,
+                stream=sse_chunks(response),
+                headers={"Content-Type": "text/event-stream"},
+            )
+        return response
 
     app.add(
         "POST",
