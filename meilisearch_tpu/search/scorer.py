@@ -420,19 +420,29 @@ class FusedScorer:
         base = term.term_ids_len if term.term.ngram_words is not None else 0
         return cls + base
 
-    def _fid_addend(self, node: QueryNode, cls: int) -> np.ndarray:
-        """Per-candidate attribute-rank cost (reference fid/mod.rs:build_edges
-        + resolve_condition): min over matching fields of weight × term_count;
-        INF when the document matches in no (allowed) field."""
-        key = (node.node_id, cls)
-        if key in self._fid_addend_cache:
-            return self._fid_addend_cache[key]
-        term = node.located.term
-        tlen = node.located.term_ids_len
+    def _term_cache_key(self, kind: str, term: QueryTerm, sel) -> tuple:
+        """Cross-query cache key: a term's derivations are a deterministic
+        function of its content within one store generation."""
+        return (
+            kind,
+            term.original,
+            term.phrase,
+            tuple(term.ngram_words or ()),
+            term.use_prefix_db,
+            sel,
+            self.r.restricted_fids is not None,
+        )
+
+    def _fid_entries(self, term: QueryTerm, sel) -> list:
+        """[(docids, weight)] ascending by weight, generation-cached."""
+        key = self._term_cache_key("hfid", term, sel)
+        cached = self.r.arrays.cache.get(key)
+        if cached is not None:
+            return cached
         weight_map = self.store.fid_weight_map()
         all_fids: set[int] = set()
-        words = self._subset_words(term, cls)
-        phrases = self._subset_phrases(term, cls)
+        words = self._subset_words(term, sel)
+        phrases = self._subset_phrases(term, sel)
         for w in words:
             all_fids |= self.r.fids_by_word.get(w, set())
         for p in phrases:
@@ -440,14 +450,14 @@ class FusedScorer:
                 if w is not None:
                     all_fids |= self.r.fids_by_word.get(w, set())
         prefix_words: list[str] = []
-        if self._uses_prefix_db(term, cls):
+        if self._uses_prefix_db(term, sel):
             prefix_words = self.r.prefix_words(term.use_prefix_db)
             for w in prefix_words:
                 all_fids |= self.r.fids_by_word.get(w, set())
         if self.r.restricted_fids is not None:
             all_fids &= self.r.restricted_fids
 
-        out = np.full(self.n, INF, dtype=np.int64)
+        entries = []
         for fid in sorted(all_fids, key=lambda f: weight_map.get(f, 1 << 16)):
             weight = weight_map.get(fid)
             if weight is None:
@@ -461,26 +471,39 @@ class FusedScorer:
                         parts.append(intersect(self.r.phrase_docids(p), wd))
             docids = union_many(parts)
             if len(docids):
-                m = self.r.mask(docids)
-                out = np.where(m, np.minimum(out, weight * tlen), out)
+                entries.append((docids, weight))
+        self.r.arrays.cache[key] = entries
+        return entries
+
+    def _fid_addend(self, node: QueryNode, cls) -> np.ndarray:
+        """Per-candidate attribute-rank cost (reference fid/mod.rs:build_edges
+        + resolve_condition): min over matching fields of weight × term_count;
+        INF when the document matches in no (allowed) field."""
+        key = (node.node_id, cls)
+        if key in self._fid_addend_cache:
+            return self._fid_addend_cache[key]
+        tlen = node.located.term_ids_len
+        out = np.full(self.n, INF, dtype=np.int64)
+        for docids, weight in self._fid_entries(node.located.term, cls):
+            m = self.r.mask(docids)
+            out = np.where(m, np.minimum(out, weight * tlen), out)
         self._fid_addend_cache[key] = out
         return out
 
-    def _position_addend(self, node: QueryNode, cls: int) -> np.ndarray:
-        """Per-candidate word-position cost (reference position/mod.rs)."""
-        key = (node.node_id, cls)
-        if key in self._pos_addend_cache:
-            return self._pos_addend_cache[key]
-        term = node.located.term
-        tlen = node.located.term_ids_len
-        start_pos = node.located.start_position
-        words = self._subset_words(term, cls)
-        phrases = self._subset_phrases(term, cls)
+    def _pos_entries(self, term: QueryTerm, sel) -> list:
+        """[(docids, bucket)] per position bucket, generation-cached (the
+        bucket→cost mapping depends on the node's start position, applied
+        by the caller)."""
+        key = self._term_cache_key("hpos", term, sel)
+        cached = self.r.arrays.cache.get(key)
+        if cached is not None:
+            return cached
+        words = self._subset_words(term, sel)
+        phrases = self._subset_phrases(term, sel)
         prefix_words: list[str] = []
-        if self._uses_prefix_db(term, cls):
+        if self._uses_prefix_db(term, sel):
             prefix_words = self.r.prefix_words(term.use_prefix_db)
 
-        # gather all position buckets
         buckets: set[int] = set()
         for w in words + prefix_words:
             buckets |= self.r.buckets_by_word.get(w, set())
@@ -489,34 +512,46 @@ class FusedScorer:
             if first is not None:
                 buckets |= self.r.buckets_by_word.get(first, set())
 
+        entries = []
+        for b in sorted(buckets):
+            parts = [
+                self.r.word_position_docids(w, b) for w in words + prefix_words
+            ]
+            for p in phrases:
+                first = next((w for w in p if w is not None), None)
+                if first is not None:
+                    wd = self.r.word_position_docids(first, b)
+                    if len(wd):
+                        parts.append(intersect(self.r.phrase_docids(p), wd))
+            docids = union_many(parts)
+            if len(docids):
+                entries.append((docids, b))
+        self.r.arrays.cache[key] = entries
+        return entries
+
+    def _position_addend(self, node: QueryNode, cls) -> np.ndarray:
+        """Per-candidate word-position cost (reference position/mod.rs)."""
+        key = (node.node_id, cls)
+        if key in self._pos_addend_cache:
+            return self._pos_addend_cache[key]
+        term = node.located.term
+        tlen = node.located.term_ids_len
+        start_pos = node.located.start_position
+
         def bucket_cost(bucket: int) -> int:
             distance = abs(bucket - start_pos)
             return sum(
                 position_cost_from_distance(distance + i) for i in range(tlen)
             )
 
-        by_cost: dict[int, list[int]] = {}
-        for b in buckets:
-            by_cost.setdefault(bucket_cost(b), []).append(b)
+        by_cost: dict[int, list[np.ndarray]] = {}
+        for docids, b in self._pos_entries(term, cls):
+            by_cost.setdefault(bucket_cost(b), []).append(docids)
 
         out = np.full(self.n, INF, dtype=np.int64)
         for cost in sorted(by_cost):
-            parts = []
-            for b in by_cost[cost]:
-                parts.extend(
-                    self.r.word_position_docids(w, b)
-                    for w in words + prefix_words
-                )
-                for p in phrases:
-                    first = next((w for w in p if w is not None), None)
-                    if first is not None:
-                        wd = self.r.word_position_docids(first, b)
-                        if len(wd):
-                            parts.append(intersect(self.r.phrase_docids(p), wd))
-            docids = union_many(parts)
-            if len(docids):
-                m = self.r.mask(docids)
-                out = np.where(m & (out == INF), np.int64(cost), out)
+            m = self.r.mask(union_many(by_cost[cost]))
+            out = np.where(m & (out == INF), np.int64(cost), out)
         self._pos_addend_cache[key] = out
         return out
 
