@@ -58,6 +58,10 @@ def perform_search(
             f"Invalid value at `.q`: expected a string, but got `{q!r}`.",
         )
 
+    from ..types.locales import validate_locales
+
+    validate_locales(query.get("locales"))
+
     offset = _validate_int(query, "offset", 0, code=ErrorCode.INVALID_SEARCH_OFFSET)
     limit = _validate_int(
         query, "limit", DEFAULT_SEARCH_LIMIT, code=ErrorCode.INVALID_SEARCH_LIMIT

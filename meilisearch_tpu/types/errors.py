@@ -66,6 +66,10 @@ class ErrorCode(str, Enum):
     REMOTE_COULD_NOT_SEND_REQUEST = "remote_could_not_send_request"
     TOO_MANY_SEARCH_REQUESTS = "too_many_search_requests"
     NO_SPACE_LEFT_ON_DEVICE = "no_space_left_on_device"
+    INVALID_SEARCH_LOCALES = "invalid_search_locales"
+    INVALID_SETTINGS_LOCALIZED_ATTRIBUTES = (
+        "invalid_settings_localized_attributes"
+    )
 
     @property
     def http_status(self) -> int:

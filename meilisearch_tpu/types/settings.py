@@ -185,6 +185,31 @@ class Settings:
         changed: set[str] = set()
         defaults = Settings()
 
+        if data.get("localizedAttributes") is not None:
+            from .errors import EngineError, ErrorCode
+            from .locales import validate_locales
+
+            rules = data["localizedAttributes"]
+            if not isinstance(rules, list):
+                raise EngineError(
+                    ErrorCode.INVALID_SETTINGS_LOCALIZED_ATTRIBUTES,
+                    "Invalid value type at `.localizedAttributes`: expected"
+                    " an array of rules.",
+                )
+            for i, rule in enumerate(rules):
+                if not isinstance(rule, dict) or "attributePatterns" not in rule:
+                    raise EngineError(
+                        ErrorCode.INVALID_SETTINGS_LOCALIZED_ATTRIBUTES,
+                        f"Invalid value at `.localizedAttributes[{i}]`:"
+                        " expected an object with `attributePatterns` and"
+                        " `locales` fields.",
+                    )
+                validate_locales(
+                    rule.get("locales"),
+                    code=ErrorCode.INVALID_SETTINGS_LOCALIZED_ATTRIBUTES,
+                    field=f".localizedAttributes[{i}].locales",
+                )
+
         def setattr_tracked(name, value):
             if getattr(self, name) != value:
                 setattr(self, name, value)

@@ -129,3 +129,40 @@ def test_tool_cli(tmp_path):
     with redirect_stdout(buf):
         tool.main(["stats", "--snapshot", snap])
     assert "movies" in buf.getvalue()
+
+
+def test_locales_validation():
+    import pytest
+
+    from meilisearch_tpu.index.store import IndexStore
+    from meilisearch_tpu.search.perform import perform_search
+    from meilisearch_tpu.types.errors import EngineError
+
+    store = IndexStore("l", primary_key="id")
+    store.add_documents([{"id": 1, "t": "bonjour le monde"}])
+    # valid locales pass through
+    res = perform_search(store, {"q": "bonjour", "locales": ["fra", "en"]})
+    assert [h["id"] for h in res["hits"]] == [1]
+    # unknown locale errors with the reference message shape
+    with pytest.raises(EngineError) as err:
+        perform_search(store, {"q": "x", "locales": ["klingon"]})
+    assert err.value.code.value == "invalid_search_locales"
+    assert "Unsupported locale `klingon`, expected one of" in str(err.value)
+
+
+def test_localized_attributes_setting_validation():
+    import pytest
+
+    from meilisearch_tpu.types.errors import EngineError
+    from meilisearch_tpu.types.settings import Settings
+
+    s = Settings()
+    s.apply_json(
+        {"localizedAttributes": [{"attributePatterns": ["title"], "locales": ["jpn"]}]}
+    )
+    assert s.localized_attributes[0]["locales"] == ["jpn"]
+    with pytest.raises(EngineError) as err:
+        s.apply_json(
+            {"localizedAttributes": [{"attributePatterns": ["t"], "locales": ["xx"]}]}
+        )
+    assert err.value.code.value == "invalid_settings_localized_attributes"
