@@ -11,8 +11,6 @@ as SSE when `stream: true`.
 from __future__ import annotations
 
 import json
-from typing import Optional
-
 from ..types.errors import EngineError, ErrorCode
 
 SEARCH_IN_INDEX = "_meiliSearchInIndex"

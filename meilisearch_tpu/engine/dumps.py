@@ -19,8 +19,6 @@ from datetime import datetime, timezone
 from io import BytesIO
 from typing import Optional
 
-import numpy as np
-
 DUMP_VERSION = "V6"
 
 

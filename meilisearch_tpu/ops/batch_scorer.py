@@ -30,8 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from .jax_setup import configure_jax
 
 configure_jax()

@@ -18,9 +18,8 @@ for sort/geo/exact-attribute) and the final ranking is one lexicographic sort
 from __future__ import annotations
 
 import math
-from bisect import bisect_left
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -29,7 +28,6 @@ from ..index.arrays import (
     difference,
     docids_array as _docids_array,
     intersect,
-    member_mask,
     to_array,
     union_many,
 )

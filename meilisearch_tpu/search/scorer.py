@@ -44,7 +44,6 @@ from ..index.arrays import (
     ArrayCache,
     CandidateIndex,
     intersect,
-    member_mask,
     union_many,
 )
 from ..index.store import MAX_DISTANCE, IndexStore
