@@ -21,6 +21,16 @@ def configure_jax() -> None:
     cache_dir = os.environ.get("MEILI_TPU_COMPILE_CACHE")
     if cache_dir == "0":
         return
+    # CPU backends compile fast and their AOT artifacts are machine-feature
+    # specific (a cached artifact from another host warns about SIGILL risk);
+    # only the slow-to-compile accelerator backends use the persistent cache
+    platform_hint = (
+        os.environ.get("JAX_PLATFORMS", "")
+        + " "
+        + os.environ.get("JAX_PLATFORM_NAME", "")
+    ).lower()
+    if "cpu" in platform_hint:
+        return
     if not cache_dir:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "meilisearch_tpu", "xla"
