@@ -243,6 +243,10 @@ def register_index_routes(app):
 
     def get_documents_list(app_, req, body: Optional[dict] = None):
         store = app_.scheduler.index(req.params["index_uid"])
+        with store._lock:
+            return _documents_list_locked(app_, req, store, body)
+
+    def _documents_list_locked(app_, req, store, body):
         params = body if body is not None else req.query
         limit = int(params.get("limit", 20))
         offset = int(params.get("offset", 0))

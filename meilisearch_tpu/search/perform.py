@@ -48,9 +48,30 @@ def perform_search(
     _collect_search: bool = False,
     _result_override=None,
 ) -> dict:
-    """Execute one search request and build the API response."""
-    started = time.perf_counter()
+    """Execute one search request and build the API response.
 
+    Reads hold the store lock for the whole request: the scheduler is the
+    single writer and readers must not observe mid-batch table mutations
+    (LMDB gives the reference MVCC reader snapshots; copy-on-write
+    generation snapshots are the planned lock-free equivalent here).
+    """
+    started = time.perf_counter()
+    with store._lock:
+        return _perform_search_locked(
+            store, query, features, personalization,
+            _collect_search, _result_override, started,
+        )
+
+
+def _perform_search_locked(
+    store: IndexStore,
+    query: dict,
+    features,
+    personalization,
+    _collect_search,
+    _result_override,
+    started,
+) -> dict:
     q = query.get("q")
     if q is not None and not isinstance(q, str):
         raise EngineError(
@@ -240,6 +261,14 @@ def perform_search_many(
     Responses are order-aligned with `queries`."""
     from .device_batch import search_many
 
+    store._lock.acquire()
+    try:
+        return _perform_search_many_locked(store, queries, features, search_many)
+    finally:
+        store._lock.release()
+
+
+def _perform_search_many_locked(store, queries, features, search_many):
     prepared: list = []
     for body in queries:
         search = None
@@ -273,6 +302,11 @@ def perform_search_many(
 def perform_facet_search(store: IndexStore, body: dict) -> dict:
     """POST /indexes/{uid}/facet-search (reference: routes/indexes/facet_search.rs)."""
     started = time.perf_counter()
+    with store._lock:
+        return _perform_facet_search_locked(store, body, started)
+
+
+def _perform_facet_search_locked(store: IndexStore, body: dict, started) -> dict:
     facet_name = body.get("facetName")
     if not isinstance(facet_name, str):
         raise EngineError(

@@ -19,6 +19,11 @@ from .store import VectorSearcher
 
 def perform_similar(store, body: dict) -> dict:
     started = time.perf_counter()
+    with store._lock:  # reads never observe mid-batch writes
+        return _perform_similar_locked(store, body, started)
+
+
+def _perform_similar_locked(store, body: dict, started) -> dict:
     doc_id = body.get("id")
     if doc_id is None:
         raise EngineError(
