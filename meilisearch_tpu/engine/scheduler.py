@@ -554,11 +554,12 @@ class IndexScheduler:
         elif t == TaskType.SETTINGS_UPDATE:
             store = self._get_or_create_index(task.index_uid)
             patch = content.get("settings", {})
-            changed = store.settings.apply_json(patch)
-            if changed & REINDEX_SETTINGS and store.documents:
-                store.reindex()
-            else:
-                store._bump()
+            with store._lock:  # readers never see a half-applied patch
+                changed = store.settings.apply_json(patch)
+                if changed & REINDEX_SETTINGS and store.documents:
+                    store.reindex()
+                else:
+                    store._bump()
             if "embedders" in changed and store.documents:
                 # a new/changed embedder (re)embeds existing documents
                 # (reference: update/settings.rs EmbedderAction)

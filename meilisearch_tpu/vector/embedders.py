@@ -292,13 +292,18 @@ def ensure_document_embeddings(store) -> None:
             )
             for docid in todo
         ]
+        # embed without holding the store lock (may be remote HTTP / model
+        # inference); take it only for the table mutation so searches never
+        # observe a half-written vectors table
         embs = embedder.embed_documents(texts)
-        for docid, emb in zip(todo, np.asarray(embs, dtype=np.float32)):
-            store.vectors[name][docid] = emb[None, :]
-            store.vector_regenerate[name][docid] = True
+        with store._lock:
+            for docid, emb in zip(todo, np.asarray(embs, dtype=np.float32)):
+                store.vectors[name][docid] = emb[None, :]
+                store.vector_regenerate[name][docid] = True
         changed = True
     if changed:
-        store._bump()
+        with store._lock:
+            store._bump()
 
 
 def get_embedder(store, name: Optional[str]) -> Embedder:
