@@ -150,7 +150,7 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     for t, node in enumerate(chain):
         term = node.located.term
         start_pos = node.located.start_position
-        tkey = (term.original, term.use_prefix_db)
+        tkey = (term.original, term.is_prefix, term.use_prefix_db)
         for cls in range(term.max_typo_cost() + 1):
             ids = gcache.get(("dcls", tkey, cls))
             if ids is None:
@@ -217,8 +217,10 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         lterm, rterm = left.located.term, right.located.term
         pkey = (
             lterm.original,
+            lterm.is_prefix,
             lterm.use_prefix_db,
             rterm.original,
+            rterm.is_prefix,
             rterm.use_prefix_db,
         )
         for pc in range(lterm.max_typo_cost() + 1):

@@ -421,10 +421,13 @@ class FusedScorer:
 
     def _term_cache_key(self, kind: str, term: QueryTerm, sel) -> tuple:
         """Cross-query cache key: a term's derivations are a deterministic
-        function of its content within one store generation."""
+        function of its content within one store generation. `is_prefix`
+        matters: the same word as the query's last term carries prefix
+        expansions the non-prefix occurrence doesn't."""
         return (
             kind,
             term.original,
+            term.is_prefix,
             term.phrase,
             tuple(term.ngram_words or ()),
             term.use_prefix_db,
