@@ -149,3 +149,57 @@ def test_round_trip_own_dump(tmp_path):
     assert restored.settings.filterable_attribute_names() == ["tag"]
     # user-provided vectors survive the round trip
     assert 0 in restored.vectors["e"]
+
+
+def test_dump_round_trip_preserves_search_behavior(tmp_path):
+    """Property: export + import must preserve ranking, filters, facets and
+    settings-derived behavior for a randomized store."""
+    import numpy as np
+
+    from meilisearch_tpu.search.perform import perform_search
+
+    rng = np.random.default_rng(11)
+    words = ["ruby", "python", "rust", "golang", "zig", "swift"]
+    docs = []
+    for i in range(120):
+        docs.append(
+            {
+                "id": i,
+                "title": " ".join(rng.choice(words, size=int(rng.integers(1, 5)))),
+                "stars": int(rng.integers(0, 1000)),
+                "lang": str(rng.choice(words)),
+            }
+        )
+    src = IndexScheduler()
+    store = src._get_or_create_index("repos", primary_key="id")
+    store.settings.apply_json(
+        {
+            "filterableAttributes": ["stars", "lang"],
+            "sortableAttributes": ["stars"],
+            "stopWords": ["the"],
+            "synonyms": {"golang": ["go"]},
+        }
+    )
+    store.add_documents(docs)
+
+    uid = create_dump(src, str(tmp_path))
+    dst = IndexScheduler()
+    load_dump(dst, str(tmp_path / f"{uid}.dump"))
+    restored = dst.indexes["repos"]
+
+    queries = [
+        {"q": "rust"},
+        {"q": "pythn rust"},  # typo
+        {"q": "go"},  # synonym
+        {"q": "", "filter": "stars > 500", "sort": ["stars:desc"], "limit": 50},
+        {"q": "swift", "facets": ["lang"]},
+    ]
+    for q in queries:
+        a = perform_search(store, dict(q))
+        b = perform_search(restored, dict(q))
+        assert [h["id"] for h in a["hits"]] == [h["id"] for h in b["hits"]], q
+        assert a.get("facetDistribution") == b.get("facetDistribution"), q
+        assert a["estimatedTotalHits"] == b["estimatedTotalHits"], q
+
+    src.stop()
+    dst.stop()
