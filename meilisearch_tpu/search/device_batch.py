@@ -346,20 +346,18 @@ def _pad_to(arr, length, fill, unique: bool = False):
     return out
 
 
-_live_cache: dict = {}
-
-
 def _live_mask(store: IndexStore, D: int):
+    # cached as a store attribute: a global dict keyed by id(store) serves
+    # stale masks when a freed store's id is reused by a new one
     import jax.numpy as jnp
 
-    key = id(store)
-    cached = _live_cache.get(key)
+    cached = getattr(store, "_device_live_cache", None)
     if cached is not None and cached[0] == (store.generation, D):
         return cached[1]
     live = np.zeros(D, dtype=bool)
     live[docids_array(store)] = True
     dev = jnp.asarray(live)
-    _live_cache[key] = ((store.generation, D), dev)
+    store._device_live_cache = ((store.generation, D), dev)
     return dev
 
 

@@ -24,13 +24,16 @@ from ..index.store import IndexStore
 class VectorSearcher:
     """Per-(index, embedder) device-resident exact search."""
 
-    _cache: dict = {}
-
     def __init__(self, store: IndexStore, embedder: str):
         self.store = store
         self.embedder = embedder
-        key = (id(store), embedder, store.generation)
-        cached = VectorSearcher._cache.get((id(store), embedder))
+        # cached on the store itself (an id(store)-keyed global dict would
+        # serve stale matrices when a freed store's id is reused)
+        caches = getattr(store, "_vector_searcher_cache", None)
+        if caches is None:
+            caches = {}
+            store._vector_searcher_cache = caches
+        cached = caches.get(embedder)
         if cached and cached[0] == store.generation:
             self.docids, self.matrix, self.norms = cached[1]
             return
@@ -58,7 +61,7 @@ class VectorSearcher:
         norms = np.linalg.norm(self.matrix, axis=1) if len(rows) else np.zeros(0)
         norms[norms == 0] = 1.0
         self.norms = norms
-        VectorSearcher._cache[(id(store), embedder)] = (
+        caches[embedder] = (
             store.generation,
             (self.docids, self.matrix, self.norms),
         )
