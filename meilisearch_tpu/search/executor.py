@@ -402,6 +402,17 @@ class Search:
         )
         result.degraded = degraded
         result.details_by_docid = details_by_docid
+        if degraded and self.compute_scores:
+            # every rule was skipped past the deadline (reference
+            # score_details.rs:403 Skipped => {"skipped": {"order": 0}},
+            # rank 0 of 1 => global score 0)
+            result.scores_by_docid = {d: 0.0 for d in result.documents_ids}
+            result.scores = [0.0 for _ in result.documents_ids]
+            if self.compute_score_details:
+                result.details_by_docid = {
+                    d: {"skipped": {"order": 0}}
+                    for d in result.documents_ids
+                }
         return result
 
     def _finish_packed(

@@ -166,3 +166,22 @@ def test_localized_attributes_setting_validation():
             {"localizedAttributes": [{"attributePatterns": ["t"], "locales": ["xx"]}]}
         )
     assert err.value.code.value == "invalid_settings_localized_attributes"
+
+
+def test_degraded_search_skipped_score_details():
+    from meilisearch_tpu.index.store import IndexStore
+    from meilisearch_tpu.search.perform import perform_search
+
+    store = IndexStore("deg", primary_key="id")
+    store.add_documents([{"id": 1, "t": "hello world"}, {"id": 2, "t": "hello"}])
+    store.settings.search_cutoff_ms = 0  # always past the deadline
+    res = perform_search(
+        store,
+        {"q": "hello", "showRankingScore": True, "showRankingScoreDetails": True},
+    )
+    assert res.get("degraded") is True
+    for hit in res["hits"]:
+        # reference score_details.rs: Skipped serializes as
+        # {"skipped": {"order": 0}} with rank 0/1 -> score 0
+        assert hit["_rankingScoreDetails"] == {"skipped": {"order": 0}}
+        assert hit["_rankingScore"] == 0.0
