@@ -118,10 +118,17 @@ class DynamicSearchRules:
                 continue
             words = q.get("words")
             if words:
+                # the rule's condition words are an array (a bare string is
+                # accepted as one entry); normalize each the same way query
+                # words are tokenized before matching
+                if isinstance(words, str):
+                    words = [words]
                 tokenizer = store.make_tokenizer()
-                needed = [w for w, _ in tokenizer.indexed_words(words)][
-                    :MAX_COUNTED_WORDS
-                ]
+                needed = [
+                    w
+                    for entry in words
+                    for w, _ in tokenizer.indexed_words(str(entry))
+                ][:MAX_COUNTED_WORDS]
                 if not all(w in query_words for w in needed):
                     continue
             matching.append(rule)

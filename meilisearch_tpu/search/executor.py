@@ -401,7 +401,10 @@ class Search:
             ranked, candidates[valid], scores_by_docid
         )
         result.degraded = degraded
-        result.details_by_docid = details_by_docid
+        result.details_by_docid = {
+            **details_by_docid,
+            **getattr(self, "_pin_details", {}),
+        }
         if degraded and self.compute_scores:
             # every rule was skipped past the deadline (reference
             # score_details.rs:403 Skipped => {"skipped": {"order": 0}},
@@ -476,7 +479,10 @@ class Search:
                 )
         result = self._paginate(ranked, cand_v, scores_by_docid)
         result.degraded = degraded
-        result.details_by_docid = details_by_docid
+        result.details_by_docid = {
+            **details_by_docid,
+            **getattr(self, "_pin_details", {}),
+        }
         return result
 
     def _deadline_exceeded(self) -> bool:
@@ -841,6 +847,11 @@ class Search:
             all_candidates = union_many(
                 [all_candidates, to_array({d for _p, d in pins})]
             )
+            # pinned hits carry the Pin detail; their score defaults to 1.0
+            # (reference score_details.rs:408, dynamic rules PinDoc)
+            self._pin_details = {
+                d: {"pin": {"order": 0, "position": p}} for p, d in pins
+            }
         else:
             page = docids[self.offset : self.offset + self.limit]
         scores_by_docid = scores_by_docid or {}

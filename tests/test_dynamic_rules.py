@@ -109,3 +109,31 @@ def test_invalid_rule_rejected(client):
         body={"conditions": {"query": {"isEmpty": True, "words": "x"}}},
     )
     assert res.status == 400
+
+
+def test_pin_words_condition_and_score_details(client):
+    seed(client)
+    res = client.patch(
+        "/dynamic-search-rules/cond1",
+        body={
+            "conditions": {"query": {"words": ["Match"]}},
+            "actions": [
+                {"selector": {"id": "3"}, "action": {"type": "pin", "position": 0}}
+            ],
+        },
+    )
+    client.wait_for_task(res.json["taskUid"])
+    res = client.search(
+        "movies",
+        {"q": "match", "showRankingScore": True, "showRankingScoreDetails": True},
+    )
+    hits = res.json["hits"]
+    assert hits[0]["id"] == 3
+    # reference score_details.rs Pin serialization
+    assert hits[0]["_rankingScoreDetails"] == {"pin": {"order": 0, "position": 0}}
+    assert hits[0]["_rankingScore"] == 1.0
+    # organic hits keep their per-rule details
+    assert "words" in hits[1]["_rankingScoreDetails"]
+    # a query not containing the condition word is not pinned
+    res = client.search("movies", {"q": "promoted"})
+    assert all(h["id"] != 3 for h in res.json["hits"])
