@@ -702,16 +702,33 @@ class Search:
     def _geo_rows(
         self, lat: float, lng: float, asc: bool, candidates: np.ndarray
     ) -> list[np.ndarray]:
+        """Vectorized haversine over dense per-generation lat/lng columns
+        (docs without `_geo` sort last, reference geo_sort.rs)."""
         store = self.store
-        n = len(candidates)
-        cls = np.full(n, 1.0)
-        val = np.zeros(n)
-        for i, docid in enumerate(candidates.tolist()):
-            point = store.geo_points.get(docid)
-            if point is not None:
-                cls[i] = 0.0
-                d = _haversine_m(lat, lng, point[0], point[1])
-                val[i] = d if asc else -d
+        cached = getattr(store, "_geo_columns_cache", None)
+        if cached is None or cached[0] != store.generation:
+            size = max(store._next_docid, 1)
+            lats = np.full(size, np.nan)
+            lngs = np.full(size, np.nan)
+            for docid, (la, lo) in store.geo_points.items():
+                lats[docid] = la
+                lngs[docid] = lo
+            cached = (store.generation, lats, lngs)
+            store._geo_columns_cache = cached
+        lats, lngs = cached[1][candidates], cached[2][candidates]
+        has = ~np.isnan(lats)
+        p1 = math.radians(lat)
+        p2 = np.radians(lats)
+        dp = np.radians(lats - lat)
+        dl = np.radians(lngs - lng)
+        a = (
+            np.sin(dp / 2) ** 2
+            + math.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        )
+        d = 2 * 6371000.0 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+        cls = np.where(has, 0.0, 1.0)
+        val = np.where(has, d if asc else -d, 0.0)
+        val = np.where(np.isnan(val), 0.0, val)
         return [cls, val]
 
     def _exact_attribute_row(
