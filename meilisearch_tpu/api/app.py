@@ -103,6 +103,16 @@ class App:
         self.personalization = PersonalizationService(personalization_api_key)
         # dumps created by scheduler tasks include the API keys
         self.scheduler.auth_ref = self.auth
+        # request metrics (reference metrics.rs histogram buckets)
+        self.http_metrics = {
+            "requests": {},
+            "histogram": {},
+            "buckets": [0.0005, 0.0008, 0.001, 0.005, 0.01, 0.025, 0.05,
+                        0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0],
+            "time_sum": 0.0,
+            "time_count": 0,
+            "degraded": 0,
+        }
         register_misc_routes(self)
         register_index_routes(self)
 
@@ -121,6 +131,33 @@ class App:
     # -- dispatch -----------------------------------------------------------
 
     def handle(self, req: Request) -> Response:
+        """Dispatch + the Prometheus request instrumentation
+        (reference metrics.rs: MEILISEARCH_HTTP_REQUESTS_TOTAL,
+        MEILISEARCH_HTTP_RESPONSE_TIME_SECONDS,
+        MEILISEARCH_DEGRADED_SEARCH_REQUESTS)."""
+        started = time.perf_counter()
+        res = self._dispatch(req)
+        try:
+            pattern = getattr(req, "_route_pattern", req.path)
+            key = (req.method, pattern, res.status)
+            self.http_metrics["requests"][key] = (
+                self.http_metrics["requests"].get(key, 0) + 1
+            )
+            elapsed = time.perf_counter() - started
+            for b in self.http_metrics["buckets"]:
+                if elapsed <= b:
+                    self.http_metrics["histogram"][b] = (
+                        self.http_metrics["histogram"].get(b, 0) + 1
+                    )
+            self.http_metrics["time_sum"] += elapsed
+            self.http_metrics["time_count"] += 1
+            if isinstance(res.json, dict) and res.json.get("degraded"):
+                self.http_metrics["degraded"] += 1
+        except Exception:
+            pass
+        return res
+
+    def _dispatch(self, req: Request) -> Response:
         try:
             path = req.path.rstrip("/") or "/"
             matched_path = False
@@ -131,6 +168,7 @@ class App:
                 matched_path = True
                 if route.method != req.method:
                     continue
+                req._route_pattern = route.pattern
                 req.params = m.groupdict()
                 index_uid = req.params.get("index_uid")
                 auth_ctx = {}

@@ -436,6 +436,39 @@ def register_misc_routes(app):
             lines.append(
                 f'meilisearch_nb_tasks{{kind="{kind}",value="{status}"}} {count}'
             )
+        hm = getattr(app_, "http_metrics", None)
+        if hm:
+            lines.append("# TYPE meilisearch_http_requests_total counter")
+            for (method, pattern, status), count in sorted(hm["requests"].items()):
+                lines.append(
+                    "meilisearch_http_requests_total"
+                    f'{{method="{method}",path="{pattern}",status="{status}"}}'
+                    f" {count}"
+                )
+            lines.append(
+                "# TYPE meilisearch_http_response_time_seconds histogram"
+            )
+            cumulative = 0
+            for b in hm["buckets"]:
+                cumulative = hm["histogram"].get(b, 0)
+                lines.append(
+                    f'meilisearch_http_response_time_seconds_bucket{{le="{b}"}}'
+                    f" {cumulative}"
+                )
+            lines.append(
+                'meilisearch_http_response_time_seconds_bucket{le="+Inf"}'
+                f" {hm['time_count']}"
+            )
+            lines.append(
+                f"meilisearch_http_response_time_seconds_sum {hm['time_sum']:.6f}"
+            )
+            lines.append(
+                f"meilisearch_http_response_time_seconds_count {hm['time_count']}"
+            )
+            lines.append("# TYPE meilisearch_degraded_search_requests gauge")
+            lines.append(
+                f"meilisearch_degraded_search_requests {hm['degraded']}"
+            )
         text = "\n".join(lines) + "\n"
         return Response(
             200,
