@@ -469,6 +469,18 @@ def register_misc_routes(app):
             lines.append(
                 f"meilisearch_degraded_search_requests {hm['degraded']}"
             )
+        # currently-running batch progress (reference metrics.rs:77
+        # MEILISEARCH_BATCH_RUNNING_PROGRESS_TRACE)
+        lines.append("# TYPE meilisearch_batch_running_progress_trace gauge")
+        for batch in app_.scheduler.queue.batches.values():
+            progress = getattr(batch, "progress", None)
+            if progress:
+                for step in progress.get("steps", []):
+                    lines.append(
+                        "meilisearch_batch_running_progress_trace"
+                        f'{{batch_uid="{batch.uid}",step="{step["currentStep"]}"}}'
+                        f' {step["finished"] / max(step["total"], 1):.4f}'
+                    )
         text = "\n".join(lines) + "\n"
         return Response(
             200,
