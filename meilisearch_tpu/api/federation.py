@@ -70,6 +70,9 @@ def perform_multi_search(app, req) -> dict:
     all_hits: list[tuple[float, int, dict]] = []
     seen_pairs: dict[tuple[str, str], float] = {}
     remote_errors: dict[str, dict] = {}
+    # per-index union of matched docids, for federated facet counting
+    # (reference merges per-query candidates before FacetDistribution)
+    candidates_by_index: dict[str, set] = {}
 
     # partition queries by remote and proxy them over HTTP
     # (reference: federated/proxy.rs — header Meili-Proxy-Search: true)
@@ -90,6 +93,18 @@ def perform_multi_search(app, req) -> dict:
                 f"Invalid `queries[{entries[0][0]}].federationOptions.remote`:"
                 f" remote `{remote_name}` is not registered",
             )
+        # a remote-proxied query is still scoped by the caller's key: the
+        # key must grant `search` on the named index, exactly as for local
+        # queries (reference authenticates every federated query uniformly)
+        for qi, query in entries:
+            index_uid = query.get("indexUid")
+            if not isinstance(index_uid, str):
+                raise EngineError(
+                    ErrorCode.BAD_REQUEST,
+                    f"Invalid value at `.queries[{qi}].indexUid`: expected a"
+                    " string.",
+                )
+            app.auth.authenticate(req.auth_token, "search", index_uid)
         try:
             hits = _proxy_search(remote_name, remote, federation, entries)
             for score, qi, hit in hits:
@@ -148,6 +163,9 @@ def perform_multi_search(app, req) -> dict:
             compute_scores=True,
         )
         result = search.execute()
+        candidates_by_index.setdefault(index_uid, set()).update(
+            int(d) for d in result.candidates
+        )
         hits = build_hits(store, query, result.documents_ids, query.get("q"))
         for docid, hit in zip(result.documents_ids, hits):
             score = result.scores_by_docid.get(docid, 1.0) * weight
@@ -193,26 +211,95 @@ def perform_multi_search(app, req) -> dict:
     if remote_errors:
         response["remoteErrors"] = remote_errors
     if federation.get("facetsByIndex"):
-        facets_by_index = {}
         from ..search.facets import facet_distribution
 
+        merge = federation.get("mergeFacets")
+        facets_by_index = {}
+        merged_dist: dict[str, dict] = {}
+        merged_stats: dict[str, dict] = {}
         for index_uid, facets in federation["facetsByIndex"].items():
+            # facet values/counts disclose document content: require the
+            # same `search` grant as a query on that index would
+            app.auth.authenticate(req.auth_token, "search", index_uid)
             store = app.scheduler.index(index_uid)
-            dist, stats = facet_distribution(store, facets, None)
-            facets_by_index[index_uid] = {
-                "distribution": dist,
-                "stats": stats,
-            }
-        response["facetsByIndex"] = facets_by_index
+            # count only documents matched by this federation's queries on
+            # the index (reference: federated facet merge over per-query
+            # candidates), not the whole index
+            candidates = candidates_by_index.get(index_uid, set())
+            dist, stats = facet_distribution(store, facets, candidates)
+            if merge is not None:
+                for facet, values in dist.items():
+                    bucket = merged_dist.setdefault(facet, {})
+                    for value, count in values.items():
+                        bucket[value] = bucket.get(value, 0) + count
+                for facet, st in stats.items():
+                    cur = merged_stats.get(facet)
+                    if cur is None:
+                        merged_stats[facet] = dict(st)
+                    else:
+                        cur["min"] = min(cur["min"], st["min"])
+                        cur["max"] = max(cur["max"], st["max"])
+            else:
+                facets_by_index[index_uid] = {
+                    "distribution": dist,
+                    "stats": stats,
+                }
+        if merge is not None:
+            # reference MergeFacets{maxValuesPerFacet}: one distribution
+            # across indexes, values capped after the merge
+            max_values = (merge or {}).get("maxValuesPerFacet")
+            if max_values is not None:
+                for facet, values in merged_dist.items():
+                    top = sorted(values.items(), key=lambda kv: (kv[0],))
+                    merged_dist[facet] = dict(top[: int(max_values)])
+            response["facetDistribution"] = merged_dist
+            response["facetStats"] = merged_stats
+        else:
+            response["facetsByIndex"] = facets_by_index
     return response
 
 
+class _RemoteAvailability:
+    """Exponential unavailability windows per remote, 30s doubling to 5min
+    (reference: meilisearch-types/src/network.rs:8-9,44-80). While a remote
+    is inside its window, proxy calls fail fast instead of blocking the
+    whole federated request on a dead host."""
+
+    BASE_S = 30.0
+    MAX_S = 300.0
+
+    def __init__(self):
+        self._state: dict[str, tuple[float, float]] = {}  # name -> (until, backoff)
+
+    def check(self, name: str) -> None:
+        until, _ = self._state.get(name, (0.0, 0.0))
+        if time.monotonic() < until:
+            raise ConnectionError(
+                f"remote `{name}` is marked unavailable (backoff window)"
+            )
+
+    def record_failure(self, name: str) -> None:
+        _, backoff = self._state.get(name, (0.0, 0.0))
+        backoff = min(backoff * 2 if backoff else self.BASE_S, self.MAX_S)
+        self._state[name] = (time.monotonic() + backoff, backoff)
+
+    def record_success(self, name: str) -> None:
+        self._state.pop(name, None)
+
+
+REMOTE_AVAILABILITY = _RemoteAvailability()
+
+
 def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
-    """POST /multi-search on a remote (reference: federated/proxy.rs:16)."""
+    """POST /multi-search on a remote (reference: federated/proxy.rs:16).
+
+    One transparent retry on transport errors, then the remote enters its
+    backoff window (reference proxy.rs retries + RemoteAvailability)."""
     import urllib.request
 
-    from ..utils.http_policy import check_url_policy
+    from ..utils.http_policy import check_url_policy, guarded_urlopen
 
+    REMOTE_AVAILABILITY.check(remote_name)
     url = remote["url"].rstrip("/") + "/multi-search"
     check_url_policy(url)
     sub_queries = []
@@ -245,8 +332,22 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
     )
     if remote.get("searchApiKey"):
         req.add_header("Authorization", f"Bearer {remote['searchApiKey']}")
-    with urllib.request.urlopen(req, timeout=30) as resp:
-        data = json.loads(resp.read().decode("utf-8"))
+    import urllib.error
+
+    data = None
+    for attempt in range(2):
+        try:
+            with guarded_urlopen(req, timeout=30) as resp:
+                data = json.loads(resp.read().decode("utf-8"))
+            REMOTE_AVAILABILITY.record_success(remote_name)
+            break
+        except urllib.error.HTTPError:
+            # an HTTP status means the remote answered: no retry, no backoff
+            raise
+        except Exception:
+            if attempt == 1:
+                REMOTE_AVAILABILITY.record_failure(remote_name)
+                raise
     out = []
     qi_base = entries[0][0]
     for hit in data.get("hits", []):

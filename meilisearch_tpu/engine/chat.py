@@ -62,6 +62,8 @@ def _call_llm(ws: dict, payload: dict) -> dict:
     import urllib.error
     import urllib.request
 
+    from ..utils.http_policy import guarded_urlopen
+
     source = ws.get("source", "openAi")
     base = (ws.get("baseUrl") or DEFAULT_BASE_URLS.get(source, "")).rstrip("/")
     if not base:
@@ -79,7 +81,7 @@ def _call_llm(ws: dict, payload: dict) -> dict:
         headers=headers,
     )
     try:
-        with urllib.request.urlopen(req, timeout=60) as resp:
+        with guarded_urlopen(req, timeout=60) as resp:
             return json.loads(resp.read().decode("utf-8"))
     except urllib.error.HTTPError as err:
         raise EngineError(

@@ -625,6 +625,8 @@ class IndexScheduler:
             import json as _json
             import urllib.request
 
+            from ..utils.http_policy import guarded_urlopen
+
             url = content["url"].rstrip("/")
             api_key = content.get("apiKey")
             patterns = content.get("indexes") or {"*": {}}
@@ -637,7 +639,7 @@ class IndexScheduler:
                 )
                 if api_key:
                     req.add_header("Authorization", f"Bearer {api_key}")
-                with urllib.request.urlopen(req, timeout=30) as resp:
+                with guarded_urlopen(req, timeout=30) as resp:
                     return _json.loads(resp.read().decode("utf-8"))
 
             exported = 0
@@ -726,6 +728,8 @@ class IndexScheduler:
         import json as _json
         import urllib.request
 
+        from ..utils.http_policy import guarded_urlopen
+
         payload = gzip.compress(
             (_json.dumps(task.to_json()) + "\n").encode("utf-8")
         )
@@ -740,7 +744,7 @@ class IndexScheduler:
                         **(hook.get("headers") or {}),
                     },
                 )
-                urllib.request.urlopen(req, timeout=5)
+                guarded_urlopen(req, timeout=5)
             except Exception:
                 pass  # webhook failures never fail tasks
 

@@ -15,15 +15,30 @@ import urllib.parse
 from ..types.errors import EngineError, ErrorCode
 
 
+def guarded_urlopen(req, timeout: float = 30):
+    """urlopen with the address policy applied.
+
+    Every outbound request (embedders, export, federation proxy, webhooks,
+    chat LLM, personalization) goes through this single chokepoint — the
+    role of the reference's `http-client` crate wiring (lib.rs:223-241).
+    """
+    import urllib.request
+
+    url = req.full_url if isinstance(req, urllib.request.Request) else req
+    check_url_policy(url)
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
 def check_url_policy(url: str) -> None:
     """Raise when the URL resolves to a non-public address.
 
-    MEILI_TPU_ALLOW_LOCAL_URLS=1 disables the guard (tests, local setups) —
-    the reference's `--experimental-allow-private-network` equivalent.
+    Deny-by-default, matching the reference policy (policy.rs denies
+    private/loopback/link-local ranges unless allow-listed).
+    MEILI_TPU_ALLOW_LOCAL_URLS=1 disables the guard — the reference's
+    `--experimental-allow-private-network` equivalent, needed for tests and
+    single-box setups that point webhooks/remotes at localhost.
     """
-    if os.environ.get("MEILI_TPU_ALLOW_LOCAL_URLS", "1") == "1":
-        # default-permissive in this zero-egress environment; flip the env
-        # var to enforce the guard in production
+    if os.environ.get("MEILI_TPU_ALLOW_LOCAL_URLS", "0") == "1":
         return
     parsed = urllib.parse.urlparse(url)
     host = parsed.hostname

@@ -160,6 +160,8 @@ class Embedder:
     def _embed_rest(self, text: str) -> np.ndarray:
         import urllib.request
 
+        from ..utils.http_policy import guarded_urlopen
+
         url = self.conf.get("url")
         if self.source == "openAi":
             url = url or "https://api.openai.com/v1/embeddings"
@@ -190,7 +192,7 @@ class Embedder:
             req = urllib.request.Request(
                 url, data=json.dumps(payload).encode("utf-8"), headers=headers
             )
-            with urllib.request.urlopen(req, timeout=30) as resp:
+            with guarded_urlopen(req, timeout=30) as resp:
                 data = json.loads(resp.read().decode("utf-8"))
         except Exception as err:
             raise EngineError(

@@ -76,6 +76,8 @@ class PersonalizationService:
         import urllib.error
         import urllib.request
 
+        from ..utils.http_policy import guarded_urlopen
+
         payload = {
             "model": COHERE_MODEL,
             "query": prompt,
@@ -91,7 +93,7 @@ class PersonalizationService:
             },
         )
         try:
-            with urllib.request.urlopen(req, timeout=30) as resp:
+            with guarded_urlopen(req, timeout=30) as resp:
                 data = json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as err:
             status = err.code

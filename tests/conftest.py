@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the SSRF guard is deny-by-default; tests exercise webhooks, federation
+# remotes and embedders against in-process localhost servers
+os.environ.setdefault("MEILI_TPU_ALLOW_LOCAL_URLS", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -185,3 +185,25 @@ def test_degraded_search_skipped_score_details():
         # {"skipped": {"order": 0}} with rank 0/1 -> score 0
         assert hit["_rankingScoreDetails"] == {"skipped": {"order": 0}}
         assert hit["_rankingScore"] == 0.0
+
+
+def test_ssrf_guard_default_deny(monkeypatch):
+    """The outbound URL policy is deny-by-default for private/loopback
+    targets (reference http-client/src/policy.rs); the env var opts OUT."""
+    import pytest as _pytest
+
+    from meilisearch_tpu.types.errors import EngineError
+    from meilisearch_tpu.utils.http_policy import check_url_policy
+
+    monkeypatch.delenv("MEILI_TPU_ALLOW_LOCAL_URLS", raising=False)
+    for url in (
+        "http://127.0.0.1:7700/x",
+        "http://localhost/x",
+        "http://169.254.169.254/latest/meta-data",
+        "http://10.1.2.3/",
+        "http://[::1]/",
+    ):
+        with _pytest.raises(EngineError):
+            check_url_policy(url)
+    monkeypatch.setenv("MEILI_TPU_ALLOW_LOCAL_URLS", "1")
+    check_url_policy("http://127.0.0.1:7700/x")

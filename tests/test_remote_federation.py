@@ -100,3 +100,110 @@ def test_remote_failure_is_partial(two_nodes):
     assert res.status == 200
     assert [h["title"] for h in res.json["hits"]] == ["alpha"]
     assert "ms1" in res.json["remoteErrors"]
+
+
+def test_federation_scoped_key_cannot_reach_other_indexes():
+    """A key scoped to index `movies*` must not read another index through
+    federation side doors: remote-proxied queries and facetsByIndex."""
+    from meilisearch_tpu.api.app import App, TestClient
+
+    app = App(master_key="MASTER_KEY")
+    try:
+        master = TestClient(app, api_key="MASTER_KEY")
+        master.patch("/experimental-features", body={"network": True})
+        master.patch(
+            "/network",
+            body={"self": "ms0", "remotes": {"ms1": {"url": "http://127.0.0.1:1"}}},
+        )
+        res = master.post(
+            "/indexes/secrets/documents", body=[{"id": 1, "level": "top"}]
+        )
+        app.scheduler.wait_for_task(res.json["taskUid"])
+        master.patch(
+            "/indexes/secrets/settings", body={"filterableAttributes": ["level"]}
+        )
+        res = master.post(
+            "/indexes/movies/documents", body=[{"id": 1, "title": "glass"}]
+        )
+        app.scheduler.wait_for_task(res.json["taskUid"])
+        res = master.post(
+            "/keys",
+            body={"actions": ["search"], "indexes": ["movies*"], "expiresAt": None},
+        )
+        scoped = TestClient(app, api_key=res.json["key"])
+
+        # remote-proxied query on a foreign index: rejected before any HTTP
+        res = scoped.post(
+            "/multi-search",
+            body={
+                "federation": {},
+                "queries": [
+                    {
+                        "indexUid": "secrets",
+                        "q": "",
+                        "federationOptions": {"remote": "ms1"},
+                    }
+                ],
+            },
+        )
+        assert res.status == 403, res.json
+
+        # facetsByIndex on a foreign index: rejected
+        res = scoped.post(
+            "/multi-search",
+            body={
+                "federation": {"facetsByIndex": {"secrets": ["level"]}},
+                "queries": [{"indexUid": "movies", "q": "glass"}],
+            },
+        )
+        assert res.status == 403, res.json
+    finally:
+        app.scheduler.stop()
+
+
+def test_federated_facets_scoped_to_matched_candidates():
+    """facetsByIndex counts only documents matched by the federation's
+    queries, not the whole index (reference federated facet merge)."""
+    from meilisearch_tpu.api.app import App, TestClient
+
+    app = App()
+    try:
+        client = TestClient(app)
+        client.add_documents(
+            "movies",
+            [
+                {"id": 1, "title": "glass onion", "genre": "mystery"},
+                {"id": 2, "title": "glass castle", "genre": "drama"},
+                {"id": 3, "title": "iron giant", "genre": "animation"},
+            ],
+        )
+        client.update_settings("movies", {"filterableAttributes": ["genre"]})
+        res = client.post(
+            "/multi-search",
+            body={
+                "federation": {"facetsByIndex": {"movies": ["genre"]}},
+                "queries": [{"indexUid": "movies", "q": "glass"}],
+            },
+        )
+        assert res.status == 200, res.json
+        dist = res.json["facetsByIndex"]["movies"]["distribution"]
+        assert dist == {"genre": {"mystery": 1, "drama": 1}}, dist
+
+        # mergeFacets folds per-index facets into one distribution
+        res = client.post(
+            "/multi-search",
+            body={
+                "federation": {
+                    "facetsByIndex": {"movies": ["genre"]},
+                    "mergeFacets": {},
+                },
+                "queries": [{"indexUid": "movies", "q": "glass"}],
+            },
+        )
+        assert res.status == 200, res.json
+        assert "facetsByIndex" not in res.json
+        assert res.json["facetDistribution"] == {
+            "genre": {"mystery": 1, "drama": 1}
+        }
+    finally:
+        app.scheduler.stop()
