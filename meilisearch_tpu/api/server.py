@@ -140,18 +140,30 @@ def main():
 
     # boot-time state restore: explicit imports win over the db-path snapshot
     # (reference: lib.rs open_or_create_database --import-dump/--import-snapshot)
+    from ..engine.journal import TaskJournal, replay_journal
+
+    os.makedirs(opt.db_path, exist_ok=True)
+    journal = TaskJournal(opt.db_path)
     db_snapshot = os.path.join(opt.db_path, "data.ms.snapshot")
     if opt.import_dump:
         load_dump(app.scheduler, opt.import_dump, auth=app.auth)
+        journal.clear()  # explicit import = fresh history
     elif opt.import_snapshot:
         load_snapshot(app.scheduler, opt.import_snapshot)
-    elif os.path.exists(db_snapshot):
-        load_snapshot(app.scheduler, db_snapshot)
+        journal.clear()
+    else:
+        if os.path.exists(db_snapshot):
+            load_snapshot(app.scheduler, db_snapshot)
+        # crash recovery: acknowledged-but-unsnapshotted tasks re-enqueue
+        # from the WAL and reprocess (idempotent-by-replay, SURVEY §5)
+        replayed = replay_journal(app.scheduler, journal)
+        if replayed:
+            print(f"replayed {replayed} journaled task(s) from the WAL")
+    app.scheduler.journal = journal
 
     def persist():
         try:
-            os.makedirs(opt.db_path, exist_ok=True)
-            create_snapshot(app.scheduler, opt.db_path)
+            app.scheduler.checkpoint()
         except Exception:
             pass
 
@@ -168,6 +180,8 @@ def main():
                 try:
                     os.makedirs(opt.snapshot_dir, exist_ok=True)
                     create_snapshot(app.scheduler, opt.snapshot_dir)
+                    # a scheduled snapshot is also a durability checkpoint
+                    app.scheduler.checkpoint()
                 except Exception:
                     pass
 

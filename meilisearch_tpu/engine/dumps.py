@@ -253,6 +253,39 @@ def import_instance(scheduler, data: dict) -> None:
         for k, v in (data.get("features") or {}).items():
             if k in scheduler.runtime_features:
                 scheduler.runtime_features[k] = v
+        # restore the task history. Only terminal tasks: their effects are
+        # already in the serialized index state (single writer), and the
+        # journal replay rule keys off exactly this — anything non-terminal
+        # here is re-enqueued from its WAL registration with its payload.
+        from .journal import TERMINAL
+        from .tasks import Task, TaskStatus, TaskType
+
+        max_uid = -1
+        for tj in data.get("tasks", []):
+            try:
+                uid = int(tj["uid"])
+                ttype = TaskType(tj["type"])
+                status = TaskStatus(tj.get("status", "enqueued"))
+            except (KeyError, ValueError, TypeError):
+                continue
+            max_uid = max(max_uid, uid)
+            if status not in TERMINAL:
+                continue
+            task = Task(uid=uid, type=ttype, index_uid=tj.get("indexUid"))
+            task.status = status
+            task.details = tj.get("details") or {}
+            task.error = tj.get("error")
+            task.canceled_by = tj.get("canceledBy")
+            task.batch_uid = tj.get("batchUid")
+            if tj.get("enqueuedAt"):
+                task.enqueued_at = tj["enqueuedAt"]
+            task.started_at = tj.get("startedAt")
+            task.finished_at = tj.get("finishedAt")
+            scheduler.queue.tasks[uid] = task
+        if max_uid >= 0:
+            scheduler.queue._next_uid = max(
+                scheduler.queue._next_uid, max_uid + 1
+            )
 
 
 def create_snapshot(scheduler, path: Optional[str] = None) -> str:
@@ -263,11 +296,15 @@ def create_snapshot(scheduler, path: Optional[str] = None) -> str:
     os.makedirs(directory, exist_ok=True)
     payload = json.dumps(serialize_instance(scheduler)).encode("utf-8")
     file_path = os.path.join(directory, "data.ms.snapshot")
+    # write-then-rename: a crash mid-write never corrupts the previous
+    # snapshot (the journal rotation that follows a snapshot relies on it)
+    tmp_path = file_path + ".tmp"
     buf = BytesIO(payload)
-    with tarfile.open(file_path, "w:gz") as tar:
+    with tarfile.open(tmp_path, "w:gz") as tar:
         info = tarfile.TarInfo("instance.json")
         info.size = len(payload)
         tar.addfile(info, buf)
+    os.replace(tmp_path, file_path)
     return file_path
 
 

@@ -60,6 +60,9 @@ class IndexScheduler:
     def __init__(self, autobatching_enabled: bool = True) -> None:
         self.queue = TaskQueue()
         self.indexes: dict[str, IndexStore] = {}
+        # durable write-ahead journal; attached by the server when a db
+        # path exists (engine/journal.py — the LMDB task-queue analogue)
+        self.journal = None
         self.lock = threading.RLock()
         self.wake = threading.Condition(self.lock)
         self.autobatching_enabled = autobatching_enabled
@@ -128,6 +131,11 @@ class IndexScheduler:
             )
         with self.wake:
             task = self.queue.register(task_type, index_uid, details, content)
+            if self.journal is not None:
+                # fsync the registration BEFORE the route acks 202: an
+                # acknowledged task survives kill -9 (reference lib.rs:772
+                # registers into LMDB within a committed wtxn)
+                self.journal.log_register(task)
             if task_type == TaskType.TASK_CANCELATION:
                 # cooperative abort of the in-flight batch when the
                 # cancelation matches a processing task (reference
@@ -220,6 +228,43 @@ class IndexScheduler:
         self._thread.join(timeout=2)
 
     # ------------------------------------------------------------------
+    # durability checkpoints
+
+    def checkpoint(self) -> None:
+        """Snapshot the instance to the db path and rotate the journal.
+
+        Registrations pause for the duration (we hold the scheduler lock),
+        mirroring the reference's single-writer snapshot semantics; the
+        journal rotation carries every still-unfinished task so its payload
+        stays replayable."""
+        if self.journal is None:
+            return
+        from .dumps import create_snapshot
+        from .journal import TERMINAL
+
+        with self.lock:
+            create_snapshot(self, self.journal.db_path)
+            unfinished = [
+                t
+                for t in self.queue.tasks.values()
+                if t.status not in TERMINAL
+            ]
+            self.journal.rotate(carry_tasks=unfinished)
+
+    def _maybe_checkpoint(self) -> None:
+        """Size-triggered checkpoint after a batch: keeps the journal (and
+        boot replay time) bounded without waiting for a scheduled
+        snapshot."""
+        j = self.journal
+        if j is None:
+            return
+        try:
+            if j.size() > j.max_bytes:
+                self.checkpoint()
+        except Exception:
+            pass  # a failed checkpoint must never take down the run loop
+
+    # ------------------------------------------------------------------
     # the run loop
 
     def _run(self):
@@ -244,6 +289,8 @@ class IndexScheduler:
                             "link": "https://docs.meilisearch.com/errors#internal",
                         }
                         task.finished_at = now_iso()
+                        if self.journal is not None:
+                            self.journal.log_finish(task)
                     self.wake.notify_all()
                     continue
                 if not batch_tasks:
@@ -264,6 +311,9 @@ class IndexScheduler:
                                 "link": "https://docs.meilisearch.com/errors#internal",
                             }
                             task.finished_at = now_iso()
+                            if self.journal is not None:
+                                self.journal.log_finish(task)
+            self._maybe_checkpoint()
             with self.wake:
                 self.wake.notify_all()
 
@@ -396,6 +446,8 @@ class IndexScheduler:
                     "link": "https://docs.meilisearch.com/errors#internal",
                 }
             task.finished_at = now_iso()
+            if self.journal is not None:
+                self.journal.log_finish(task)
             if self.on_task_finished:
                 try:
                     self.on_task_finished(task)

@@ -1,0 +1,211 @@
+"""Durability: WAL task journal + boot replay + kill -9 survival.
+
+Reference semantics (index-scheduler/src/queue/, SURVEY §5): tasks are
+durable the moment the write route acks; a crash mid-batch leaves tasks
+enqueued and the index unchanged; restart reprocesses them.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+import urllib.request
+
+import json
+
+from meilisearch_tpu.engine.journal import TaskJournal, replay_journal
+from meilisearch_tpu.engine.scheduler import IndexScheduler
+from meilisearch_tpu.engine.tasks import TaskStatus, TaskType
+
+
+def _mk_scheduler(tmp_path):
+    sched = IndexScheduler()
+    sched.journal = TaskJournal(str(tmp_path))
+    return sched
+
+
+def test_replay_reconstructs_unsnapshotted_writes(tmp_path):
+    sched = _mk_scheduler(tmp_path)
+    try:
+        t = sched.register(
+            TaskType.DOCUMENT_ADDITION_OR_UPDATE,
+            "movies",
+            content={
+                "documents": [{"id": 1, "title": "glass onion"}],
+                "method": "replace",
+            },
+        )
+        sched.wait_for_task(t.uid)
+        assert "glass onion" in json.dumps(
+            sched.index("movies").documents[0]
+        )
+    finally:
+        sched.stop()
+
+    # "crash": no snapshot was ever written; a fresh process replays the WAL
+    sched2 = IndexScheduler()
+    journal2 = TaskJournal(str(tmp_path))
+    try:
+        replayed = replay_journal(sched2, journal2)
+        assert replayed == 1
+        sched2.journal = journal2
+        sched2.wait_for_all_tasks()
+        assert sched2.index_exists("movies")
+        docs = sched2.index("movies").documents
+        assert any(d.get("title") == "glass onion" for d in docs.values())
+        # the task view survived with its uid
+        assert sched2.queue.tasks[t.uid].status == TaskStatus.SUCCEEDED
+    finally:
+        sched2.stop()
+
+
+def test_checkpoint_rotates_and_skips_snapshotted_tasks(tmp_path):
+    from meilisearch_tpu.engine.dumps import load_snapshot
+
+    sched = _mk_scheduler(tmp_path)
+    try:
+        t1 = sched.register(
+            TaskType.DOCUMENT_ADDITION_OR_UPDATE,
+            "movies",
+            content={"documents": [{"id": 1, "t": "a"}], "method": "replace"},
+        )
+        sched.wait_for_task(t1.uid)
+        sched.checkpoint()  # snapshot + rotate: t1's effects are durable
+        t2 = sched.register(
+            TaskType.DOCUMENT_ADDITION_OR_UPDATE,
+            "movies",
+            content={"documents": [{"id": 2, "t": "b"}], "method": "replace"},
+        )
+        sched.wait_for_task(t2.uid)
+    finally:
+        sched.stop()
+
+    # the WAL now only holds t2 (t1 was rotated away after the snapshot)
+    journal2 = TaskJournal(str(tmp_path))
+    regs = [r["uid"] for r in journal2.records() if r["t"] == "reg"]
+    assert regs == [t2.uid]
+
+    sched2 = IndexScheduler()
+    try:
+        load_snapshot(
+            sched2, os.path.join(str(tmp_path), "data.ms.snapshot")
+        )
+        # terminal task views restored from the snapshot
+        assert sched2.queue.tasks[t1.uid].status == TaskStatus.SUCCEEDED
+        assert replay_journal(sched2, journal2) == 1  # only t2
+        sched2.journal = journal2
+        sched2.wait_for_all_tasks()
+        docs = sched2.index("movies").documents
+        assert {d["id"] for d in docs.values()} == {1, 2}
+    finally:
+        sched2.stop()
+
+
+def test_torn_tail_is_tolerated(tmp_path):
+    sched = _mk_scheduler(tmp_path)
+    try:
+        t = sched.register(
+            TaskType.DOCUMENT_ADDITION_OR_UPDATE,
+            "m",
+            content={"documents": [{"id": 1}], "method": "replace"},
+        )
+        sched.wait_for_task(t.uid)
+        # simulate a crash mid-append: garbage half-line at the tail
+        wal_dir = os.path.join(str(tmp_path), "wal")
+        seg = sorted(os.listdir(wal_dir))[-1]
+        with open(os.path.join(wal_dir, seg), "a") as fh:
+            fh.write('{"t":"reg","uid":99,"ty')
+    finally:
+        sched.stop()
+
+    sched2 = IndexScheduler()
+    journal2 = TaskJournal(str(tmp_path))
+    try:
+        assert replay_journal(sched2, journal2) == 1  # the torn record is dropped
+        sched2.wait_for_all_tasks()
+        assert sched2.index_exists("m")
+    finally:
+        sched2.stop()
+
+
+def test_kill9_survival(tmp_path):
+    """Full-process crash test: acknowledged tasks and their data survive
+    SIGKILL + restart (VERDICT round-1 'done' criterion)."""
+    port = 7781
+    env = dict(os.environ)
+    env.update(
+        {
+            "JAX_PLATFORM_NAME": "cpu",
+            "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+            "MEILI_TPU_ALLOW_LOCAL_URLS": "1",
+        }
+    )
+
+    def boot():
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "meilisearch_tpu.api.server",
+                "--port",
+                str(port),
+                "--db-path",
+                str(tmp_path / "db"),
+            ],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=1
+                ):
+                    return proc
+            except Exception:
+                if proc.poll() is not None:
+                    raise RuntimeError("server died during boot")
+                time.sleep(0.2)
+        proc.kill()
+        raise TimeoutError("server did not come up")
+
+    def req(method, path, body=None):
+        data = None if body is None else json.dumps(body).encode()
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return json.loads(resp.read() or b"null")
+
+    proc = boot()
+    try:
+        task = req(
+            "POST",
+            "/indexes/movies/documents",
+            [{"id": 1, "title": "durable glass"}],
+        )
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if req("GET", f"/tasks/{task['taskUid']}")["status"] == "succeeded":
+                break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError("task did not succeed")
+    finally:
+        os.kill(proc.pid, signal.SIGKILL)  # no atexit snapshot
+        proc.wait()
+
+    proc = boot()
+    try:
+        res = req("POST", "/indexes/movies/search", {"q": "durable"})
+        assert [h["title"] for h in res["hits"]] == ["durable glass"]
+        t = req("GET", f"/tasks/{task['taskUid']}")
+        assert t["status"] == "succeeded"
+    finally:
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait()
