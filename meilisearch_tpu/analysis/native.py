@@ -27,18 +27,28 @@ def _load():
     _LIB_TRIED = True
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     so_path = os.path.join(root, "native", "libmstpu.so")
-    if not os.path.exists(so_path):
-        src = os.path.join(root, "native", "tokenizer.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(
-                    ["sh", os.path.join(root, "native", "build.sh")],
-                    capture_output=True,
-                    timeout=120,
-                    check=True,
-                )
-            except Exception:
-                return None
+    src = os.path.join(root, "native", "tokenizer.cpp")
+    needs_build = not os.path.exists(so_path)
+    if not needs_build and os.path.exists(src):
+        # rebuild when any source is newer than the library
+        so_mtime = os.path.getmtime(so_path)
+        src_dir = os.path.join(root, "native")
+        for name in os.listdir(src_dir):
+            if name.endswith(".cpp") and (
+                os.path.getmtime(os.path.join(src_dir, name)) > so_mtime
+            ):
+                needs_build = True
+                break
+    if needs_build and os.path.exists(src):
+        try:
+            subprocess.run(
+                ["sh", os.path.join(root, "native", "build.sh")],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
+        except Exception:
+            return None
     if not os.path.exists(so_path):
         return None
     try:
@@ -55,8 +65,21 @@ def _load():
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.mstpu_build_postings.restype = ctypes.c_int64
+        lib.mstpu_build_postings.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib.mstpu_free.restype = None
+        lib.mstpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -111,6 +134,98 @@ def native_indexed_words(text: str, stop_words) -> Optional[list[tuple[str, int]
             )
             if raw_tok in stop_words:
                 continue
-        if word:
+        # MAX_WORD_LENGTH filter matches the Python tokenizer path and the
+        # batch posting builder (milli lib.rs:146)
+        if word and nl <= 250:
             out.append((word, b.positions[i]))
     return out
+
+
+# -- batch posting builder -------------------------------------------------------
+
+
+def native_build_postings(texts: bytes, entries, stop_words):
+    """One call per document batch: tokenize + aggregate postings in C++
+    (native/posting_builder.cpp). Returns the parsed sections or None when
+    the native library is unavailable.
+
+    `entries` is an int32 array of shape (n, 5): docid, fid, exact_flag,
+    text_offset, text_length — all entries of one document consecutive.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "mstpu_build_postings"):
+        return None
+    entries = np.ascontiguousarray(entries, dtype=np.int32)
+    stop_list = sorted(stop_words or [])
+    stop_blob = b"".join(w.encode("utf-8") for w in stop_list)
+    stop_offs = np.zeros(len(stop_list) + 1, dtype=np.int32)
+    acc = 0
+    for i, w in enumerate(stop_list):
+        stop_offs[i] = acc
+        acc += len(w.encode("utf-8"))
+    stop_offs[len(stop_list)] = acc
+
+    out_buf = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.mstpu_build_postings(
+        texts,
+        len(texts),
+        entries.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(entries),
+        stop_blob,
+        stop_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(stop_list),
+        ctypes.byref(out_buf),
+    )
+    if n < 0:
+        return None
+    try:
+        raw = np.frombuffer(
+            ctypes.cast(
+                out_buf, ctypes.POINTER(ctypes.c_uint8 * n)
+            ).contents,
+            dtype=np.int32,
+        ).copy()
+    finally:
+        lib.mstpu_free(out_buf)
+
+    (magic, n_words, blob_bytes, n_fallback,
+     nk_wd, tot_wd, nk_wf, tot_wf, nk_wp, tot_wp,
+     nk_pp, tot_pp, nk_fc, tot_fc) = (int(x) for x in raw[:14])
+    if magic != 0x4D535042:
+        return None
+    p = 14
+    word_offs = raw[p : p + n_words + 1]
+    p += n_words + 1
+    blob_padded = (blob_bytes + 3) & ~3
+    blob = raw[p : p + blob_padded // 4].tobytes()[:blob_bytes]
+    p += blob_padded // 4
+    words = [
+        blob[word_offs[i] : word_offs[i + 1]].decode("ascii")
+        for i in range(n_words)
+    ]
+    fallback = raw[p : p + n_fallback]
+    p += n_fallback
+
+    def section(nk, total, cols):
+        nonlocal p
+        out = []
+        for _ in range(cols):
+            out.append(raw[p : p + nk])
+            p += nk
+        lens = raw[p : p + nk]
+        p += nk
+        docids = raw[p : p + total]
+        p += total
+        return (*out, lens, docids)
+
+    return {
+        "words": words,
+        "fallback": fallback,
+        "wd": section(nk_wd, tot_wd, 1),
+        "wf": section(nk_wf, tot_wf, 2),
+        "wp": section(nk_wp, tot_wp, 2),
+        "pp": section(nk_pp, tot_pp, 3),
+        "fc": section(nk_fc, tot_fc, 2),
+    }

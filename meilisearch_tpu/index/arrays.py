@@ -19,11 +19,108 @@ EMPTY = np.empty(0, dtype=np.int64)
 def to_array(docids) -> np.ndarray:
     if isinstance(docids, np.ndarray):
         return docids
+    if isinstance(docids, Posting):
+        return docids.ids_array()
     if not docids:
         return EMPTY
     arr = np.fromiter(docids, dtype=np.int64, count=len(docids))
     arr.sort()
     return arr
+
+
+class Posting:
+    """One posting list as base segments + incremental delta.
+
+    The LSM-ish replacement for a plain docid set (SURVEY §7 "delta
+    segments + periodic merge, query-time union of base+delta", the role
+    LMDB upserts play in the reference): the native batch builder appends
+    whole sorted segments with zero per-element Python cost, per-document
+    edits go to `extra`, deletions tombstone into `dead`, and readers
+    materialize (and compact in place) on demand. Materialization is
+    cached per store generation by ArrayCache, so queries pay it once.
+    """
+
+    __slots__ = ("segs", "extra", "dead")
+
+    def __init__(self):
+        # extra/dead stay None until first touched: bulk indexing creates
+        # hundreds of thousands of Postings per batch and every tracked
+        # container multiplies the GC sweep cost
+        self.segs: list[np.ndarray] = []  # sorted unique int64 arrays
+        self.extra: Optional[set] = None
+        self.dead: Optional[set] = None
+
+    # -- mutation (mirrors the set API the store used before) ---------------
+
+    def add(self, docid: int) -> None:
+        if self.dead is not None:
+            self.dead.discard(docid)
+        if self.extra is None:
+            self.extra = set()
+        self.extra.add(docid)
+
+    def update(self, ids) -> None:
+        if self.dead is not None:
+            self.dead.difference_update(ids)
+        if self.extra is None:
+            self.extra = set()
+        self.extra.update(ids)
+
+    def add_segment(self, arr: np.ndarray) -> None:
+        """Append a sorted-unique segment of docids not present before
+        (fresh documents only — docids are never reused)."""
+        if len(arr):
+            self.segs.append(arr)
+
+    def discard(self, docid: int) -> None:
+        if self.extra is not None:
+            self.extra.discard(docid)
+        if self.segs:
+            if self.dead is None:
+                self.dead = set()
+            self.dead.add(docid)
+
+    def __bool__(self) -> bool:
+        # conservative: fully-tombstoned segments still count as non-empty
+        return bool(self.segs) or bool(self.extra)
+
+    def __len__(self) -> int:
+        return len(self.ids_array())
+
+    def __iter__(self):
+        return iter(self.ids_array().tolist())
+
+    def __contains__(self, docid) -> bool:
+        arr = self.ids_array()
+        i = int(np.searchsorted(arr, docid))
+        return i < len(arr) and int(arr[i]) == docid
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Posting):
+            return np.array_equal(self.ids_array(), other.ids_array())
+        if isinstance(other, (set, frozenset, list, tuple)):
+            return set(self.ids_array().tolist()) == set(other)
+        return NotImplemented
+
+    __hash__ = None  # mutable container semantics, like set
+
+    # -- reads -----------------------------------------------------------------
+
+    def ids_array(self) -> np.ndarray:
+        """Sorted unique docids; compacts the segments in place (callers
+        hold the store lock, and logical content is unchanged)."""
+        if not self.extra and not self.dead and len(self.segs) <= 1:
+            return self.segs[0] if self.segs else EMPTY
+        parts = list(self.segs)
+        if self.extra:
+            parts.append(to_array(self.extra))
+        merged = union_many(parts)
+        if self.dead:
+            merged = difference(merged, to_array(self.dead))
+        self.segs = [merged] if len(merged) else []
+        self.extra = None
+        self.dead = None
+        return merged
 
 
 def union_many(arrays: Iterable[np.ndarray]) -> np.ndarray:

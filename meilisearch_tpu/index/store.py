@@ -171,13 +171,16 @@ class IndexStore:
         self.internal_to_external: dict[int, str] = {}
         self._next_docid = 0
 
-        # searchable postings
-        self.word_docids: dict[str, set[int]] = defaultdict(set)
-        self.exact_word_docids: dict[str, set[int]] = defaultdict(set)
-        self.word_fid_docids: dict[tuple[str, int], set[int]] = defaultdict(set)
-        self.word_position_docids: dict[tuple[str, int], set[int]] = defaultdict(set)
-        self.word_pair_proximity_docids: dict[tuple[int, str, str], set[int]] = defaultdict(set)
-        self.field_id_word_count_docids: dict[tuple[int, int], set[int]] = defaultdict(set)
+        # searchable postings: Posting = base segments + delta
+        # (index/arrays.py; segments land whole from the native builder)
+        from .arrays import Posting
+
+        self.word_docids: dict[str, Posting] = defaultdict(Posting)
+        self.exact_word_docids: dict[str, Posting] = defaultdict(Posting)
+        self.word_fid_docids: dict[tuple[str, int], Posting] = defaultdict(Posting)
+        self.word_position_docids: dict[tuple[str, int], Posting] = defaultdict(Posting)
+        self.word_pair_proximity_docids: dict[tuple[int, str, str], Posting] = defaultdict(Posting)
+        self.field_id_word_count_docids: dict[tuple[int, int], Posting] = defaultdict(Posting)
 
         # facets
         self.facet_number_docids: dict[int, dict[float, set[int]]] = defaultdict(
@@ -360,37 +363,90 @@ class IndexStore:
         with self._lock, span("indexing::documents", index=self.uid):
             received = 0
             applied: list[tuple[str, Optional[dict]]] = []
-            for doc in docs:
-                if must_stop is not None and must_stop.is_set():
-                    self._rollback_documents(applied)
-                    self._bump()
-                    raise AbortedProcessing()
-                received += 1
-                if self.primary_key is None:
-                    self.primary_key = self.guess_primary_key(doc)
-                if self.primary_key not in doc:
-                    raise EngineError(
-                        ErrorCode.MISSING_DOCUMENT_ID,
-                        f"Document doesn't have a `{self.primary_key}` attribute.",
-                    )
-                external_id = self.validate_external_id(doc[self.primary_key])
-                docid = self.external_to_internal.get(external_id)
-                if docid is not None:
-                    old = self.documents[docid]
-                    applied.append((external_id, old))
-                    if method == "update":
-                        merged = dict(old)
-                        merged.update(doc)
-                        doc = merged
-                    self._remove_document_content(docid, old)
-                else:
-                    applied.append((external_id, None))
-                    docid = self._next_docid
-                    self._next_docid += 1
-                    self.external_to_internal[external_id] = docid
-                    self.internal_to_external[docid] = external_id
-                self.documents[docid] = doc
-                self._index_document_content(docid, doc)
+            # fresh documents are token-indexed in native batches; updates
+            # and replacements go through the per-document path (they need
+            # the old content removed first)
+            tok = self.make_tokenizer()
+            use_batch = tok.custom_separators is None and tok.dictionary is None
+            pending: list[tuple[int, dict]] = []
+            pending_ids: set[int] = set()
+
+            def flush_pending():
+                if not pending:
+                    return
+                try:
+                    fallback = set(self._index_documents_batch(pending))
+                except Exception:
+                    fallback = {d for d, _doc in pending}
+                for d, dd in pending:
+                    if d in fallback:
+                        self._index_document_tokens(d, dd)
+                    self._index_facets(d, dd)
+                    self._index_vectors(d, dd)
+                    self._index_geo(d, dd)
+                pending.clear()
+                pending_ids.clear()
+
+            # bulk indexing allocates millions of small tracked objects;
+            # the cyclic GC adds ~3x to their construction cost. Single
+            # writer, no reference cycles created here -> pause it.
+            import gc
+
+            gc_was_enabled = gc.isenabled()
+            gc.disable()
+            try:
+                for doc in docs:
+                    if must_stop is not None and must_stop.is_set():
+                        # drop unindexed buffered docs: rollback removes their
+                        # document entries, and discards on the posting sets
+                        # are no-ops for content that never landed
+                        pending.clear()
+                        pending_ids.clear()
+                        self._rollback_documents(applied)
+                        self._bump()
+                        raise AbortedProcessing()
+                    received += 1
+                    if self.primary_key is None:
+                        self.primary_key = self.guess_primary_key(doc)
+                    if self.primary_key not in doc:
+                        raise EngineError(
+                            ErrorCode.MISSING_DOCUMENT_ID,
+                            f"Document doesn't have a `{self.primary_key}` attribute.",
+                        )
+                    external_id = self.validate_external_id(doc[self.primary_key])
+                    docid = self.external_to_internal.get(external_id)
+                    if docid is not None:
+                        if docid in pending_ids:
+                            # the same external id appears twice in this batch:
+                            # land the buffered version before replacing it
+                            flush_pending()
+                        old = self.documents[docid]
+                        applied.append((external_id, old))
+                        if method == "update":
+                            merged = dict(old)
+                            merged.update(doc)
+                            doc = merged
+                        self._remove_document_content(docid, old)
+                        self.documents[docid] = doc
+                        self._index_document_content(docid, doc)
+                    else:
+                        applied.append((external_id, None))
+                        docid = self._next_docid
+                        self._next_docid += 1
+                        self.external_to_internal[external_id] = docid
+                        self.internal_to_external[docid] = external_id
+                        self.documents[docid] = doc
+                        if use_batch:
+                            pending.append((docid, doc))
+                            pending_ids.add(docid)
+                            if len(pending) >= 32768:
+                                flush_pending()
+                        else:
+                            self._index_document_content(docid, doc)
+                flush_pending()
+            finally:
+                if gc_was_enabled:
+                    gc.enable()
             self._bump()
             return received, received
 
@@ -599,6 +655,12 @@ class IndexStore:
         return pairs
 
     def _index_document_content(self, docid: int, doc: dict) -> None:
+        self._index_document_tokens(docid, doc)
+        self._index_facets(docid, doc)
+        self._index_vectors(docid, doc)
+        self._index_geo(docid, doc)
+
+    def _index_document_tokens(self, docid: int, doc: dict) -> None:
         # tokenize first: it registers new field names in the fields map,
         # which exact_attributes_fids needs to resolve patterns against
         per_fid = self._tokenize_document(doc)
@@ -623,9 +685,159 @@ class IndexStore:
             for (w1, w2), prox in self._pairs_from_positions(words_positions).items():
                 pp_table[(prox, w1, w2)].add(docid)
 
-        self._index_facets(docid, doc)
-        self._index_vectors(docid, doc)
-        self._index_geo(docid, doc)
+    def _index_documents_batch(self, pending: list) -> list[int]:
+        """Token postings for a batch of NEW documents in one native call
+        (native/posting_builder.cpp — the data-parallel extractor family of
+        update/new/extract/, collapsed into per-batch C++ aggregation
+        because this host has a single core). Returns the docids the native
+        tokenizer could not fold byte-identically; the caller indexes those
+        through the per-document Python path. Facets/vectors/geo stay in
+        Python either way."""
+        import numpy as np
+
+        from ..analysis.native import native_build_postings
+
+        texts = bytearray()
+        entries: list[int] = []  # flat: docid, fid, 0, off, len per entry
+        # per-field decision cache: most corpora are flat dicts of scalars,
+        # so the generic nested-leaf walk is reserved for nested values
+        fdecision: dict[str, tuple[Optional[int], bool]] = {}
+        reserved = (
+            RESERVED_VECTORS_FIELD,
+            RESERVED_GEO_FIELD,
+            RESERVED_GEOJSON_FIELD,
+        )
+        id_or_insert = self.fields_ids_map.id_or_insert
+        off = 0
+        for docid, doc in pending:
+            for key, value in doc.items():
+                tv = type(value)
+                if tv is dict or tv is list:
+                    # nested: the generic walk (registers dotted paths,
+                    # preserves leaf order for position chaining)
+                    for path, leaf in self._iter_searchable_leaves(
+                        {key: value}
+                    ):
+                        fid = id_or_insert(path)
+                        if self._searchable_weight_for(path) is None:
+                            continue
+                        if leaf is None:
+                            continue
+                        if isinstance(leaf, bool):
+                            text = "true" if leaf else "false"
+                        elif isinstance(leaf, (int, float)):
+                            text = (
+                                repr(leaf)
+                                if isinstance(leaf, float)
+                                else str(leaf)
+                            )
+                        elif isinstance(leaf, str):
+                            text = leaf
+                        else:
+                            continue
+                        data = text.encode("utf-8")
+                        entries += (docid, fid, 0, off, len(data))
+                        off += len(data)
+                        texts += data
+                    continue
+                dec = fdecision.get(key)
+                if dec is None:
+                    if key in reserved:
+                        dec = (None, False)
+                    else:
+                        fid = id_or_insert(key)
+                        dec = (
+                            fid,
+                            self._searchable_weight_for(key) is not None,
+                        )
+                    fdecision[key] = dec
+                fid, searchable = dec
+                if not searchable or value is None:
+                    continue
+                if tv is str:
+                    text = value
+                elif tv is bool:
+                    text = "true" if value else "false"
+                elif tv is int:
+                    text = str(value)
+                elif tv is float:
+                    text = repr(value)
+                else:
+                    continue
+                data = text.encode("utf-8")
+                entries += (docid, fid, 0, off, len(data))
+                off += len(data)
+                texts += data
+        if not entries:
+            return []
+        # exact flags are resolved only after every field is registered
+        exact_fids = self.exact_attributes_fids()
+        arr = np.array(entries, dtype=np.int32).reshape(-1, 5)
+        if exact_fids:
+            arr[:, 2] = np.isin(arr[:, 1], list(exact_fids))
+        res = native_build_postings(
+            bytes(texts), arr, self.settings.stop_words
+        )
+        if res is None:
+            return [docid for docid, _doc in pending]
+
+        # merge: each key receives one sorted int64 segment VIEW into the
+        # section's docid array — no per-element Python cost (Posting,
+        # index/arrays.py)
+        words = res["words"]
+        word_table = self.word_docids
+        exact_table = self.exact_word_docids
+
+        # running-offset slicing with plain-int lists: numpy scalar
+        # indexing in a 300k-key loop costs more than the slices themselves
+        wid_flag, lens, docids = res["wd"]
+        ids = docids.astype(np.int64)
+        a = 0
+        for k, L in zip(wid_flag.tolist(), lens.tolist()):
+            b = a + L
+            tbl = exact_table if (k & 1) else word_table
+            tbl[words[k >> 1]].segs.append(ids[a:b])
+            a = b
+
+        wid, fid, lens, docids = res["wf"]
+        ids = docids.astype(np.int64)
+        wf_table = self.word_fid_docids
+        a = 0
+        for w, f, L in zip(wid.tolist(), fid.tolist(), lens.tolist()):
+            b = a + L
+            wf_table[(words[w], f)].segs.append(ids[a:b])
+            a = b
+
+        wid, bucket, lens, docids = res["wp"]
+        ids = docids.astype(np.int64)
+        wp_table = self.word_position_docids
+        a = 0
+        for w, bkt, L in zip(wid.tolist(), bucket.tolist(), lens.tolist()):
+            b = a + L
+            wp_table[(words[w], bkt)].segs.append(ids[a:b])
+            a = b
+
+        prox, w1, w2, lens, docids = res["pp"]
+        ids = docids.astype(np.int64)
+        pp_table = self.word_pair_proximity_docids
+        a = 0
+        for p_, aa, bb, L in zip(
+            prox.tolist(), w1.tolist(), w2.tolist(), lens.tolist()
+        ):
+            b = a + L
+            pp_table[(p_, words[aa], words[bb])].segs.append(ids[a:b])
+            a = b
+
+        fid, count, lens, docids = res["fc"]
+        ids = docids.astype(np.int64)
+        fc_table = self.field_id_word_count_docids
+        a = 0
+        for f, c, L in zip(fid.tolist(), count.tolist(), lens.tolist()):
+            b = a + L
+            fc_table[(f, c)].segs.append(ids[a:b])
+            a = b
+
+        return [int(x) for x in res["fallback"]]
 
     def _remove_document_content(self, docid: int, doc: dict) -> None:
         def discard(table: dict, key):
