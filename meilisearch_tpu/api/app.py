@@ -100,6 +100,9 @@ class App:
         from ..vector.personalization import PersonalizationService
 
         self.search_queue = SearchQueue()
+        from ..engine.batcher import SearchBatcher
+
+        self.search_batcher = SearchBatcher()
         self.personalization = PersonalizationService(personalization_api_key)
         # dumps created by scheduler tasks include the API keys
         self.scheduler.auth_ref = self.auth

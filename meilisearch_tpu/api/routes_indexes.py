@@ -102,9 +102,14 @@ def register_index_routes(app):
     # -- search ----------------------------------------------------------------
 
     def search_post(app_, req):
+        from ..engine.batcher import batchable_body, microbatch_enabled
+
         store = app_.scheduler.index(req.params["index_uid"])
         query = dict(req.body or {})
         _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
+        if microbatch_enabled() and batchable_body(query):
+            # concurrent requests share device batches (engine/batcher.py)
+            return app_.search_batcher.submit(store, query)
         return perform_search(
             store, query, personalization=app_.personalization
         )

@@ -1,0 +1,200 @@
+"""Plane-resident batched ranking: B chain queries, ONE execute, dense
+row reads only.
+
+Design forced by measurement on the tunneled v5e (see git history for the
+raw numbers):
+
+  * every execute costs a fixed ~28 ms -> batch queries, fold the pool
+    append into the kernel (donated pools in, updated pools out);
+  * random gather/scatter runs at ~270 ns/element while dense rows stream
+    at HBM bandwidth -> posting structures live as dense per-document
+    planes (bitmap rows for masks, int8 rows for costs), built once on
+    host per (generation, structure) and resident thereafter
+    (index/device_arena.py);
+  * a full-axis sort costs 0.1-10 s, lax.top_k rides under the dispatch
+    floor -> the rank key packs (hi, lo) into one int64 and top_k picks
+    the page, ties falling to ascending docid via top_k's
+    lower-index-first guarantee.
+
+The per-query descriptor is a handful of row indices in fixed-shape
+matrices — a few hundred bytes of host->device traffic per query. The
+ranking semantics are the `last`-strategy suffix DP shared with
+ops/batch_scorer (_chain_dp), pinned by tests/golden and the 3-way
+ranking fuzz; parity target is search/new/bucket_sort.rs:23 ordering at
+graph_based_ranking_rule.rs:220 fidelity.
+
+Byte-plane value conventions (host side: index/device_arena.byte_plane):
+  pair rows: min proximity cost per (left-class, right-class), fill 3
+  fid rows:  min field weight, fill -1 (= INF)
+  pos rows:  min position cost, fill -1 (= INF)
+  ea rows:   ExactAttribute rank 0/1 per words level, fill 2
+Row 0 of the byte pool is all -1 and row 0 of the bit pool is all zero,
+so "structure absent" is just row index 0 (the kernel maps -1 under pair
+to 3 and under ea to 2 for that case).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .batch_scorer import _chain_dp
+from .jax_setup import configure_jax
+
+configure_jax()
+
+INF32 = jnp.int32(1 << 24)
+INF16 = jnp.int16(20000)
+TOPK = 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "D", "k"),
+    donate_argnums=(0, 1),
+)
+def planes_chain_topk(
+    bit_pool,  # (NB, D/32) int32, donated
+    byte_pool,  # (NC, D) int8, donated
+    fresh_bits,  # (nb, D/32) int32
+    fresh_bytes,  # (nc, D) int8
+    bit_used,  # () int32 watermark
+    byte_used,  # () int32
+    class_rows,  # (B, T, 3) int32 bit rows
+    exact_rows,  # (B, T) int32 bit rows
+    valid_rows,  # (B,) int32 bit rows
+    use_valid,  # (B,) bool
+    pair_rows,  # (B, tp, 3, 3) int32 byte rows
+    fid_rows,  # (B, T, 3) int32 byte rows
+    pos_rows,  # (B, T, 3) int32 byte rows
+    ea_rows,  # (B, T+1) int32 byte rows
+    adj,  # (B, tp) bool
+    live,  # (D,) bool
+    T: int,
+    D: int,
+    k: int,
+):
+    """Returns (bit_pool, byte_pool, top (B,k) int32 [-1 pad], counts)."""
+    zero = jnp.zeros((), dtype=jnp.asarray(bit_used).dtype)
+    bit_pool = jax.lax.dynamic_update_slice(
+        bit_pool, fresh_bits, (bit_used, zero)
+    )
+    byte_pool = jax.lax.dynamic_update_slice(
+        byte_pool, fresh_bytes, (byte_used, zero)
+    )
+    tp = max(T - 1, 1)
+
+    def unpack(rows):
+        words = bit_pool[rows]  # (..., D/32)
+        bits = (words[..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+        return bits.reshape(rows.shape + (D,)).astype(bool)
+
+    def one(crows, erows, vrow, uv, prows, frows, orows, earows, aj):
+        class_mask = unpack(crows)  # (T, 3, D)
+        exact_mask = unpack(erows)  # (T, D)
+
+        pair_b = byte_pool[prows]  # (tp, 3, 3, D) int8
+        pair_cost = jnp.where(pair_b < 0, jnp.int8(3), pair_b)
+        # non-adjacent consecutive terms have the free term edge (cost 0)
+        pair_cost = jnp.where(aj[:tp, None, None, None], pair_cost, 0)
+
+        fid_b = byte_pool[frows]  # (T, 3, D) int8
+        fid_cost = jnp.where(fid_b < 0, INF16, fid_b.astype(jnp.int16))
+        pos_b = byte_pool[orows]
+        pos_cost = jnp.where(pos_b < 0, INF16, pos_b.astype(jnp.int16))
+
+        final = _chain_dp(
+            class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D
+        )
+
+        # ExactAttribute rank selected by each doc's words level via a
+        # select-sum over the small level axis (a per-doc gather would be a
+        # 270 ns/element random access on this hardware)
+        ea_b = byte_pool[earows]  # (T+1, D) int8
+        ea_rank = jnp.where(ea_b < 0, jnp.int8(2), ea_b).astype(jnp.int32)
+        level = jnp.clip(T - final[0], 0, T)
+        levels = jnp.arange(T + 1, dtype=jnp.int32)[:, None]
+        ea = jnp.sum(jnp.where(level[None, :] == levels, ea_rank, 0), axis=0)
+
+        valid = jnp.where(uv, unpack(vrow), live)
+        invalid = (~valid) | (final[0] >= INF32)
+
+        # T-parameterized int32 rank key: a 64-bit key makes lax.top_k fall
+        # back to a full sort on TPU (measured: seconds); with host-verified
+        # value bounds (weights <= 7, pos cost <= 10, T <= 6) every dim
+        # packs losslessly into 31 bits
+        w_b = (T + 1).bit_length()
+        ty_b = (2 * T + 1).bit_length()
+        px_b = max((3 * (T - 1) + 1).bit_length(), 1)
+        fd_b = (7 * T + 1).bit_length()
+        ps_b = (10 * T + 1).bit_length()
+        ea_b_bits = 2
+        ex_b = (T + 1).bit_length()
+        total_bits = w_b + ty_b + px_b + fd_b + ps_b + ea_b_bits + ex_b
+        assert total_bits <= 31, (T, total_bits)
+
+        def fld(v, bits):
+            return jnp.clip(v, 0, (1 << bits) - 1)
+
+        key = fld(final[0], w_b)
+        key = (key << ty_b) | fld(final[1], ty_b)
+        key = (key << px_b) | fld(final[2], px_b)
+        key = (key << fd_b) | fld(final[3], fd_b)
+        key = (key << ps_b) | fld(final[4], ps_b)
+        key = (key << ea_b_bits) | fld(ea, ea_b_bits)
+        key = (key << ex_b) | fld(final[5], ex_b)
+        key = jnp.where(invalid, jnp.int32(1) << 30, key).astype(jnp.int32)
+        # TPU top_k does NOT break ties by lower index (measured: tie
+        # members come back scrambled and the k-boundary picks arbitrary
+        # tie-class members). Exact selection: top_k by key gives the kth
+        # key threshold and every strictly-better doc; a second top_k over
+        # the tie class picks its LOWEST docids; the host merges both 1k
+        # lists and finishes with a stable (key, docid) sort of 2k rows.
+        negv, idx1 = jax.lax.top_k(-key, k)
+        key1 = -negv
+        kth = key1[k - 1]
+        tie_rank = jnp.where(
+            key == kth, -jnp.arange(D, dtype=jnp.int32), jnp.int32(-(2**31) + 1)
+        )
+        tr2, idx2 = jax.lax.top_k(tie_rank, k)
+        key2 = jnp.where(tr2 > jnp.int32(-(2**31) + 1), kth, jnp.int32(1) << 30)
+        count = jnp.sum(~invalid).astype(jnp.int32)
+        return idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2, count
+
+    idx1, key1, idx2, key2, counts = jax.vmap(one)(
+        class_rows,
+        exact_rows,
+        valid_rows,
+        use_valid,
+        pair_rows,
+        fid_rows,
+        pos_rows,
+        ea_rows,
+        adj,
+    )
+    # ONE output tensor: each host readback over the tunnel is a round
+    # trip, so the candidate lists and counts ride together
+    out = jnp.concatenate(
+        [idx1, key1, idx2, key2, counts[:, None]], axis=1
+    )
+    return bit_pool, byte_pool, out
+
+
+def merge_topk_host(idx1, key1, idx2, key2, count, k):
+    """Exact ordered top-k from the kernel's two candidate lists (numpy,
+    2k rows). Returns docids ascending by (key, docid), -1 padded."""
+    import numpy as np
+
+    invalid_key = np.int32(1) << 30
+    idx = np.concatenate([idx1, idx2])
+    key = np.concatenate([key1, key2])
+    keep = key < invalid_key
+    idx, key = idx[keep], key[keep]
+    idx, uniq = np.unique(idx, return_index=True)
+    key = key[uniq]
+    order = np.lexsort((idx, key))[: min(k, count)]
+    out = np.full(k, -1, dtype=np.int32)
+    out[: len(order)] = idx[order]
+    return out

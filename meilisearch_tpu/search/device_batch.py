@@ -1,11 +1,13 @@
-"""Batched device execution of chain queries.
+"""Batched device execution of chain queries (round 2: plane-resident).
 
-The serving-side half of ops/batch_scorer.py: each eligible Search is
-compiled to a compact posting-ID descriptor on the host (no dense masks),
-descriptors are grouped by padded shape, and each group runs as ONE device
-execute — amortizing the fixed dispatch round trip across the batch
-(SURVEY §2.6 "batched query execution"; replaces the reference's
-one-core-per-search model, search_queue.rs:31).
+The serving-side half of ops/arena_scorer.py: each eligible Search compiles
+to a descriptor of ROW INDICES into the store's device-resident plane pools
+(index/device_arena.py) — per-(term,class) membership bitmaps and
+host-merged cost planes built once per generation. Descriptors are grouped
+by chain length T and each group runs as ONE device execute, amortizing the
+fixed ~28 ms tunnel dispatch across the batch (SURVEY §2.6 "batched query
+execution"; replaces the reference's one-core-per-search model,
+search_queue.rs:31).
 
 Eligibility mirrors FusedScorer.device_compatible: default ranking rules,
 `last` strategy, 1-gram chain, no sort/distinct/score computation. Anything
@@ -14,21 +16,71 @@ else falls back to the host scorer, per query.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
 from ..index.arrays import EMPTY, docids_array, to_array, union_many
+from ..index.device_arena import MAX_BYTES, get_arena
 from ..index.store import IndexStore
 from .executor import Search, SearchResult, exact_attribute_rank_ids
 from .graph import QueryGraph
 from .query_terms import DerivationContext, located_query_terms_from_tokens
 from .scorer import Resolver, position_cost_from_distance
 
-MAX_T = 8
-MAX_IDS = 16_000_000  # per-descriptor posting-id budget
+MAX_T = 6  # the packed int32 rank key needs T <= 6 (ops/arena_scorer.py)
 TOPK = 1024
+MAX_BATCH = 32
+
+
+def _t_ladder(t: int) -> int:
+    """Pad chain length to {2, 4, 6}: mixed-length queries then share ONE
+    compiled program and ONE device execute per batch. Padding appends
+    match-nothing terms whose only path is the skip edge, which shifts
+    every document's words-cost by the same constant — per-query ordering
+    and validity are unchanged (the DP forbids skipping ALL terms)."""
+    return 2 if t <= 2 else (4 if t <= 4 else 6)
+
+
+def _b_ladder(n: int) -> int:
+    return 8 if n <= 8 else 32
+
+
+def _pad_descriptor(d: "ChainDescriptor", T: int) -> "ChainDescriptor":
+    if d.T == T:
+        return d
+    tp = max(T - 1, 1)
+    class_rows = np.zeros((T, 3), np.int32)
+    class_rows[: d.T] = d.class_rows
+    exact_rows = np.zeros(T, np.int32)
+    exact_rows[: d.T] = d.exact_rows
+    pair_rows = np.zeros((tp, 3, 3), np.int32)
+    pair_rows[: max(d.T - 1, 1)] = d.pair_rows
+    fid_rows = np.zeros((T, 3), np.int32)
+    fid_rows[: d.T] = d.fid_rows
+    pos_rows = np.zeros((T, 3), np.int32)
+    pos_rows[: d.T] = d.pos_rows
+    ea_rows = np.zeros(T + 1, np.int32)
+    ea_rows[: d.T + 1] = d.ea_rows
+    adj = np.zeros(tp, dtype=bool)
+    adj[: max(d.T - 1, 1)] = d.adj
+    if d.T == 1:
+        adj[0] = False  # d.adj is a (1,) placeholder when T == 1
+    return ChainDescriptor(
+        T=T,
+        class_rows=class_rows,
+        exact_rows=exact_rows,
+        pair_rows=pair_rows,
+        fid_rows=fid_rows,
+        pos_rows=pos_rows,
+        ea_rows=ea_rows,
+        adj=adj,
+        universe_ids=d.universe_ids,
+        located_terms=d.located_terms,
+        search=d.search,
+    )
 
 DEFAULT_RULES = [
     ("graph", "words"),
@@ -44,14 +96,14 @@ DEFAULT_RULES = [
 @dataclass
 class ChainDescriptor:
     T: int
-    class_pairs: list  # (flat_plane_index_base, ids) for class masks
-    pair_entries: list  # (base, ids, value)
-    adj: np.ndarray  # (T-1 or 1,) bool
-    fid_entries: list  # (base, ids, value)
-    pos_entries: list
-    exact_pairs: list  # (base, ids)
-    ea_entries: list  # (base, ids, value 0/1)
-    valid: Optional[np.ndarray]  # universe ids or None (= live)
+    class_rows: np.ndarray  # (T, 3) bit-pool rows
+    exact_rows: np.ndarray  # (T,)
+    pair_rows: np.ndarray  # (tp, 3, 3) byte-pool rows
+    fid_rows: np.ndarray  # (T, 3)
+    pos_rows: np.ndarray  # (T, 3)
+    ea_rows: np.ndarray  # (T + 1,)
+    adj: np.ndarray  # (tp,) bool
+    universe_ids: Optional[np.ndarray]  # filter universe or None (= live)
     located_terms: list
     search: Search
 
@@ -84,6 +136,11 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     if search._assembled_rules(for_query=True) != DEFAULT_RULES:
         return None
     if getattr(store, "dynamic_rules", None) and store.dynamic_rules.rules:
+        return None
+
+    D = _plane_docs(store)
+    arena = get_arena(store, D)
+    if arena.footprint() > MAX_BYTES:
         return None
 
     ctx = DerivationContext(store, settings)
@@ -134,78 +191,93 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     if T == 0 or T > MAX_T:
         return None
 
-    D = _plane_docs(store)
-    total_ids = 0
-    class_pairs = []
-    fid_entries = []
-    pos_entries = []
-    exact_pairs = []
-    pair_entries = []
     weight_map = store.fid_weight_map()
+    if any(w > 7 for w in weight_map.values()):
+        return None  # weights must fit the packed int32 rank key
 
-    # heavy unions are cached per store generation, keyed by the term's
-    # identity (original + prefix flag determines its derivations)
     gcache = resolver.arrays.cache
+    tp = max(T - 1, 1)
+    class_rows = np.zeros((T, 3), dtype=np.int32)
+    exact_rows = np.zeros(T, dtype=np.int32)
+    pair_rows = np.zeros((tp, 3, 3), dtype=np.int32)
+    fid_rows = np.zeros((T, 3), dtype=np.int32)
+    pos_rows = np.zeros((T, 3), dtype=np.int32)
+    ea_rows = np.zeros(T + 1, dtype=np.int32)
+
+    def class_ids(term, tkey, cls):
+        ids = gcache.get(("dcls", tkey, cls))
+        if ids is None:
+            ids = resolver.term_class_docids(term, cls)
+            gcache[("dcls", tkey, cls)] = ids
+        return ids
+
+    def fidpos_entry(term, tkey, cls):
+        entry = gcache.get(("dfidpos", tkey, cls))
+        if entry is None:
+            words = _subset_words(resolver, term, cls)
+            pwords = _prefix_words(resolver, term, cls)
+            all_w = words + pwords
+            fid_list = []
+            fids: set[int] = set()
+            for w in all_w:
+                fids |= resolver.fids_by_word.get(w, set())
+            for fid in fids:
+                weight = weight_map.get(fid)
+                if weight is None:
+                    continue
+                arr = union_many(
+                    [resolver.word_fid_docids(w, fid) for w in all_w]
+                )
+                if len(arr):
+                    fid_list.append((arr, weight))
+            pos_list = []
+            buckets: set[int] = set()
+            for w in all_w:
+                buckets |= resolver.buckets_by_word.get(w, set())
+            for b in buckets:
+                arr = union_many(
+                    [resolver.word_position_docids(w, b) for w in all_w]
+                )
+                if len(arr):
+                    pos_list.append((arr, b))
+            entry = (fid_list, pos_list)
+            gcache[("dfidpos", tkey, cls)] = entry
+        return entry
 
     for t, node in enumerate(chain):
         term = node.located.term
         start_pos = node.located.start_position
         tkey = (term.original, term.is_prefix, term.use_prefix_db)
         for cls in range(term.max_typo_cost() + 1):
-            ids = gcache.get(("dcls", tkey, cls))
-            if ids is None:
-                ids = resolver.term_class_docids(term, cls)
-                gcache[("dcls", tkey, cls)] = ids
+            ids = class_ids(term, tkey, cls)
             if len(ids):
-                base = (t * 3 + cls) * D
-                class_pairs.append((base, ids))
-                total_ids += len(ids)
-            entry = gcache.get(("dfidpos", tkey, cls))
-            if entry is None:
-                words = _subset_words(resolver, term, cls)
-                pwords = _prefix_words(resolver, term, cls)
-                all_w = words + pwords
-                # fid plane: min weight over fields containing the term
-                fid_list = []
-                fids: set[int] = set()
-                for w in all_w:
-                    fids |= resolver.fids_by_word.get(w, set())
-                for fid in fids:
-                    weight = weight_map.get(fid)
-                    if weight is None:
-                        continue
-                    arr = union_many(
-                        [resolver.word_fid_docids(w, fid) for w in all_w]
-                    )
-                    if len(arr):
-                        fid_list.append((arr, weight))
-                # position plane: cost_from_distance per bucket
-                pos_list = []
-                buckets: set[int] = set()
-                for w in all_w:
-                    buckets |= resolver.buckets_by_word.get(w, set())
-                for b in buckets:
-                    arr = union_many(
-                        [resolver.word_position_docids(w, b) for w in all_w]
-                    )
-                    if len(arr):
-                        pos_list.append((arr, b))
-                entry = (fid_list, pos_list)
-                gcache[("dfidpos", tkey, cls)] = entry
-            for arr, weight in entry[0]:
-                fid_entries.append(((t * 3 + cls) * D, arr, weight))
-                total_ids += len(arr)
-            for arr, b in entry[1]:
-                cost = position_cost_from_distance(abs(b - start_pos))
-                pos_entries.append(((t * 3 + cls) * D, arr, cost))
-                total_ids += len(arr)
+                class_rows[t, cls] = arena.bit_row(
+                    ("cls", tkey, cls), lambda ids=ids: ids
+                )
+            entry = fidpos_entry(term, tkey, cls)
+            if entry[0]:
+                fid_rows[t, cls] = arena.byte_row(
+                    ("fid", tkey, cls),
+                    lambda e=entry: [(a, w) for a, w in e[0]],
+                    fill=-1,
+                )
+            if entry[1]:
+                pos_rows[t, cls] = arena.byte_row(
+                    ("pos", tkey, cls, start_pos),
+                    lambda e=entry, sp=start_pos: [
+                        (a, position_cost_from_distance(abs(b - sp)))
+                        for a, b in e[1]
+                    ],
+                    fill=-1,
+                )
         if term.exact is not None:
             ids = resolver.word_docids(term.exact, original=True)
             if len(ids):
-                exact_pairs.append((t * D, ids))
-                total_ids += len(ids)
+                exact_rows[t] = arena.bit_row(
+                    ("we", term.exact), lambda ids=ids: ids
+                )
 
-    adj = np.zeros(max(T - 1, 1), dtype=bool)
+    adj = np.zeros(tp, dtype=bool)
     for t in range(1, T):
         left, right = chain[t - 1], chain[t]
         adjacent = (
@@ -226,78 +298,86 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         for pc in range(lterm.max_typo_cost() + 1):
             lwords = _subset_words(resolver, lterm, pc)
             for c in range(rterm.max_typo_cost() + 1):
-                rwords = _subset_words(resolver, rterm, c)
-                rprefix = _prefix_words(resolver, rterm, c)
-                base = ((t - 1) * 9 + pc * 3 + c) * D
-                for rel in (0, 1, 2):
-                    arr = gcache.get(("dpair", pkey, pc, c, rel))
-                    if arr is None:
-                        fwd, bwd = rel + 1, rel
-                        parts = []
-                        if rprefix:
-                            for lw in lwords:
-                                parts.extend(
-                                    resolver.pair_proximity_docids(fwd, lw, w)
-                                    for w in rprefix
-                                )
-                                if bwd >= 1:
-                                    parts.append(
-                                        resolver.pair_proximity_docids(
-                                            bwd, rterm.use_prefix_db, lw
-                                        )
-                                    )
-                        for lw in lwords:
-                            for rw in rwords:
-                                parts.append(
-                                    resolver.pair_proximity_docids(fwd, lw, rw)
-                                )
-                                if bwd >= 1:
-                                    parts.append(
-                                        resolver.pair_proximity_docids(
-                                            bwd, rw, lw
-                                        )
-                                    )
-                        arr = union_many(parts)
-                        gcache[("dpair", pkey, pc, c, rel)] = arr
-                    if len(arr):
-                        pair_entries.append((base, arr, rel))
-                        total_ids += len(arr)
 
-    # ExactAttribute rank ids per words level (device gathers by level)
-    ea_entries = []
-    uni = universe if universe is not None else docids_array(store)
+                def pair_parts(pc=pc, c=c, lwords=lwords):
+                    rwords = _subset_words(resolver, rterm, c)
+                    rprefix = _prefix_words(resolver, rterm, c)
+                    parts = []
+                    for rel in (0, 1, 2):
+                        arr = gcache.get(("dpair", pkey, pc, c, rel))
+                        if arr is None:
+                            fwd, bwd = rel + 1, rel
+                            pieces = []
+                            if rprefix:
+                                for lw in lwords:
+                                    pieces.extend(
+                                        resolver.pair_proximity_docids(
+                                            fwd, lw, w
+                                        )
+                                        for w in rprefix
+                                    )
+                                    if bwd >= 1:
+                                        pieces.append(
+                                            resolver.pair_proximity_docids(
+                                                bwd, rterm.use_prefix_db, lw
+                                            )
+                                        )
+                            for lw in lwords:
+                                for rw in rwords:
+                                    pieces.append(
+                                        resolver.pair_proximity_docids(
+                                            fwd, lw, rw
+                                        )
+                                    )
+                                    if bwd >= 1:
+                                        pieces.append(
+                                            resolver.pair_proximity_docids(
+                                                bwd, rw, lw
+                                            )
+                                        )
+                            arr = union_many(pieces)
+                            gcache[("dpair", pkey, pc, c, rel)] = arr
+                        if len(arr):
+                            parts.append((arr, rel))
+                    return parts
+
+                pair_rows[t - 1, pc, c] = arena.byte_row(
+                    ("pair", pkey, pc, c), pair_parts, fill=3
+                )
+
+    # ExactAttribute rank planes per words level. Rank is pointwise per
+    # document (exact_attribute_rank_ids only uses the universe to restrict
+    # candidates), so the global answer is cacheable and the kernel's valid
+    # mask applies the per-query filter.
+    uni = docids_array(store)
     ea_key_base = tuple(n.located.term.original for n in chain)
     for k in range(1, T + 1):
-        ranks = None
-        if universe is None:
-            ranks = gcache.get(("dea", ea_key_base, k))
-        if ranks is None:
-            ranks = exact_attribute_rank_ids(store, graph, k, uni, resolver)
-            if universe is None:
-                gcache[("dea", ea_key_base, k)] = ranks
-        rank0, rank1 = ranks
-        if len(rank0):
-            ea_entries.append((k * D, rank0, 0))
-            total_ids += len(rank0)
-        if len(rank1):
-            ea_entries.append((k * D, rank1, 1))
-            total_ids += len(rank1)
 
-    if universe is not None:
-        total_ids += len(universe)
-    if total_ids > MAX_IDS:
-        return None
+        def ea_parts(k=k):
+            ranks = gcache.get(("dea", ea_key_base, k))
+            if ranks is None:
+                ranks = exact_attribute_rank_ids(store, graph, k, uni, resolver)
+                gcache[("dea", ea_key_base, k)] = ranks
+            rank0, rank1 = ranks
+            parts = []
+            if len(rank1):
+                parts.append((rank1, 1))
+            if len(rank0):
+                parts.append((rank0, 0))
+            return parts
+
+        ea_rows[k] = arena.byte_row(("ea", ea_key_base, k), ea_parts, fill=2)
 
     return ChainDescriptor(
         T=T,
-        class_pairs=class_pairs,
-        pair_entries=pair_entries,
+        class_rows=class_rows,
+        exact_rows=exact_rows,
+        pair_rows=pair_rows,
+        fid_rows=fid_rows,
+        pos_rows=pos_rows,
+        ea_rows=ea_rows,
         adj=adj,
-        fid_entries=fid_entries,
-        pos_entries=pos_entries,
-        exact_pairs=exact_pairs,
-        ea_entries=ea_entries,
-        valid=universe,
+        universe_ids=universe,
         located_terms=[n.located for n in graph.term_nodes()],
         search=search,
     )
@@ -311,44 +391,7 @@ def _plane_docs(store: IndexStore) -> int:
     return 1 << (d - 1).bit_length() if d > 1024 else 1024
 
 
-def _flatten(pairs, D, dump, with_val, val_dtype=np.int16):
-    ids = [np.asarray(base + arr, dtype=np.int64) for base, arr, *rest in pairs]
-    idx = (
-        np.concatenate(ids).astype(np.int32)
-        if ids
-        else np.empty(0, dtype=np.int32)
-    )
-    if not with_val:
-        return idx, None
-    vals = (
-        np.concatenate(
-            [
-                np.full(len(arr), rest[0], dtype=val_dtype)
-                for _base, arr, *rest in pairs
-            ]
-        )
-        if pairs
-        else np.empty(0, dtype=val_dtype)
-    )
-    return idx, vals
-
-
-def _pad_to(arr, length, fill, unique: bool = False):
-    if len(arr) >= length:
-        return arr
-    out = np.empty(length, dtype=arr.dtype)
-    out[: len(arr)] = arr
-    if unique:
-        # consecutive dump-region indices: collision-free padded scatters
-        out[len(arr):] = fill + np.arange(length - len(arr), dtype=arr.dtype)
-    else:
-        out[len(arr):] = fill
-    return out
-
-
 def _live_mask(store: IndexStore, D: int):
-    # cached as a store attribute: a global dict keyed by id(store) serves
-    # stale masks when a freed store's id is reused by a new one
     import jax.numpy as jnp
 
     cached = getattr(store, "_device_live_cache", None)
@@ -361,21 +404,20 @@ def _live_mask(store: IndexStore, D: int):
     return dev
 
 
-MAX_BATCH = 8
-
-
 def _empty_descriptor(T: int, search: Search) -> ChainDescriptor:
-    """Batch-padding descriptor: matches nothing (empty universe)."""
+    """Batch-padding descriptor: matches nothing (row 0 = empty bitmap,
+    use_valid with the all-zero row -> every doc invalid)."""
+    tp = max(T - 1, 1)
     return ChainDescriptor(
         T=T,
-        class_pairs=[],
-        pair_entries=[],
-        adj=np.zeros(max(T - 1, 1), dtype=bool),
-        fid_entries=[],
-        pos_entries=[],
-        exact_pairs=[],
-        ea_entries=[],
-        valid=EMPTY,
+        class_rows=np.zeros((T, 3), np.int32),
+        exact_rows=np.zeros(T, np.int32),
+        pair_rows=np.zeros((tp, 3, 3), np.int32),
+        fid_rows=np.zeros((T, 3), np.int32),
+        pos_rows=np.zeros((T, 3), np.int32),
+        ea_rows=np.zeros(T + 1, np.int32),
+        adj=np.zeros(tp, dtype=bool),
+        universe_ids=EMPTY,
         located_terms=[],
         search=search,
     )
@@ -387,77 +429,99 @@ def execute_device_batch(
     """One device execute for a group of same-T descriptors. B is padded to
     a {1,2,4,8} ladder with match-nothing descriptors so batch size never
     forces a recompile."""
-    from ..ops.batch_scorer import batched_chain_topk, bucket
+    from ..ops.arena_scorer import planes_chain_topk
 
     D = _plane_docs(store)
-    T = descriptors[0].T
+    arena = get_arena(store, D)
+    T = _t_ladder(max(d.T for d in descriptors))
     n_real = len(descriptors)
-    b = 1
-    while b < n_real:
-        b *= 2
+    descriptors = [_pad_descriptor(d, T) for d in descriptors]
+    b = _b_ladder(n_real)
     descriptors = descriptors + [
-        _empty_descriptor(T, descriptors[0].search)
-        for _ in range(b - n_real)
+        _empty_descriptor(T, descriptors[0].search) for _ in range(b - n_real)
     ]
-    B = len(descriptors)
 
-    rows = {name: [] for name in (
-        "ci", "pi", "pv", "fi", "fv", "oi", "ov", "ei", "ai", "av", "vi"
-    )}
-    adj_rows = []
-    use_valid = []
-    for d in descriptors:
-        ci, _ = _flatten(d.class_pairs, D, None, False)
-        pi, pv = _flatten(d.pair_entries, D, None, True, np.int8)
-        fi, fv = _flatten(d.fid_entries, D, None, True, np.int16)
-        oi, ov = _flatten(d.pos_entries, D, None, True, np.int16)
-        ei, _ = _flatten(d.exact_pairs, D, None, False)
-        ai, av = _flatten(d.ea_entries, D, None, True, np.int8)
-        vi = (
-            d.valid.astype(np.int32)
-            if d.valid is not None
-            else np.empty(0, dtype=np.int32)
-        )
-        use_valid.append(d.valid is not None)
-        adj_rows.append(d.adj)
-        for name, val in (
-            ("ci", ci), ("pi", pi), ("pv", pv), ("fi", fi), ("fv", fv),
-            ("oi", oi), ("ov", ov), ("ei", ei), ("ai", ai), ("av", av),
-            ("vi", vi),
-        ):
-            rows[name].append(val)
+    transients = [
+        d.universe_ids for d in descriptors if d.universe_ids is not None
+    ]
+    (
+        bit_pool,
+        byte_pool,
+        fresh_bits,
+        fresh_bytes,
+        bit_used,
+        byte_used,
+        t_rows,
+    ) = arena.prepare_batch(transients)
 
-    dumps = {
-        "ci": T * 3 * D, "pi": max(T - 1, 1) * 9 * D, "fi": T * 3 * D,
-        "oi": T * 3 * D, "ei": T * D, "ai": (T + 1) * D, "vi": D,
-    }
-    stacked = {}
-    for name in ("ci", "pi", "fi", "oi", "ei", "ai", "vi"):
-        L = bucket(max(len(r) for r in rows[name]) or 1)
-        stacked[name] = np.stack(
-            [_pad_to(r, L, dumps[name], unique=True) for r in rows[name]]
-        )
-    for name, fill in (("pv", 3), ("fv", 0), ("ov", 0), ("av", 2)):
-        idx_name = {"pv": "pi", "fv": "fi", "ov": "oi", "av": "ai"}[name]
-        L = stacked[idx_name].shape[1]
-        stacked[name] = np.stack([_pad_to(r, L, fill) for r in rows[name]])
+    valid_rows = np.zeros(len(descriptors), dtype=np.int32)
+    use_valid = np.zeros(len(descriptors), dtype=bool)
+    ti = 0
+    for i, d in enumerate(descriptors):
+        if d.universe_ids is not None:
+            valid_rows[i] = t_rows[ti]
+            use_valid[i] = True
+            ti += 1
 
     live = _live_mask(store, D)
-    top, counts = batched_chain_topk(
-        stacked["ci"],
-        stacked["pi"], stacked["pv"],
-        np.stack(adj_rows),
-        stacked["fi"], stacked["fv"],
-        stacked["oi"], stacked["ov"],
-        stacked["ei"],
-        stacked["ai"], stacked["av"],
-        stacked["vi"],
-        np.asarray(use_valid),
-        live,
-        T=T, D=D, k=TOPK,
+    import time as _time
+
+    trace = os.environ.get("MEILI_TPU_DEVICE_TRACE") == "1"
+    t_kernel = _time.perf_counter()
+    try:
+        bit_out, byte_out, out = planes_chain_topk(
+            bit_pool,
+            byte_pool,
+            fresh_bits,
+            fresh_bytes,
+            np.int32(bit_used),
+            np.int32(byte_used),
+            np.stack([d.class_rows for d in descriptors]),
+            np.stack([d.exact_rows for d in descriptors]),
+            valid_rows,
+            use_valid,
+            np.stack([d.pair_rows for d in descriptors]),
+            np.stack([d.fid_rows for d in descriptors]),
+            np.stack([d.pos_rows for d in descriptors]),
+            np.stack([d.ea_rows for d in descriptors]),
+            np.stack([d.adj for d in descriptors]),
+            live,
+            T=T,
+            D=D,
+            k=TOPK,
+        )
+    except Exception:
+        # the pools were donated: they may be gone — drop the arena so the
+        # next batch rebuilds from the host caches
+        store._device_arena = None
+        raise
+    arena.absorb(bit_out, byte_out)
+    from ..ops.arena_scorer import merge_topk_host
+
+    out = np.asarray(out)
+    t_read = _time.perf_counter()
+    k = TOPK
+    idx1, key1 = out[:, :k], out[:, k : 2 * k]
+    idx2, key2 = out[:, 2 * k : 3 * k], out[:, 3 * k : 4 * k]
+    counts = out[:, 4 * k]
+    top = np.stack(
+        [
+            merge_topk_host(
+                idx1[i], key1[i], idx2[i], key2[i], int(counts[i]), TOPK
+            )
+            for i in range(len(counts))
+        ]
     )
-    top = np.asarray(top)
-    counts = np.asarray(counts)
+    if trace:
+        import sys as _sys
+
+        print(
+            f"device batch B={len(descriptors)} T={T} D={D}:"
+            f" kernel+read {t_read - t_kernel:.3f}s"
+            f" merge {_time.perf_counter() - t_read:.3f}s",
+            file=_sys.stderr,
+            flush=True,
+        )
 
     results = []
     for i, d in enumerate(descriptors[:n_real]):
@@ -479,28 +543,21 @@ def execute_device_batch(
 
 
 def device_batch_enabled() -> bool:
-    """Opt-in (MEILI_TPU_DEVICE_BATCH=1).
-
-    Status after measurement on the tunneled v5e (100k-doc corpus, warm
-    compile cache + warm descriptor caches): ~16 QPS batched vs ~148 QPS on
-    the host scorer. The batch design does amortize the fixed ~28 ms
-    dispatch round trip, but the kernel ranks over the FULL doc axis
-    (O(T*3*D) plane traffic per query) while the host path is sparse in the
-    matched candidates. The round-2 fix is device-side compaction: scatter
-    matched ids, compact them with one sort, and run the DP over the
-    compacted axis — same kernel shape, candidate-sparse cost. Until then
-    the host path stays the default and this path is pinned correct by
-    tests/test_device_batch.py."""
+    """Round 2: the plane-resident path. Default ON when a device is
+    present; MEILI_TPU_DEVICE_BATCH=0 disables."""
     import os
 
-    return os.environ.get("MEILI_TPU_DEVICE_BATCH", "0") == "1"
+    flag = os.environ.get("MEILI_TPU_DEVICE_BATCH")
+    if flag is not None:
+        return flag == "1"
+    return True
 
 
 def search_many(store: IndexStore, searches: list[Search]) -> list[SearchResult]:
     """Execute a batch: chain-compatible queries in grouped device executes,
     the rest on the host scorer. Order-preserving."""
     results: list[Optional[SearchResult]] = [None] * len(searches)
-    groups: dict[int, list[tuple[int, ChainDescriptor]]] = {}
+    items: list[tuple[int, ChainDescriptor]] = []
     if device_batch_enabled():
         for i, s in enumerate(searches):
             try:
@@ -508,8 +565,8 @@ def search_many(store: IndexStore, searches: list[Search]) -> list[SearchResult]
             except Exception:
                 d = None
             if d is not None:
-                groups.setdefault(d.T, []).append((i, d))
-    for T, items in groups.items():
+                items.append((i, d))
+    if items:
         for start in range(0, len(items), MAX_BATCH):
             chunk = items[start : start + MAX_BATCH]
             try:
@@ -517,6 +574,10 @@ def search_many(store: IndexStore, searches: list[Search]) -> list[SearchResult]
                     store, [d for _i, d in chunk]
                 )
             except Exception:
+                import os
+
+                if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
+                    raise  # tests: a silent host fallback would hide bugs
                 for i, _d in chunk:
                     results[i] = searches[i].execute()
                 continue

@@ -19,6 +19,7 @@ WORDS = [
 @pytest.fixture(autouse=True)
 def _enable_device_batch(monkeypatch):
     monkeypatch.setenv("MEILI_TPU_DEVICE_BATCH", "1")
+    monkeypatch.setenv("MEILI_TPU_DEVICE_STRICT", "1")
 
 
 @pytest.fixture(scope="module")

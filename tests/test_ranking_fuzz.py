@@ -55,6 +55,7 @@ def _random_queries(seed: int) -> list[dict]:
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_packed_matrix_device_agree(monkeypatch, seed):
     monkeypatch.setenv("MEILI_TPU_DEVICE_BATCH", "1")
+    monkeypatch.setenv("MEILI_TPU_DEVICE_STRICT", "1")
     store = _random_store(seed)
     queries = _random_queries(seed)
 
