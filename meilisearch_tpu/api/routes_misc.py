@@ -332,13 +332,23 @@ def register_misc_routes(app):
     app.add("GET", "/network", "network.get", get_network)
 
     def patch_network(app_, req):
+        """Merge-PATCH of the network topology (reference:
+        routes/network/mod.rs + network.rs:13-24 {self, remotes, shards,
+        leader, version}). A shards change is the local analogue of the
+        EE NetworkTopologyChange task: every index's rendezvous ownership
+        is re-derived lazily against the new shard set, and the previous
+        shard map is returned as `previousShards` so callers can dual-query
+        during resharding (tasks/network.rs previousShards semantics)."""
         _check_feature(app_, "network")
         body = req.body or {}
         network = app_.scheduler.network
+        changed = False
         if "self" in body:
             network["self"] = body["self"]
-        if "sharding" in body and body["sharding"] is not None:
-            network["sharding"] = bool(body["sharding"])
+            changed = True
+        if "leader" in body:
+            network["leader"] = body["leader"]
+            changed = True
         if "remotes" in body and body["remotes"] is not None:
             for name, remote in body["remotes"].items():
                 if remote is None:
@@ -349,7 +359,48 @@ def register_misc_routes(app):
                         "searchApiKey": remote.get("searchApiKey"),
                         "writeApiKey": remote.get("writeApiKey"),
                     }
-        return dict(network)
+            changed = True
+        previous_shards = None
+        if "shards" in body and body["shards"] is not None:
+            import uuid as _uuid
+
+            previous_shards = dict(network["shards"])
+            for name, shard in body["shards"].items():
+                if shard is None:
+                    network["shards"].pop(name, None)
+                    continue
+                remotes = shard.get("remotes") or []
+                unknown = [
+                    r
+                    for r in remotes
+                    if r not in network["remotes"] and r != network["self"]
+                ]
+                if unknown:
+                    raise EngineError(
+                        ErrorCode.BAD_REQUEST,
+                        f"Shard `{name}` references unknown remotes:"
+                        f" {', '.join(sorted(unknown))}.",
+                    )
+                network["shards"][name] = {"remotes": sorted(remotes)}
+            network["version"] = str(_uuid.uuid4())
+            topo = sorted(network["shards"])
+            for store in app_.scheduler.list_indexes():
+                store.set_shard_topology(topo)
+            changed = True
+        if changed and network["leader"] is not None:
+            known = set(network["remotes"]) | (
+                {network["self"]} if network["self"] else set()
+            )
+            if network["leader"] not in known:
+                raise EngineError(
+                    ErrorCode.BAD_REQUEST,
+                    f"Leader `{network['leader']}` is not `self` or a"
+                    " declared remote.",
+                )
+        out = dict(network)
+        if previous_shards is not None:
+            out["previousShards"] = previous_shards
+        return out
 
     app.add("PATCH", "/network", "network.update", patch_network)
 

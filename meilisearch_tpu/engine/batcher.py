@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time as _time
 from typing import Any, Optional
 
 MAX_BATCH = 32
@@ -56,15 +57,29 @@ class SearchBatcher:
         self.wake.set()
 
     def submit(self, store, body: dict, features=None) -> dict:
-        """Queue a search and wait for its response."""
+        """Queue a search and wait for its response.
+
+        The wait is bounded but generous: a cold persistent compile cache
+        means the first arena-kernel execute can spend minutes inside XLA
+        (jax_setup.py measured 28-290 s per variant over the tunnel), and
+        every queued request legitimately waits behind it. Only a dead
+        executor thread or the hard cap raises."""
         entry = _Pending(store, body, features)
         with self.lock:
             self._ensure_thread()
             self.queue.append(entry)
         self.wake.set()
-        entry.event.wait(timeout=60)
-        if not entry.event.is_set():
-            raise TimeoutError("search batcher timed out")
+        deadline = _time.monotonic() + float(
+            os.environ.get("MEILI_TPU_BATCHER_TIMEOUT", "900")
+        )
+        while not entry.event.wait(timeout=5.0):
+            if _time.monotonic() > deadline:
+                raise TimeoutError("search batcher timed out")
+            if self._thread is None or not self._thread.is_alive():
+                # executor died (interpreter teardown / unrecoverable error):
+                # don't strand the caller
+                if not entry.event.is_set():
+                    raise TimeoutError("search batcher thread died")
         if entry.error is not None:
             raise entry.error
         return entry.result

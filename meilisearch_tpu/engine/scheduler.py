@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 import threading
 import traceback
+import uuid
 from typing import Callable, Optional
 
 from ..index.store import IndexStore
@@ -84,7 +85,15 @@ class IndexScheduler:
             "chatCompletions": False,
             "multimodal": False,
         }
-        self.network = {"self": None, "remotes": {}, "sharding": False}
+        # reference shape: meilisearch-types/src/network.rs:13-24 —
+        # {self, remotes, shards, leader, version}
+        self.network = {
+            "self": None,
+            "remotes": {},
+            "shards": {},
+            "leader": None,
+            "version": str(uuid.uuid4()),
+        }
         from ..search.dynamic_rules import DynamicSearchRules
         from .analytics import Analytics
 
@@ -480,6 +489,8 @@ class IndexScheduler:
             if store is None:
                 store = IndexStore(uid, primary_key=primary_key)
                 store.dynamic_rules = self.dsr
+                if self.network["shards"]:
+                    store.set_shard_topology(sorted(self.network["shards"]))
                 self.indexes[uid] = store
             elif primary_key and store.primary_key is None:
                 store.primary_key = primary_key
@@ -499,6 +510,8 @@ class IndexScheduler:
                     task.index_uid, primary_key=content.get("primaryKey")
                 )
                 store.dynamic_rules = self.dsr
+                if self.network["shards"]:
+                    store.set_shard_topology(sorted(self.network["shards"]))
                 self.indexes[task.index_uid] = store
             task.details = {"primaryKey": content.get("primaryKey")}
         elif t == TaskType.INDEX_UPDATE:

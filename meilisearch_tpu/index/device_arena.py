@@ -6,7 +6,7 @@ memory bandwidth. So the device index is NOT posting id lists — it is
 dense per-document planes, one ROW per cached posting structure:
 
   * bitmap rows (D/32 int32 words) for membership masks — per-(term,class)
-    docids, per-term exact words, per-query filter universes;
+    docids, per-term exact words;
   * byte rows (D int8) for cost structures — min pair-proximity per
     (left-class, right-class), min fid weight, min position cost,
     ExactAttribute rank per words level — host-merged so one row carries
@@ -19,35 +19,38 @@ until the store generation changes (the atomic-snapshot-swap model of
 SURVEY §7; the reference's LMDB-page-cache role).
 
 Row 0 of each pool is reserved as the identity row (bitmap: all zero;
-bytes: all fill-default is per-structure, so byte row 0 is all 255 = the
-INF sentinel used by fid/pos) so absent structures need no branches.
+byte: all 255 = the per-structure default sentinel) so absent structures
+need no branches.
 
-Every device execute over the axon tunnel costs ~28 ms, so pools are
-appended INSIDE the batch kernel (donated input -> updated output), never
-by a separate device op. Capacities follow a pow4 row ladder to keep
-compiled shapes stable.
+Compile-variant discipline (the round-2 BENCH lesson — each variant costs
+30-290 s of XLA over the tunnel): pool capacities are FIXED per plane
+width D, appends go through one trivial fixed-chunk kernel
+(arena_scorer.append_rows), and filter universes never enter the pools.
+If a pool ever fills, the arena resets and rows re-register on demand
+from the host caches — a cache flush, not a failure.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-MIN_ROWS = 64
-MAX_BYTES = 6 << 30  # cap combined pool footprint; beyond -> host fallback
+# fixed fresh-row chunk: one compiled append kernel per pool shape. Lives
+# here (not in ops.arena_scorer) so importing the arena never touches jax —
+# the serving import chain must stay loadable when no backend exists.
+APPEND_ROWS = 64
+
+BIT_POOL_BYTES = 1 << 30  # 1 GiB of bitmap rows
+BYTE_POOL_BYTES = 2 << 30  # 2 GiB of cost rows
+MAX_BIT_ROWS = 16384
+MAX_BYTE_ROWS = 4096
 
 
-def _row_capacity(n: int) -> int:
-    cap = MIN_ROWS
-    while cap < n:
-        cap *= 4
-    return cap
+def bit_capacity(D: int) -> int:
+    return int(min(MAX_BIT_ROWS, max(256, BIT_POOL_BYTES // (D // 8))))
 
 
-def fresh_rows_bucket(n: int) -> int:
-    b = 4
-    while b < n:
-        b *= 4
-    return b
+def byte_capacity(D: int) -> int:
+    return int(min(MAX_BYTE_ROWS, max(128, BYTE_POOL_BYTES // D)))
 
 
 def pack_bitmap(ids: np.ndarray, D: int) -> np.ndarray:
@@ -72,37 +75,56 @@ def byte_plane(parts, D: int, fill: int) -> np.ndarray:
 
 
 class DeviceArena:
-    """Row pools for one store at one plane width D."""
+    """Row pools for one store at one plane width D. Fixed capacity; a
+    full pool resets (rows re-register lazily from host caches)."""
 
     def __init__(self, store, D: int):
         self.store = store
         self.D = D
         self.generation = store.generation
-        self.bit_pool = None  # jnp (NB, D/32) int32
-        self.byte_pool = None  # jnp (NC, D) int8
+        self.bit_cap = bit_capacity(D)
+        self.byte_cap = byte_capacity(D)
+        self.bit_pool = None  # jnp (bit_cap, D/32) int32
+        self.byte_pool = None  # jnp (byte_cap, D) int8
         self.bit_used = 1  # row 0 reserved (all-zero)
-        self.byte_used = 1  # row 0 reserved (all-255 INF)
+        self.byte_used = 1  # row 0 reserved (all-255 sentinel)
         self._bit_rows: dict = {}  # cache key -> row index
         self._byte_rows: dict = {}
         self._staged_bits: list[np.ndarray] = []
         self._staged_bytes: list[np.ndarray] = []
 
+    def _reset_rows(self) -> None:
+        self.bit_used = 1
+        self.byte_used = 1
+        self._bit_rows.clear()
+        self._byte_rows.clear()
+        self._staged_bits = []
+        self._staged_bytes = []
+
     def _reset_if_stale(self) -> None:
         if self.generation != self.store.generation:
             self.generation = self.store.generation
-            self.bit_pool = None
-            self.byte_pool = None
-            self.bit_used = 1
-            self.byte_used = 1
-            self._bit_rows.clear()
-            self._byte_rows.clear()
-            self._staged_bits = []
-            self._staged_bytes = []
+            self._reset_rows()
+
+    def has_room(self, bit_rows_needed: int, byte_rows_needed: int) -> bool:
+        """Whether `*_needed` more rows fit without overflowing a pool
+        (APPEND_ROWS headroom covers append-chunk padding)."""
+        self._reset_if_stale()
+        return (
+            self.bit_used + len(self._staged_bits) + bit_rows_needed
+            <= self.bit_cap - APPEND_ROWS
+            and self.byte_used + len(self._staged_bytes) + byte_rows_needed
+            <= self.byte_cap - APPEND_ROWS
+        )
+
+    def reset_rows(self) -> None:
+        """Drop every registered row (a cache flush: rows re-register from
+        the host caches on demand). Callers must not hold row indices
+        across this — execute pending batches first."""
+        self._reset_rows()
 
     def footprint(self) -> int:
-        nb = self.bit_used + len(self._staged_bits)
-        nc = self.byte_used + len(self._staged_bytes)
-        return nb * (self.D // 32) * 4 + nc * self.D
+        return self.bit_cap * (self.D // 32) * 4 + self.byte_cap * self.D
 
     # -- row registration ---------------------------------------------------
 
@@ -129,87 +151,47 @@ class DeviceArena:
 
     # -- batch I/O ---------------------------------------------------------------
 
-    def prepare_batch(self, transient_ids=None):
-        """Kernel inputs + transient row indices.
+    def _append(self, pool, staged, used, pad_value, dtype, width):
+        """Upload staged rows in fixed APPEND_ROWS chunks (one compiled
+        append kernel per pool shape — never a scorer recompile)."""
+        from ..ops.arena_scorer import append_rows
 
-        `transient_ids`: per-query docid arrays (filter universes). They
-        are staged AFTER every remembered row, so the watermark advance in
-        absorb() never covers them and the next batch overwrites them.
-        Returns (bit_pool, byte_pool, fresh_bits, fresh_bytes, bit_used,
-        byte_used, transient_rows)."""
-        import jax
+        for start in range(0, len(staged), APPEND_ROWS):
+            chunk = staged[start : start + APPEND_ROWS]
+            buf = np.full((APPEND_ROWS, width), pad_value, dtype=dtype)
+            for i, row in enumerate(chunk):
+                buf[i] = row
+            # padding rows land above the watermark and are overwritten by
+            # the next append; capacity headroom is guaranteed by ensure_room
+            pool = append_rows(pool, buf, np.int32(used + start))
+        return pool, used + len(staged)
+
+    def prepare_batch(self):
+        """Flush staged rows into the resident pools; returns
+        (bit_pool, byte_pool) ready for the scorer."""
         import jax.numpy as jnp
 
         self._reset_if_stale()
         D32 = self.D // 32
-        transient_rows = []
-        n_trans = 0
-        for ids in transient_ids or []:
-            transient_rows.append(self.bit_used + len(self._staged_bits))
-            self._staged_bits.append(pack_bitmap(ids, self.D))
-            n_trans += 1
-
-        def stack(staged, width, dtype, pad_row):
-            rows = fresh_rows_bucket(max(len(staged), 1))
-            out = np.empty((rows, width), dtype=dtype)
-            for i, r in enumerate(staged):
-                out[i] = r
-            for i in range(len(staged), rows):
-                out[i] = pad_row
-            return out
-
-        fresh_bits = stack(
-            self._staged_bits, D32, np.int32, np.zeros(D32, np.int32)
-        )
-        fresh_bytes = stack(
-            self._staged_bytes, self.D, np.int8, np.full(self.D, -1, np.int8)
-        )
-
-        nb_cap = _row_capacity(self.bit_used + fresh_bits.shape[0])
-        nc_cap = _row_capacity(self.byte_used + fresh_bytes.shape[0])
-        # capacity only grows within a generation (a shrink would truncate
-        # resident rows; generation changes reset the pools instead)
-        if self.bit_pool is not None:
-            nb_cap = max(nb_cap, self.bit_pool.shape[0])
-        if self.byte_pool is not None:
-            nc_cap = max(nc_cap, self.byte_pool.shape[0])
-        # capacity growth copies the WHOLE old pool (static shapes: one
-        # compiled variant per ladder step, not one per watermark value)
-        if self.bit_pool is None or self.bit_pool.shape[0] != nb_cap:
-            old = self.bit_pool
-            pool = jnp.zeros((nb_cap, D32), jnp.int32)
-            if old is not None:
-                pool = pool.at[: old.shape[0]].set(old)
-            self.bit_pool = pool
-        if self.byte_pool is None or self.byte_pool.shape[0] != nc_cap:
-            old = self.byte_pool
-            pool = jnp.full((nc_cap, self.D), -1, jnp.int8)
-            if old is not None:
-                pool = pool.at[: old.shape[0]].set(old)
-            self.byte_pool = pool
-
-        self._commit_bits = len(self._staged_bits) - n_trans
-        self._commit_bytes = len(self._staged_bytes)
-        return (
-            self.bit_pool,
-            self.byte_pool,
-            fresh_bits,
-            fresh_bytes,
-            self.bit_used,
-            self.byte_used,
-            transient_rows,
-        )
-
-    def absorb(self, bit_pool, byte_pool) -> None:
-        """Adopt the kernel's updated pools and advance the watermarks
-        past the remembered rows (transients stay above and get
-        overwritten by the next batch)."""
-        self.bit_pool = bit_pool
-        self.byte_pool = byte_pool
-        self.bit_used += self._commit_bits
-        self.byte_used += self._commit_bytes
-        self._staged_bits = []
-        self._staged_bytes = []
+        if self.bit_pool is None or self.bit_pool.shape[0] != self.bit_cap:
+            self.bit_pool = jnp.zeros((self.bit_cap, D32), jnp.int32)
+            self.bit_used = 1
+        if self.byte_pool is None or self.byte_pool.shape[0] != self.byte_cap:
+            self.byte_pool = jnp.full((self.byte_cap, self.D), -1, jnp.int8)
+            self.byte_used = 1
+        if self._staged_bits:
+            self.bit_pool, self.bit_used = self._append(
+                self.bit_pool, self._staged_bits, self.bit_used, 0,
+                np.int32, D32,
+            )
+            self._staged_bits = []
+        if self._staged_bytes:
+            self.byte_pool, self.byte_used = self._append(
+                self.byte_pool, self._staged_bytes, self.byte_used, -1,
+                np.int8, self.D,
+            )
+            self._staged_bytes = []
+        return self.bit_pool, self.byte_pool
 
 
 def get_arena(store, D: int) -> DeviceArena:

@@ -4,20 +4,30 @@ row reads only.
 Design forced by measurement on the tunneled v5e (see git history for the
 raw numbers):
 
-  * every execute costs a fixed ~28 ms -> batch queries, fold the pool
-    append into the kernel (donated pools in, updated pools out);
+  * every execute costs a fixed ~28 ms -> batch queries;
   * random gather/scatter runs at ~270 ns/element while dense rows stream
     at HBM bandwidth -> posting structures live as dense per-document
     planes (bitmap rows for masks, int8 rows for costs), built once on
     host per (generation, structure) and resident thereafter
     (index/device_arena.py);
   * a full-axis sort costs 0.1-10 s, lax.top_k rides under the dispatch
-    floor -> the rank key packs (hi, lo) into one int64 and top_k picks
-    the page, ties falling to ascending docid via top_k's
-    lower-index-first guarantee.
+    floor -> the rank key packs into one int32 and top_k picks the page,
+    a second top_k resolving the kth-key tie class exactly;
+  * a cold XLA compile costs 30-290 s over the tunnel -> the NUMBER OF
+    COMPILED VARIANTS is itself a first-order cost. Round-2 lesson
+    (BENCH run with ladders): pow4 pool-capacity growth x fresh-row
+    buckets x {2,4,6} T-ladder x {8,32} B-ladder produced dozens of
+    variants and compile time swamped serving. This version compiles ONE
+    scoring program per corpus-size bucket: B and T are fixed at their
+    maxima (padding is cheap — the kernel is dispatch/bandwidth bound,
+    not FLOPs bound), pool capacities are fixed per D (index/device_arena
+    flushes and re-registers rows if ever full), and row appends moved to
+    a separate trivial kernel so the scorer's shapes never change.
 
 The per-query descriptor is a handful of row indices in fixed-shape
-matrices — a few hundred bytes of host->device traffic per query. The
+matrices — a few hundred bytes of host->device traffic per query. Filter
+universes ride as packed (B, D/32) bitmap inputs (a few hundred KB),
+NOT as pool rows: transient rows were the other recompile source. The
 ranking semantics are the `last`-strategy suffix DP shared with
 ops/batch_scorer (_chain_dp), pinned by tests/golden and the 3-way
 ranking fuzz; parity target is search/new/bucket_sort.rs:23 ordering at
@@ -50,22 +60,22 @@ INF16 = jnp.int16(20000)
 TOPK = 1024
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("T", "D", "k"),
-    donate_argnums=(0, 1),
-)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def append_rows(pool, fresh, used):
+    """Scatter a fixed-size chunk of fresh rows at the watermark. Donated:
+    the pool updates in place; one compiled variant per pool shape."""
+    zero = jnp.zeros((), dtype=jnp.asarray(used).dtype)
+    return jax.lax.dynamic_update_slice(pool, fresh, (used, zero))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "D", "k"))
 def planes_chain_topk(
-    bit_pool,  # (NB, D/32) int32, donated
-    byte_pool,  # (NC, D) int8, donated
-    fresh_bits,  # (nb, D/32) int32
-    fresh_bytes,  # (nc, D) int8
-    bit_used,  # () int32 watermark
-    byte_used,  # () int32
+    bit_pool,  # (NB, D/32) int32 — resident, NOT donated
+    byte_pool,  # (NC, D) int8 — resident, NOT donated
     class_rows,  # (B, T, 3) int32 bit rows
     exact_rows,  # (B, T) int32 bit rows
-    valid_rows,  # (B,) int32 bit rows
-    use_valid,  # (B,) bool
+    universe,  # (B, D/32) int32 packed filter universes
+    use_valid,  # (B,) bool — True: intersect with `universe` row
     pair_rows,  # (B, tp, 3, 3) int32 byte rows
     fid_rows,  # (B, T, 3) int32 byte rows
     pos_rows,  # (B, T, 3) int32 byte rows
@@ -76,14 +86,7 @@ def planes_chain_topk(
     D: int,
     k: int,
 ):
-    """Returns (bit_pool, byte_pool, top (B,k) int32 [-1 pad], counts)."""
-    zero = jnp.zeros((), dtype=jnp.asarray(bit_used).dtype)
-    bit_pool = jax.lax.dynamic_update_slice(
-        bit_pool, fresh_bits, (bit_used, zero)
-    )
-    byte_pool = jax.lax.dynamic_update_slice(
-        byte_pool, fresh_bytes, (byte_used, zero)
-    )
+    """Returns one (B, 4k+1) int32 tensor: [idx1 | key1 | idx2 | key2 | count]."""
     tp = max(T - 1, 1)
 
     def unpack(rows):
@@ -91,7 +94,11 @@ def planes_chain_topk(
         bits = (words[..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
         return bits.reshape(rows.shape + (D,)).astype(bool)
 
-    def one(crows, erows, vrow, uv, prows, frows, orows, earows, aj):
+    def unpack_words(words):  # (D/32,) int32 -> (D,) bool
+        bits = (words[:, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+        return bits.reshape(D).astype(bool)
+
+    def one(crows, erows, urow, uv, prows, frows, orows, earows, aj):
         class_mask = unpack(crows)  # (T, 3, D)
         exact_mask = unpack(erows)  # (T, D)
 
@@ -118,7 +125,7 @@ def planes_chain_topk(
         levels = jnp.arange(T + 1, dtype=jnp.int32)[:, None]
         ea = jnp.sum(jnp.where(level[None, :] == levels, ea_rank, 0), axis=0)
 
-        valid = jnp.where(uv, unpack(vrow), live)
+        valid = jnp.where(uv, unpack_words(urow) & live, live)
         invalid = (~valid) | (final[0] >= INF32)
 
         # T-parameterized int32 rank key: a 64-bit key makes lax.top_k fall
@@ -166,7 +173,7 @@ def planes_chain_topk(
     idx1, key1, idx2, key2, counts = jax.vmap(one)(
         class_rows,
         exact_rows,
-        valid_rows,
+        universe,
         use_valid,
         pair_rows,
         fid_rows,
@@ -179,7 +186,7 @@ def planes_chain_topk(
     out = jnp.concatenate(
         [idx1, key1, idx2, key2, counts[:, None]], axis=1
     )
-    return bit_pool, byte_pool, out
+    return out
 
 
 def merge_topk_host(idx1, key1, idx2, key2, count, k):

@@ -23,7 +23,7 @@ from typing import Optional
 import numpy as np
 
 from ..index.arrays import EMPTY, docids_array, to_array, union_many
-from ..index.device_arena import MAX_BYTES, get_arena
+from ..index.device_arena import get_arena
 from ..index.store import IndexStore
 from .executor import Search, SearchResult, exact_attribute_rank_ids
 from .graph import QueryGraph
@@ -33,19 +33,18 @@ from .scorer import Resolver, position_cost_from_distance
 MAX_T = 6  # the packed int32 rank key needs T <= 6 (ops/arena_scorer.py)
 TOPK = 1024
 MAX_BATCH = 32
+MAX_PLANE_DOCS = 1 << 23  # beyond ~8M docs the dense planes go host-side
 
 
 def _t_ladder(t: int) -> int:
-    """Pad chain length to {2, 4, 6}: mixed-length queries then share ONE
-    compiled program and ONE device execute per batch. Padding appends
-    match-nothing terms whose only path is the skip edge, which shifts
-    every document's words-cost by the same constant — per-query ordering
-    and validity are unchanged (the DP forbids skipping ALL terms)."""
-    return 2 if t <= 2 else (4 if t <= 4 else 6)
-
-
-def _b_ladder(n: int) -> int:
-    return 8 if n <= 8 else 32
+    """Every batch pads to T = MAX_T: ONE compiled scoring program per
+    corpus-size bucket (a cold XLA compile costs 30-290 s over the tunnel —
+    variant count is a first-order serving cost; the extra DP steps are
+    bandwidth noise). Padding appends match-nothing terms whose only path
+    is the skip edge, which shifts every document's words-cost by the same
+    constant — per-query ordering and validity are unchanged (the DP
+    forbids skipping ALL terms)."""
+    return MAX_T
 
 
 def _pad_descriptor(d: "ChainDescriptor", T: int) -> "ChainDescriptor":
@@ -139,9 +138,9 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         return None
 
     D = _plane_docs(store)
-    arena = get_arena(store, D)
-    if arena.footprint() > MAX_BYTES:
+    if D > MAX_PLANE_DOCS:
         return None
+    arena = get_arena(store, D)
 
     ctx = DerivationContext(store, settings)
     tokenizer = store.make_tokenizer(search.locales)
@@ -426,76 +425,61 @@ def _empty_descriptor(T: int, search: Search) -> ChainDescriptor:
 def execute_device_batch(
     store: IndexStore, descriptors: list[ChainDescriptor]
 ) -> list[SearchResult]:
-    """One device execute for a group of same-T descriptors. B is padded to
-    a {1,2,4,8} ladder with match-nothing descriptors so batch size never
-    forces a recompile."""
+    """One device execute for a batch of descriptors. B is padded to
+    MAX_BATCH and T to MAX_T with match-nothing descriptors: exactly one
+    compiled scoring program per corpus-size bucket D (see _t_ladder)."""
     from ..ops.arena_scorer import planes_chain_topk
 
     D = _plane_docs(store)
     arena = get_arena(store, D)
-    T = _t_ladder(max(d.T for d in descriptors))
+    T = MAX_T
     n_real = len(descriptors)
     descriptors = [_pad_descriptor(d, T) for d in descriptors]
-    b = _b_ladder(n_real)
     descriptors = descriptors + [
-        _empty_descriptor(T, descriptors[0].search) for _ in range(b - n_real)
+        _empty_descriptor(T, descriptors[0].search)
+        for _ in range(MAX_BATCH - n_real)
     ]
 
-    transients = [
-        d.universe_ids for d in descriptors if d.universe_ids is not None
-    ]
-    (
-        bit_pool,
-        byte_pool,
-        fresh_bits,
-        fresh_bytes,
-        bit_used,
-        byte_used,
-        t_rows,
-    ) = arena.prepare_batch(transients)
+    # filter universes ride as a packed (B, D/32) input, not as pool rows
+    # (per-batch transient rows were a recompile source)
+    from ..index.device_arena import pack_bitmap
 
-    valid_rows = np.zeros(len(descriptors), dtype=np.int32)
-    use_valid = np.zeros(len(descriptors), dtype=bool)
-    ti = 0
+    D32 = D // 32
+    universe = np.zeros((MAX_BATCH, D32), dtype=np.int32)
+    use_valid = np.zeros(MAX_BATCH, dtype=bool)
     for i, d in enumerate(descriptors):
         if d.universe_ids is not None:
-            valid_rows[i] = t_rows[ti]
+            universe[i] = pack_bitmap(d.universe_ids, D)
             use_valid[i] = True
-            ti += 1
 
-    live = _live_mask(store, D)
     import time as _time
 
     trace = os.environ.get("MEILI_TPU_DEVICE_TRACE") == "1"
     t_kernel = _time.perf_counter()
     try:
-        bit_out, byte_out, out = planes_chain_topk(
+        bit_pool, byte_pool = arena.prepare_batch()
+        out = planes_chain_topk(
             bit_pool,
             byte_pool,
-            fresh_bits,
-            fresh_bytes,
-            np.int32(bit_used),
-            np.int32(byte_used),
             np.stack([d.class_rows for d in descriptors]),
             np.stack([d.exact_rows for d in descriptors]),
-            valid_rows,
+            universe,
             use_valid,
             np.stack([d.pair_rows for d in descriptors]),
             np.stack([d.fid_rows for d in descriptors]),
             np.stack([d.pos_rows for d in descriptors]),
             np.stack([d.ea_rows for d in descriptors]),
             np.stack([d.adj for d in descriptors]),
-            live,
+            _live_mask(store, D),
             T=T,
             D=D,
             k=TOPK,
         )
     except Exception:
-        # the pools were donated: they may be gone — drop the arena so the
-        # next batch rebuilds from the host caches
+        # a failed append may have donated a pool away — drop the arena so
+        # the next batch rebuilds from the host caches
         store._device_arena = None
         raise
-    arena.absorb(bit_out, byte_out)
     from ..ops.arena_scorer import merge_topk_host
 
     out = np.asarray(out)
@@ -542,47 +526,107 @@ def execute_device_batch(
     return results
 
 
+_BACKEND_OK: Optional[bool] = None
+
+
+def _backend_available() -> bool:
+    """Whether a jax backend can actually initialize (checked once). A
+    missing/broken backend must degrade to the host path, never 500 — a
+    subprocess can inherit a JAX_PLATFORMS naming a plugin it can't load."""
+    global _BACKEND_OK
+    if _BACKEND_OK is None:
+        try:
+            import jax
+
+            _BACKEND_OK = len(jax.devices()) > 0
+        except Exception:
+            _BACKEND_OK = False
+    return _BACKEND_OK
+
+
 def device_batch_enabled() -> bool:
     """Round 2: the plane-resident path. Default ON when a device is
     present; MEILI_TPU_DEVICE_BATCH=0 disables."""
     import os
 
     flag = os.environ.get("MEILI_TPU_DEVICE_BATCH")
-    if flag is not None:
-        return flag == "1"
-    return True
+    if flag is not None and flag != "1":
+        return False
+    if flag == "1" and os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
+        return True  # tests: fail loudly instead of silently using the host
+    return _backend_available()
+
+
+def _device_worthwhile(store: IndexStore, n_eligible: int) -> bool:
+    """Adaptive routing: the device batch pays a fixed ~28 ms dispatch, so
+    it wins when the host cost exceeds that — large corpora (the host
+    numpy path degrades linearly with candidates) or real concurrency
+    (B queries amortize one execute). A lone query on a small corpus is
+    faster on the host (measured: ~5 ms host vs ~60 ms device at 100k).
+    MEILI_TPU_DEVICE_STRICT=1 forces the device path (tests)."""
+    if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
+        return True
+    min_docs = int(os.environ.get("MEILI_TPU_DEVICE_MIN_DOCS", "262144"))
+    if _plane_docs(store) >= min_docs:
+        return True
+    min_batch = int(os.environ.get("MEILI_TPU_DEVICE_MIN_BATCH", "4"))
+    return n_eligible >= min_batch
+
+
+# conservative per-descriptor staged-row bounds (cold, nothing cached):
+# bit rows T*3 class + T exact; byte rows tp*9 pair + T*3 fid + T*3 pos
+# + T+1 ea. Used to split batches so one execute never overflows a pool.
+_MAX_BIT_ROWS_PER_QUERY = MAX_T * 4
+_MAX_BYTE_ROWS_PER_QUERY = (MAX_T - 1) * 9 + MAX_T * 6 + MAX_T + 1
 
 
 def search_many(store: IndexStore, searches: list[Search]) -> list[SearchResult]:
     """Execute a batch: chain-compatible queries in grouped device executes,
     the rest on the host scorer. Order-preserving."""
     results: list[Optional[SearchResult]] = [None] * len(searches)
-    items: list[tuple[int, ChainDescriptor]] = []
-    if device_batch_enabled():
-        for i, s in enumerate(searches):
-            try:
-                d = build_descriptor(s)
-            except Exception:
-                d = None
-            if d is not None:
-                items.append((i, d))
-    if items:
-        for start in range(0, len(items), MAX_BATCH):
-            chunk = items[start : start + MAX_BATCH]
-            try:
-                batch_results = execute_device_batch(
-                    store, [d for _i, d in chunk]
-                )
-            except Exception:
-                import os
 
-                if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
-                    raise  # tests: a silent host fallback would hide bugs
-                for i, _d in chunk:
-                    results[i] = searches[i].execute()
-                continue
-            for (i, _d), res in zip(chunk, batch_results):
-                results[i] = res
+    def run_chunk(chunk: list[tuple[int, ChainDescriptor]]) -> None:
+        if not chunk:
+            return
+        try:
+            batch_results = execute_device_batch(store, [d for _i, d in chunk])
+        except Exception:
+            if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
+                raise  # tests: a silent host fallback would hide bugs
+            for i, _d in chunk:
+                results[i] = searches[i].execute()
+            return
+        for (i, _d), res in zip(chunk, batch_results):
+            results[i] = res
+
+    if device_batch_enabled():
+        eligible = [
+            (i, s)
+            for i, s in enumerate(searches)
+            if _plane_docs(s.store) <= MAX_PLANE_DOCS
+        ]
+        if eligible and _device_worthwhile(store, len(eligible)):
+            arena = get_arena(store, _plane_docs(store))
+            pending: list[tuple[int, ChainDescriptor]] = []
+            for i, s in eligible:
+                if not arena.has_room(
+                    _MAX_BIT_ROWS_PER_QUERY, _MAX_BYTE_ROWS_PER_QUERY
+                ):
+                    # pool full: execute what we have (its row indices are
+                    # still live), then flush and let rows re-register
+                    run_chunk(pending)
+                    pending = []
+                    arena.reset_rows()
+                try:
+                    d = build_descriptor(s)
+                except Exception:
+                    d = None
+                if d is not None:
+                    pending.append((i, d))
+                    if len(pending) == MAX_BATCH:
+                        run_chunk(pending)
+                        pending = []
+            run_chunk(pending)
     for i, s in enumerate(searches):
         if results[i] is None:
             results[i] = s.execute()

@@ -583,6 +583,31 @@ class FilterEvaluator:
             return self._eval_cond(ast, all_docs)
         raise AssertionError(ast)
 
+    def _eval_shard(self, cond: Cond, all_docs) -> "np.ndarray":
+        """`_shard = name`, `_shard != name`, `_shard IN [..]` against the
+        store's rendezvous ownership sets. Without a topology every shard
+        set is empty (= matches nothing; != matches everything)."""
+        store = self.store
+        op = cond.op
+        if op == "=":
+            return intersect(all_docs, to_array(store.shard_docids(cond.value)))
+        if op == "!=":
+            return difference(
+                all_docs, to_array(store.shard_docids(cond.value))
+            )
+        if op == "IN":
+            return intersect(
+                all_docs,
+                union_many(
+                    [to_array(store.shard_docids(v)) for v in cond.value]
+                ),
+            )
+        raise EngineError(
+            self.code,
+            f"Index `{store.uid}`: Filter operator `{op}` is not allowed for"
+            " the attribute `_shard`.",
+        )
+
     def _check_geo(self):
         if not self.store.settings.is_filterable("_geo"):
             raise EngineError(
@@ -610,6 +635,12 @@ class FilterEvaluator:
 
     def _eval_cond(self, cond: Cond, all_docs) -> "np.ndarray":
         store = self.store
+        if cond.field == "_shard":
+            # implicitly filterable, resolved against the rendezvous shard
+            # ownership sets (reference: index_filter.rs:254
+            # evaluate_shard_operator; SHARD_FIELD bypasses the
+            # filterable-attribute check at :57)
+            return self._eval_shard(cond, all_docs)
         self._check_filterable(cond.field, cond.op)
         fid = self._fid(cond.field)
         if fid is None:

@@ -1023,9 +1023,10 @@ class FusedScorer:
                 return False
         return True
 
-    def run_device(self):
-        """Build the chain tensors and run the DP on the accelerator.
-        Returns the (D, N) cost matrix or None when incompatible."""
+    def _chain_tensors(self):
+        """The dense chain tensors over the candidate axis (unpadded), or
+        None when the query is not chain-compatible. Shared by run_device
+        (single-chip cost matrix) and build_chain_inputs (sharded top-k)."""
         if self.n == 0 or not self.device_compatible():
             return None
         chain = sorted(
@@ -1075,6 +1076,57 @@ class FusedScorer:
                                 self._sel("proximity", c2, 0),
                             ).astype(np.int8)
                 # non-adjacent pairs stay 0 (the free term edge)
+        return class_mask, pair_cost, fid_cost, pos_cost, exact_cost
+
+    def build_chain_inputs(self, pad_multiple: int = 1):
+        """Inputs for ops.device_scorer.chain_query_topk over REAL store
+        candidates: (class_mask, pair_cost, fid_cost, pos_cost, exact_mask,
+        docids, valid), the candidate axis padded to a multiple of
+        `pad_multiple` so a mesh can shard it evenly. Returns None when the
+        query is not chain-compatible."""
+        tensors = self._chain_tensors()
+        if tensors is None:
+            return None
+        class_mask, pair_cost, fid_cost, pos_cost, exact_cost = tensors
+        N = self.n
+        # chain nodes all have term_ids_len == 1, so the exactness addend is
+        # 0 (doc has the exact original word) or 1 — exactly the kernel's
+        # exact_pen encoding
+        exact_mask = exact_cost == 0
+        docids = np.asarray(self.r.candidates, dtype=np.int32)
+        n_pad = -(-max(N, 1) // pad_multiple) * pad_multiple
+        if n_pad != N:
+            pad = n_pad - N
+            class_mask = np.pad(class_mask, ((0, 0), (0, 0), (0, pad)))
+            fid_cost = np.pad(
+                fid_cost, ((0, 0), (0, 0), (0, pad)), constant_values=int(INF)
+            )
+            pos_cost = np.pad(
+                pos_cost, ((0, 0), (0, 0), (0, pad)), constant_values=int(INF)
+            )
+            exact_mask = np.pad(exact_mask, ((0, 0), (0, pad)))
+            pair_cost = np.pad(pair_cost, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            docids = np.pad(docids, (0, pad))
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:N] = True
+        return (
+            class_mask,
+            pair_cost,
+            fid_cost,
+            pos_cost,
+            exact_mask,
+            docids,
+            valid,
+        )
+
+    def run_device(self):
+        """Build the chain tensors and run the DP on the accelerator.
+        Returns the (D, N) cost matrix or None when incompatible."""
+        tensors = self._chain_tensors()
+        if tensors is None:
+            return None
+        class_mask, pair_cost, fid_cost, pos_cost, exact_cost = tensors
+        N = self.n
         from ..ops.device_scorer import chain_cost_matrix
 
         # pad the candidate axis to a power of two so XLA compiles one

@@ -179,8 +179,13 @@ def test_kill9_survival(tmp_path):
             method=method,
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(r, timeout=10) as resp:
-            return json.loads(resp.read() or b"null")
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return json.loads(resp.read() or b"null")
+        except urllib.error.HTTPError as e:  # surface the server error body
+            raise AssertionError(
+                f"{method} {path} -> {e.code}: {e.read().decode()[:2000]}"
+            ) from e
 
     proc = boot()
     try:
