@@ -50,7 +50,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .batch_scorer import _chain_dp
 from .jax_setup import configure_jax
 
 configure_jax()
@@ -58,6 +57,87 @@ configure_jax()
 INF32 = jnp.int32(1 << 24)
 INF16 = jnp.int16(20000)
 TOPK = 1024
+
+
+def _key_layout(T: int):
+    """Bit layout of the packed rank key for chain length T. The DP itself
+    runs over this packed key (integer min == lexicographic min when every
+    field is wide enough for its accumulated bound): words(T via skips),
+    typo(2T), proximity(3(T-1)), fid(7T), position(10T), a 2-bit gap where
+    the ExactAttribute rank lands AFTER the DP (it depends on the final
+    words level), exactness(T). Total <= 29 bits for T <= 6."""
+    ex_b = (T + 1).bit_length()
+    ps_b = (10 * T + 1).bit_length()
+    fd_b = (7 * T + 1).bit_length()
+    px_b = max((3 * (T - 1) + 1).bit_length(), 1)
+    ty_b = (2 * T + 1).bit_length()
+    w_b = (T + 1).bit_length()
+    sh_ea = ex_b
+    sh_ps = sh_ea + 2
+    sh_fd = sh_ps + ps_b
+    sh_px = sh_fd + fd_b
+    sh_ty = sh_px + px_b
+    sh_w = sh_ty + ty_b
+    total = sh_w + w_b
+    assert total <= 29, (T, total)
+    return sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total
+
+
+def _packed_chain_dp(class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D):
+    """`last`-strategy suffix DP over ONE packed int32 key per state —
+    6x less state traffic than the 6-row cost-matrix DP and a plain
+    jnp.minimum instead of a 6-pass lexicographic min. Semantics are
+    batch_scorer._chain_dp's: states [cls0, cls1, cls2, skip], a visit may
+    only follow a visit (or START at t=0), the skip state absorbs all and
+    never feeds back.
+
+    fid/pos bytes are clamped to their per-step bounds (7 / 10): the host
+    builder guarantees a doc inside class_mask always has fid and position
+    postings for that (term, class) — the -1 'absent' sentinel only ever
+    applies to docs the class_mask where() already invalidates."""
+    sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total = _key_layout(T)
+    BIG = jnp.int32(1 << total)  # invalid-state sentinel (> any valid key)
+
+    states = [BIG * jnp.ones((D,), jnp.int32) for _ in range(3)]
+    states.append(jnp.zeros((D,), jnp.int32))  # START lives in the skip slot
+
+    for t in range(T):
+        exact_add = jnp.where(exact_mask[t], 0, 1).astype(jnp.int32)
+        new_states = []
+        visit_prevs = [3] if t == 0 else [0, 1, 2]
+        for cls in range(3):
+            base = (
+                (cls << sh_ty)
+                + (jnp.clip(fid_cost[t, cls], 0, 7).astype(jnp.int32) << sh_fd)
+                + (jnp.clip(pos_cost[t, cls], 0, 10).astype(jnp.int32) << sh_ps)
+                + exact_add
+            )
+            best = None
+            for prev in visit_prevs:
+                add = base
+                if t > 0:
+                    add = base + (
+                        pair_cost[t - 1, prev, cls].astype(jnp.int32) << sh_px
+                    )
+                cand = states[prev] + add
+                best = cand if best is None else jnp.minimum(best, cand)
+            best = jnp.where(class_mask[t, cls], best, BIG)
+            new_states.append(jnp.minimum(best, BIG))
+        skip_add = jnp.int32(1 << sh_w)
+        if t == 0:
+            best_skip = BIG * jnp.ones((D,), jnp.int32)
+        else:
+            best_skip = states[0]
+            for prev in range(1, 4):
+                best_skip = jnp.minimum(best_skip, states[prev])
+            best_skip = jnp.minimum(best_skip + skip_add, BIG)
+        new_states.append(best_skip)
+        states = new_states
+
+    key = jnp.minimum(
+        jnp.minimum(states[0], states[1]), jnp.minimum(states[2], states[3])
+    )
+    return key, BIG, sh_ea, sh_w
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -98,7 +178,8 @@ def planes_chain_topk(
         bits = (words[:, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
         return bits.reshape(D).astype(bool)
 
-    def one(crows, erows, urow, uv, prows, frows, orows, earows, aj):
+    def one(args):
+        crows, erows, urow, uv, prows, frows, orows, earows, aj = args
         class_mask = unpack(crows)  # (T, 3, D)
         exact_mask = unpack(erows)  # (T, D)
 
@@ -107,52 +188,28 @@ def planes_chain_topk(
         # non-adjacent consecutive terms have the free term edge (cost 0)
         pair_cost = jnp.where(aj[:tp, None, None, None], pair_cost, 0)
 
-        fid_b = byte_pool[frows]  # (T, 3, D) int8
-        fid_cost = jnp.where(fid_b < 0, INF16, fid_b.astype(jnp.int16))
-        pos_b = byte_pool[orows]
-        pos_cost = jnp.where(pos_b < 0, INF16, pos_b.astype(jnp.int16))
+        fid_cost = byte_pool[frows]  # (T, 3, D) int8 (-1 = absent)
+        pos_cost = byte_pool[orows]
 
-        final = _chain_dp(
+        key, BIG, sh_ea, sh_w = _packed_chain_dp(
             class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D
         )
+        dead = key >= BIG  # no valid interpretation
 
         # ExactAttribute rank selected by each doc's words level via a
         # select-sum over the small level axis (a per-doc gather would be a
-        # 270 ns/element random access on this hardware)
+        # 270 ns/element random access on this hardware). The 2-bit gap at
+        # sh_ea was left zero by the DP.
         ea_b = byte_pool[earows]  # (T+1, D) int8
         ea_rank = jnp.where(ea_b < 0, jnp.int8(2), ea_b).astype(jnp.int32)
-        level = jnp.clip(T - final[0], 0, T)
+        level = jnp.clip(T - (key >> sh_w), 0, T)
         levels = jnp.arange(T + 1, dtype=jnp.int32)[:, None]
         ea = jnp.sum(jnp.where(level[None, :] == levels, ea_rank, 0), axis=0)
+        key = key | (ea << sh_ea)
 
         valid = jnp.where(uv, unpack_words(urow) & live, live)
-        invalid = (~valid) | (final[0] >= INF32)
-
-        # T-parameterized int32 rank key: a 64-bit key makes lax.top_k fall
-        # back to a full sort on TPU (measured: seconds); with host-verified
-        # value bounds (weights <= 7, pos cost <= 10, T <= 6) every dim
-        # packs losslessly into 31 bits
-        w_b = (T + 1).bit_length()
-        ty_b = (2 * T + 1).bit_length()
-        px_b = max((3 * (T - 1) + 1).bit_length(), 1)
-        fd_b = (7 * T + 1).bit_length()
-        ps_b = (10 * T + 1).bit_length()
-        ea_b_bits = 2
-        ex_b = (T + 1).bit_length()
-        total_bits = w_b + ty_b + px_b + fd_b + ps_b + ea_b_bits + ex_b
-        assert total_bits <= 31, (T, total_bits)
-
-        def fld(v, bits):
-            return jnp.clip(v, 0, (1 << bits) - 1)
-
-        key = fld(final[0], w_b)
-        key = (key << ty_b) | fld(final[1], ty_b)
-        key = (key << px_b) | fld(final[2], px_b)
-        key = (key << fd_b) | fld(final[3], fd_b)
-        key = (key << ps_b) | fld(final[4], ps_b)
-        key = (key << ea_b_bits) | fld(ea, ea_b_bits)
-        key = (key << ex_b) | fld(final[5], ex_b)
-        key = jnp.where(invalid, jnp.int32(1) << 30, key).astype(jnp.int32)
+        invalid = (~valid) | dead
+        key = jnp.where(invalid, jnp.int32(1) << 30, key)
         # TPU top_k does NOT break ties by lower index (measured: tie
         # members come back scrambled and the k-boundary picks arbitrary
         # tie-class members). Exact selection: top_k by key gives the kth
@@ -170,16 +227,24 @@ def planes_chain_topk(
         count = jnp.sum(~invalid).astype(jnp.int32)
         return idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2, count
 
-    idx1, key1, idx2, key2, counts = jax.vmap(one)(
-        class_rows,
-        exact_rows,
-        universe,
-        use_valid,
-        pair_rows,
-        fid_rows,
-        pos_rows,
-        ea_rows,
-        adj,
+    # chunked map bounds peak HBM: vmap over the full batch materializes
+    # (B, T, 3, D) temporaries — 46 GB at D=2^20 (measured OOM). Chunks of
+    # 8 queries run as an on-device loop (no extra host dispatches).
+    bs = 32 if D <= (1 << 18) else 8
+    idx1, key1, idx2, key2, counts = jax.lax.map(
+        one,
+        (
+            class_rows,
+            exact_rows,
+            universe,
+            use_valid,
+            pair_rows,
+            fid_rows,
+            pos_rows,
+            ea_rows,
+            adj,
+        ),
+        batch_size=bs,
     )
     # ONE output tensor: each host readback over the tunnel is a round
     # trip, so the candidate lists and counts ride together
