@@ -111,24 +111,91 @@ def _strip_marks(text: str) -> str:
 
 
 def normalize_word(text: str) -> str:
-    """charabia-equivalent normalization for the Latin pipeline:
-    compatibility decomposition, diacritic removal, lowercase."""
+    """charabia-equivalent normalization, script-aware: the Latin pipeline
+    is compatibility decomposition + diacritic removal + lowercase; tokens
+    containing CJK normalize with NFKC COMPOSITION instead — NFKD mark
+    stripping would conflate Japanese voiced kana with their base forms
+    (が decomposes to か + combining dakuten) and mangle Hangul syllables
+    (charabia ships per-script normalizers for the same reason)."""
+    if any(_script(ch) for ch in text):
+        return unicodedata.normalize("NFKC", text).lower()
     return _strip_marks(text).lower()
 
 
-_CJK_RANGES = (
-    (0x4E00, 0x9FFF),
-    (0x3400, 0x4DBF),
-    (0xF900, 0xFAFF),
-    (0x3040, 0x30FF),  # hiragana + katakana
-    (0xAC00, 0xD7AF),  # hangul
-    (0x0E00, 0x0E7F),  # thai
+# script classes for segmentation (charabia Script detection equivalent)
+_HAN = 1  # Chinese hanzi / Japanese kanji
+_KANA = 2  # hiragana + katakana
+_HANGUL = 3
+_THAI = 4
+
+_SCRIPT_RANGES = (
+    (0x4E00, 0x9FFF, _HAN),
+    (0x3400, 0x4DBF, _HAN),
+    (0xF900, 0xFAFF, _HAN),
+    (0x3040, 0x309F, _KANA),  # hiragana
+    (0x30A0, 0x30FF, _KANA),  # katakana
+    (0x31F0, 0x31FF, _KANA),  # katakana phonetic extensions
+    (0xAC00, 0xD7AF, _HANGUL),
+    (0x1100, 0x11FF, _HANGUL),  # jamo
+    (0x0E00, 0x0E7F, _THAI),
 )
 
 
-def _is_cjk(ch: str) -> bool:
+def _script(ch: str) -> int:
     cp = ord(ch)
-    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+    for lo, hi, s in _SCRIPT_RANGES:
+        if lo <= cp <= hi:
+            return s
+    return 0
+
+
+def _is_cjk(ch: str) -> bool:
+    return _script(ch) != 0
+
+
+_jieba_tokenizer = None
+
+
+def _han_segments(run: str):
+    """Dictionary-based segmentation of a Han run via the bundled jieba
+    dictionary (charabia's zh pipeline uses jieba too). Falls back to
+    per-character unigrams if jieba is unavailable. Yields (start, end)
+    offsets relative to the run."""
+    global _jieba_tokenizer
+    if _jieba_tokenizer is None:
+        try:
+            import logging
+
+            import jieba
+
+            jieba.setLogLevel(logging.ERROR)
+            tok = jieba.Tokenizer()
+            tok.initialize()
+            _jieba_tokenizer = tok
+        except Exception:
+            _jieba_tokenizer = False
+    if _jieba_tokenizer is False:
+        for i in range(len(run)):
+            yield (i, i + 1)
+        return
+    pos = 0
+    # default (accurate) mode: segments concatenate back to the input
+    for seg in _jieba_tokenizer.lcut(run):
+        yield (pos, pos + len(seg))
+        pos += len(seg)
+
+
+def _kana_segments(run: str):
+    """Character bigrams for kana runs (the Lucene CJK strategy): no open
+    Japanese dictionary ships in this environment, and overlapping bigrams
+    applied identically at index and query time give far better precision
+    than unigrams. A length-1 run stays a unigram."""
+    n = len(run)
+    if n == 1:
+        yield (0, 1)
+        return
+    for i in range(n - 1):
+        yield (i, i + 2)
 
 
 class Tokenizer:
@@ -170,16 +237,42 @@ class Tokenizer:
             ch = text[i]
             if _is_word_char(ch):
                 j = i
-                cjk_mode = _is_cjk(ch)
-                while j < n and _is_word_char(text[j]) and _is_cjk(text[j]) == cjk_mode:
+                script = _script(ch)
+                while (
+                    j < n
+                    and _is_word_char(text[j])
+                    and _script(text[j]) == script
+                ):
                     j += 1
-                if cjk_mode:
-                    # Minimal CJK handling: split into single characters
-                    # (charabia uses jieba/lindera; per-char unigrams keep
-                    # searches functional for CJK text).
-                    for k in range(i, j):
-                        yield (k, k + 1, True)
+                run = text[i:j]
+                if script == _HAN:
+                    # dictionary segmentation (charabia zh: jieba)
+                    for s, e in _han_segments(run):
+                        yield (i + s, i + e, True)
+                elif script == _KANA:
+                    # overlapping bigrams (no ja dictionary available;
+                    # identical at index and query time)
+                    for s, e in _kana_segments(run):
+                        yield (i + s, i + e, True)
+                elif script == _THAI:
+                    # no Thai dictionary available: grapheme-cluster
+                    # unigrams (base char + combining vowels/tone marks)
+                    # keep searches functional
+                    k = i
+                    while k < j:
+                        e = k + 1
+                        # Thai vowels/tone marks are Mn with combining
+                        # class 0 — test the category, not combining()
+                        while e < j and unicodedata.category(text[e]) in (
+                            "Mn",
+                            "Mc",
+                        ):
+                            e += 1
+                        yield (k, e, True)
+                        k = e
                 else:
+                    # Latin/other and HANGUL (Korean words are
+                    # whitespace-delimited) keep whole runs
                     yield (i, j, True)
                 i = j
             else:

@@ -46,6 +46,7 @@ to 3 and under ea to 2 for that case).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -228,24 +229,28 @@ def planes_chain_topk(
         return idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2, count
 
     # chunked map bounds peak HBM: vmap over the full batch materializes
-    # (B, T, 3, D) temporaries — 46 GB at D=2^20 (measured OOM). Chunks of
-    # 8 queries run as an on-device loop (no extra host dispatches).
-    bs = 32 if D <= (1 << 18) else 8
-    idx1, key1, idx2, key2, counts = jax.lax.map(
-        one,
-        (
-            class_rows,
-            exact_rows,
-            universe,
-            use_valid,
-            pair_rows,
-            fid_rows,
-            pos_rows,
-            ea_rows,
-            adj,
-        ),
-        batch_size=bs,
+    # (B, T, 3, D) temporaries — 46 GB at D=2^20 (measured OOM with the
+    # 6-row DP). Above the threshold, chunks run as an on-device loop
+    # (no extra host dispatches).
+    xs = (
+        class_rows,
+        exact_rows,
+        universe,
+        use_valid,
+        pair_rows,
+        fid_rows,
+        pos_rows,
+        ea_rows,
+        adj,
     )
+    # chunk=16 measured at D=2^20: compile 150 s, warm 0.47 s/32 queries,
+    # peak fits HBM (full vmap needs 17.6 GB > 16 GB; chunk=8's scan took
+    # pathologically long to compile)
+    bs = int(os.environ.get("MEILI_TPU_BATCH_CHUNK", "16"))
+    if D <= (1 << 18) or bs >= class_rows.shape[0]:
+        idx1, key1, idx2, key2, counts = jax.vmap(lambda *a: one(a))(*xs)
+    else:
+        idx1, key1, idx2, key2, counts = jax.lax.map(one, xs, batch_size=bs)
     # ONE output tensor: each host readback over the tunnel is a round
     # trip, so the candidate lists and counts ride together
     out = jnp.concatenate(

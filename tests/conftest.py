@@ -10,8 +10,12 @@ import os
 # The axon jax plugin is pre-imported at interpreter startup, so env vars set
 # here are too late for platform selection; jax.config still works as long as
 # no backend client has been created yet.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# NOT setdefault: the axon plugin env presets JAX_PLATFORMS=axon, and
+# subprocesses spawned by tests (durability kill -9 servers) inherit this
+# environment — with a test-modified PYTHONPATH the axon plugin can become
+# unimportable in the child and 'axon' then fails to initialize.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -137,6 +137,7 @@ def test_kill9_survival(tmp_path):
     env.update(
         {
             "JAX_PLATFORM_NAME": "cpu",
+            "JAX_PLATFORMS": "cpu",  # the parent env may carry a TPU plugin
             "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
             "MEILI_TPU_ALLOW_LOCAL_URLS": "1",
         }

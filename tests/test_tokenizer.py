@@ -32,10 +32,13 @@ def test_stop_words_not_indexed_but_occupy_position():
     assert words == [("quick", 1)]
 
 
-def test_cjk_unigrams():
+def test_cjk_han_segmentation():
     t = Tokenizer()
     words = t.indexed_words("東京kyoto")
-    assert ("東", 0) in words and ("京", 1) in words
+    # the Han run is dictionary-segmented (東京 is one word in the jieba
+    # dict); the Latin run stays separate
+    assert ("東京", 0) in words
+    assert ("kyoto", 1) in words
 
 
 def test_custom_separators():
