@@ -53,10 +53,18 @@ def http(method, port, path, payload=None, timeout=120):
         return json.loads(resp.read() or b"null")
 
 
+# NOTE on client model: the serving hosts here have ONE CPU core
+# (measured: spawning 16 client interpreters costs 45 s and they timeshare
+# the same core as the server), so separate client processes measure
+# nothing better than threads. Threads + the micro-batcher's aggregation
+# window (engine/batcher.py) let real device batches form; the TPU runs
+# while the core handles HTTP.
+
+
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
-    clients = int(os.environ.get("BENCH_CLIENTS", "16"))
+    clients = int(os.environ.get("BENCH_CLIENTS", "32"))
     port = int(os.environ.get("BENCH_PORT", "7799"))
 
     from http.server import ThreadingHTTPServer
@@ -108,8 +116,21 @@ def main():
     def run_query(q):
         return http("POST", port, "/indexes/hackernews/search", q, timeout=600)
 
-    # warmup: caches + device kernel compiles (slow only on a cold
-    # persistent compile cache)
+    # device-kernel warm-up: the per-corpus-bucket XLA compile is a
+    # one-time per-machine cost (persistent cache) and must not land
+    # inside the measured window — the reference's benches likewise
+    # exclude build time from search timings
+    t0 = time.perf_counter()
+    from meilisearch_tpu.search.device_batch import (
+        device_batch_enabled,
+        warm_kernels,
+    )
+
+    if device_batch_enabled():
+        warm_kernels(app.scheduler.index("hackernews"), wait=True)
+    warm_s = time.perf_counter() - t0
+
+    # warmup: host posting caches + HTTP path
     for _ in range(3):
         for q in queries:
             run_query(q)
@@ -166,6 +187,7 @@ def main():
         "indexing_docs_per_sec": round(n_docs / index_s, 1),
         "n_docs": n_docs,
         "corpus_gen_s": round(gen_s, 2),
+        "kernel_warm_s": round(warm_s, 2),
     }
     print(json.dumps(result))
 

@@ -38,12 +38,42 @@ class _Pending:
 
 
 class SearchBatcher:
+    """Adaptive host/device mode controller.
+
+    The queue depth a gate could observe follows Little's law: at the host
+    path's ~5 ms service time the queue NEVER reaches a useful batch size,
+    no matter how many clients are blocked behind the single serving core
+    — so a "batch when >= N queued" policy can never engage the device.
+    Instead the batcher watches the ARRIVAL RATE: when it approaches the
+    host path's saturation it probes device mode (forcing grouped device
+    executes); the resulting higher per-request latency makes the queue
+    fill (Little's law again), batches self-sustain, and the TPU serves
+    while the core handles HTTP. Served-QPS is measured in both modes and
+    the better one wins; probes repeat so load changes re-decide."""
+
+    WINDOW_S = 0.005  # pre-drain hold so a forming batch can fill
+    RATE_WINDOW_S = 0.25
+    RATE_MIN_ARRIVALS = 6
+    PROBE_RATE = 12  # arrivals/RATE_WINDOW_S (~48 QPS) to consider device
+    PROBE_S = 1.5  # device probe length
+    REPROBE_S = 5.0  # wait after the first failed probe (doubles to 60 s)
+
     def __init__(self):
         self.lock = threading.Lock()
         self.queue: list[_Pending] = []
         self.wake = threading.Event()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
+        self._arrivals: list[float] = []  # recent submit timestamps
+        self.mode = "host"
+        self._served: list[float] = []  # recent completion timestamps
+        self._host_qps = 0.0
+        self._probe_until = 0.0
+        self._next_probe_at = 0.0
+        self._reprobe_backoff = self.REPROBE_S
+
+    def _qps(self, now: float, window: float = 1.0) -> float:
+        return sum(1 for t in self._served if now - t <= window) / window
 
     def _ensure_thread(self):
         if self._thread is None or not self._thread.is_alive():
@@ -65,9 +95,13 @@ class SearchBatcher:
         every queued request legitimately waits behind it. Only a dead
         executor thread or the hard cap raises."""
         entry = _Pending(store, body, features)
+        now = _time.monotonic()
         with self.lock:
             self._ensure_thread()
             self.queue.append(entry)
+            self._arrivals.append(now)
+            if len(self._arrivals) > 256:
+                del self._arrivals[:128]
         self.wake.set()
         deadline = _time.monotonic() + float(
             os.environ.get("MEILI_TPU_BATCHER_TIMEOUT", "900")
@@ -84,11 +118,51 @@ class SearchBatcher:
             raise entry.error
         return entry.result
 
+    def _update_mode(self, now: float, recent: int, store) -> None:
+        """The probe state machine (see class docstring)."""
+        if self.mode == "host":
+            if (
+                recent >= self.PROBE_RATE
+                and now >= self._next_probe_at
+                and _device_ready(store)
+            ):
+                self._host_qps = self._qps(now)
+                self.mode = "device"
+                self._probe_until = now + self.PROBE_S
+        else:
+            if recent < self.RATE_MIN_ARRIVALS:
+                self.mode = "host"  # load went away
+            elif self._probe_until and now >= self._probe_until:
+                device_qps = self._qps(now)
+                if device_qps >= self._host_qps * 1.05:
+                    self._probe_until = 0.0  # promoted: stay until idle
+                    self._reprobe_backoff = self.REPROBE_S
+                else:
+                    self.mode = "host"
+                    self._next_probe_at = now + self._reprobe_backoff
+                    self._reprobe_backoff = min(self._reprobe_backoff * 2, 60.0)
+
     def _run(self):
         from ..search.perform import perform_search_many
 
         while not self._stop:
             self.wake.wait(timeout=1.0)
+            with self.lock:
+                if not self.queue:
+                    self.wake.clear()
+                    continue
+                now = _time.monotonic()
+                recent = sum(
+                    1 for t in self._arrivals if now - t <= self.RATE_WINDOW_S
+                )
+                store_hint = self.queue[0].store
+            self._update_mode(now, recent, store_hint)
+            hold = (
+                recent >= self.RATE_MIN_ARRIVALS
+                and len(self.queue) < MAX_BATCH
+            )
+            if hold:
+                _time.sleep(self.WINDOW_S)  # let the batch fill
             with self.lock:
                 if not self.queue:
                     self.wake.clear()
@@ -107,14 +181,28 @@ class SearchBatcher:
                         entries[0].store,
                         [e.body for e in entries],
                         entries[0].features,
+                        force_device=self.mode == "device",
                     )
                     for e, r in zip(entries, results):
                         e.result = r
                 except BaseException as err:  # noqa: BLE001 — relayed to callers
                     for e in entries:
                         e.error = err
+                done_at = _time.monotonic()
                 for e in entries:
                     e.event.set()
+                    self._served.append(done_at)
+            if len(self._served) > 4096:
+                del self._served[:2048]
+
+
+def _device_ready(store) -> bool:
+    try:
+        from ..search.device_batch import device_batch_enabled, warm_kernels
+
+        return device_batch_enabled() and warm_kernels(store, wait=False)
+    except Exception:
+        return False
 
 
 def microbatch_enabled() -> bool:

@@ -465,6 +465,22 @@ class IndexScheduler:
             self._notify_webhooks(task)
         batch.finished_at = now_iso()
         batch.progress = None  # progress views only exist while processing
+        # kick the async device-kernel warm-up for every index this batch
+        # touched: a corpus-size bucket's first compile must happen OFF the
+        # serving path (search/device_batch.warm_kernels)
+        for uid in {t.index_uid for t in tasks if t.index_uid}:
+            store = self.indexes.get(uid)
+            if store is not None and store.documents:
+                try:
+                    from ..search.device_batch import (
+                        device_batch_enabled,
+                        warm_kernels,
+                    )
+
+                    if device_batch_enabled():
+                        warm_kernels(store, wait=False)
+                except Exception:
+                    pass
         self._breakpoint("batch_processed")
         statuses: dict[str, int] = {}
         types: dict[str, int] = {}

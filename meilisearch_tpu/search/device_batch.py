@@ -557,20 +557,129 @@ def device_batch_enabled() -> bool:
     return _backend_available()
 
 
-def _device_worthwhile(store: IndexStore, n_eligible: int) -> bool:
+_WARM_STATE: dict = {}  # (D, T, k) -> "pending" | "ready"
+_WARM_LOCK = None
+
+
+def _warm_key(D: int):
+    return (D, MAX_T, TOPK)
+
+
+def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
+    """Compile the scoring + append kernels for this store's corpus-size
+    bucket, OFF the serving path (a cold XLA compile costs 30-290 s over
+    the tunnel — it must never land inside a search request). Returns True
+    when the bucket's programs are ready. Trigger points: index build
+    completion and the first routing decision; with the persistent compile
+    cache this is seconds on any later process."""
+    import threading
+
+    global _WARM_LOCK
+    if _WARM_LOCK is None:
+        _WARM_LOCK = threading.Lock()
+    D = _plane_docs(store)
+    if D > MAX_PLANE_DOCS:
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # CPU is the host path's job; compiling the batch kernels there
+            # wastes cycles (STRICT-mode tests bypass this routing and
+            # compile on demand)
+            return False
+    except Exception:
+        return False
+    key = _warm_key(D)
+    with _WARM_LOCK:
+        state = _WARM_STATE.get(key)
+        if state is None:
+            _WARM_STATE[key] = "pending"
+
+    def compile_now():
+        try:
+            from ..index.device_arena import (
+                APPEND_ROWS,
+                bit_capacity,
+                byte_capacity,
+            )
+            from ..ops.arena_scorer import append_rows, planes_chain_topk
+
+            import jax.numpy as jnp
+
+            D32 = D // 32
+            nb, nc = bit_capacity(D), byte_capacity(D)
+            bit_pool = jnp.zeros((nb, D32), jnp.int32)
+            byte_pool = jnp.full((nc, D), -1, jnp.int8)
+            B, T, tp = MAX_BATCH, MAX_T, MAX_T - 1
+            z = np.zeros
+            bit_pool = append_rows(
+                bit_pool, np.zeros((APPEND_ROWS, D32), np.int32), np.int32(1)
+            )
+            byte_pool = append_rows(
+                byte_pool, np.full((APPEND_ROWS, D), -1, np.int8), np.int32(1)
+            )
+            out = planes_chain_topk(
+                bit_pool,
+                byte_pool,
+                z((B, T, 3), np.int32),
+                z((B, T), np.int32),
+                z((B, D32), np.int32),
+                z(B, bool),
+                z((B, tp, 3, 3), np.int32),
+                z((B, T, 3), np.int32),
+                z((B, T, 3), np.int32),
+                z((B, T + 1), np.int32),
+                z((B, tp), bool),
+                jnp.zeros(D, bool),
+                T=T,
+                D=D,
+                k=TOPK,
+            )
+            np.asarray(out)
+            _WARM_STATE[key] = "ready"
+        except Exception:
+            _WARM_STATE.pop(key, None)  # retry on the next trigger
+
+    if state is None:
+        if wait:
+            compile_now()
+        else:
+            threading.Thread(
+                target=compile_now, name=f"kernel-warm-{D}", daemon=True
+            ).start()
+    elif wait:
+        import time as _t
+
+        deadline = _t.monotonic() + 600
+        while _WARM_STATE.get(key) == "pending" and _t.monotonic() < deadline:
+            _t.sleep(0.5)
+    return _WARM_STATE.get(key) == "ready"
+
+
+def _device_worthwhile(
+    store: IndexStore, n_eligible: int, force_device: bool = False
+) -> bool:
     """Adaptive routing: the device batch pays a fixed ~28 ms dispatch, so
     it wins when the host cost exceeds that — large corpora (the host
     numpy path degrades linearly with candidates) or real concurrency
     (B queries amortize one execute). A lone query on a small corpus is
     faster on the host (measured: ~5 ms host vs ~60 ms device at 100k).
-    MEILI_TPU_DEVICE_STRICT=1 forces the device path (tests)."""
+    The bucket's kernels must already be compiled: a cold compile on the
+    serving path would stall every queued request for minutes (warm-up is
+    async, kicked here and at index build). MEILI_TPU_DEVICE_STRICT=1
+    forces the device path (tests)."""
     if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
         return True
-    min_docs = int(os.environ.get("MEILI_TPU_DEVICE_MIN_DOCS", "262144"))
-    if _plane_docs(store) >= min_docs:
-        return True
     min_batch = int(os.environ.get("MEILI_TPU_DEVICE_MIN_BATCH", "4"))
-    return n_eligible >= min_batch
+    # a lone query is ALWAYS cheaper on the host — even at 1M docs the
+    # batch kernel runs its full padded batch (~0.5 s) while the host
+    # answers one query in ~60 ms. The device engages on real batches
+    # (the queue builds naturally once host latency grows — Little's law)
+    # or on the batcher's measured-probe signal.
+    if not force_device and n_eligible < min_batch:
+        return False
+    return warm_kernels(store, wait=False)
 
 
 # conservative per-descriptor staged-row bounds (cold, nothing cached):
@@ -580,7 +689,11 @@ _MAX_BIT_ROWS_PER_QUERY = MAX_T * 4
 _MAX_BYTE_ROWS_PER_QUERY = (MAX_T - 1) * 9 + MAX_T * 6 + MAX_T + 1
 
 
-def search_many(store: IndexStore, searches: list[Search]) -> list[SearchResult]:
+def search_many(
+    store: IndexStore,
+    searches: list[Search],
+    force_device: bool = False,
+) -> list[SearchResult]:
     """Execute a batch: chain-compatible queries in grouped device executes,
     the rest on the host scorer. Order-preserving."""
     results: list[Optional[SearchResult]] = [None] * len(searches)
@@ -605,7 +718,7 @@ def search_many(store: IndexStore, searches: list[Search]) -> list[SearchResult]
             for i, s in enumerate(searches)
             if _plane_docs(s.store) <= MAX_PLANE_DOCS
         ]
-        if eligible and _device_worthwhile(store, len(eligible)):
+        if eligible and _device_worthwhile(store, len(eligible), force_device):
             arena = get_arena(store, _plane_docs(store))
             pending: list[tuple[int, ChainDescriptor]] = []
             for i, s in eligible:

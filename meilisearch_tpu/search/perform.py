@@ -253,17 +253,29 @@ _DEVICE_BATCH_SAFE_KEYS = {
 
 
 def perform_search_many(
-    store: IndexStore, queries: list[dict], features: Optional[dict] = None
+    store: IndexStore,
+    queries: list[dict],
+    features: Optional[dict] = None,
+    force_device: bool = False,
 ) -> list[dict]:
     """Execute a batch of search requests against one index: queries that
     map to the device chain kernel run together as grouped device executes
     (SURVEY §2.6 batched query execution); the rest take the host path.
-    Responses are order-aligned with `queries`."""
+    Responses are order-aligned with `queries`. `force_device` is the
+    batcher's adaptive-mode signal: route eligible queries to the device
+    regardless of batch size (engine/batcher.py probe controller)."""
+    import functools
+
     from .device_batch import search_many
 
     store._lock.acquire()
     try:
-        return _perform_search_many_locked(store, queries, features, search_many)
+        return _perform_search_many_locked(
+            store,
+            queries,
+            features,
+            functools.partial(search_many, force_device=force_device),
+        )
     finally:
         store._lock.release()
 
