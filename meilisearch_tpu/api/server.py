@@ -15,7 +15,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .app import App, Request
 
 
-def make_handler(app: App):
+def make_handler(app: App, payload_limit: int | None = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -26,6 +26,22 @@ def make_handler(app: App):
                 for k, v in urllib.parse.parse_qs(parsed.query).items()
             }
             length = int(self.headers.get("Content-Length") or 0)
+            if payload_limit is not None and length > payload_limit:
+                # reference: http_payload_size_limit (option.rs:269) ->
+                # 413 payload_too_large
+                self.rfile.read(length)
+                self._send(
+                    413,
+                    {
+                        "message": "The provided payload reached the size"
+                        f" limit. The maximum accepted payload size is"
+                        f" {payload_limit} bytes.",
+                        "code": "payload_too_large",
+                        "type": "invalid_request",
+                        "link": "https://docs.meilisearch.com/errors#payload_too_large",
+                    },
+                )
+                return
             raw = self.rfile.read(length) if length else b""
             body = None
             content_type = (self.headers.get("Content-Type") or "").split(";")[0]
@@ -110,10 +126,37 @@ def make_handler(app: App):
     return Handler
 
 
-def serve(host: str = "127.0.0.1", port: int = 7700, master_key=None, app=None):
+def serve(
+    host: str = "127.0.0.1",
+    port: int = 7700,
+    master_key=None,
+    app=None,
+    payload_limit: int | None = None,
+    ssl_cert: str | None = None,
+    ssl_key: str | None = None,
+    ssl_require_auth: bool = False,
+    ssl_auth_path: str | None = None,
+):
     app = app or App(master_key=master_key)
-    server = ThreadingHTTPServer((host, port), make_handler(app))
-    print(f"meilisearch-tpu listening on http://{host}:{port}")
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(app, payload_limit=payload_limit)
+    )
+    scheme = "http"
+    if ssl_cert and ssl_key:
+        # reference: option.rs get_ssl_config (rustls); here the stdlib TLS
+        # stack serves the same certificate options
+        import ssl as _ssl
+
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(ssl_cert, ssl_key)
+        if ssl_auth_path:
+            ctx.load_verify_locations(capath=None, cafile=ssl_auth_path)
+            ctx.verify_mode = (
+                _ssl.CERT_REQUIRED if ssl_require_auth else _ssl.CERT_OPTIONAL
+            )
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        scheme = "https"
+    print(f"meilisearch-tpu listening on {scheme}://{host}:{port}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -134,9 +177,48 @@ def main():
         master_key=opt.master_key,
         personalization_api_key=opt.experimental_personalization_api_key,
     )
+    # runtime features and tunables from the option surface
+    # (reference: lib.rs:219 setup_meilisearch wiring)
+    feats = app.scheduler.runtime_features
     if opt.experimental_enable_metrics:
-        app.scheduler.runtime_features["metrics"] = True
+        feats["metrics"] = True
+    if opt.experimental_contains_filter:
+        feats["containsFilter"] = True
+    if opt.experimental_enable_logs_route:
+        feats["logsRoute"] = True
     app.scheduler.dump_dir = opt.dump_dir
+    if opt.experimental_max_number_of_batched_tasks:
+        app.scheduler.max_batched_tasks = (
+            opt.experimental_max_number_of_batched_tasks
+        )
+    from ..engine.search_queue import SearchQueue
+    from ..option import parse_byte_size
+
+    app.search_queue = SearchQueue(
+        capacity=max(
+            1,
+            (os.cpu_count() or 1) * opt.experimental_nb_searches_per_core,
+        )
+        if opt.experimental_search_queue_size is None
+        else opt.experimental_search_queue_size,
+        drop_after_s=float(opt.experimental_drop_search_after),
+    )
+    if opt.experimental_allowed_ip_networks:
+        os.environ.setdefault(
+            "MEILI_EXPERIMENTAL_ALLOWED_IP_NETWORKS",
+            opt.experimental_allowed_ip_networks,
+        )
+    if opt.task_webhook_url:
+        import uuid as _uuid
+
+        headers = {}
+        if opt.task_webhook_authorization_header:
+            headers["Authorization"] = opt.task_webhook_authorization_header
+        app.scheduler.webhooks[str(_uuid.uuid4())] = {
+            "url": opt.task_webhook_url,
+            "headers": headers,
+            "isEditable": False,  # CLI-defined (reference webhooks route)
+        }
 
     # boot-time state restore: explicit imports win over the db-path snapshot
     # (reference: lib.rs open_or_create_database --import-dump/--import-snapshot)
@@ -145,15 +227,38 @@ def main():
     os.makedirs(opt.db_path, exist_ok=True)
     journal = TaskJournal(opt.db_path)
     db_snapshot = os.path.join(opt.db_path, "data.ms.snapshot")
-    if opt.import_dump:
-        load_dump(app.scheduler, opt.import_dump, auth=app.auth)
+    db_exists = os.path.exists(db_snapshot)
+
+    def resolve_import(path, kind, ignore_missing, ignore_if_db_exists):
+        """--import-{dump,snapshot} with the reference's ignore flags
+        (option.rs:318,331,356,365): returns the path to import or None."""
+        if not path or (ignore_if_db_exists and db_exists):
+            return None
+        if not os.path.exists(path):
+            if ignore_missing:
+                return None
+            raise SystemExit(f"error: {kind} file `{path}` not found")
+        return path
+
+    dump_path = resolve_import(
+        opt.import_dump, "dump", opt.ignore_missing_dump,
+        opt.ignore_dump_if_db_exists,
+    )
+    snap_path = resolve_import(
+        opt.import_snapshot, "snapshot", opt.ignore_missing_snapshot,
+        opt.ignore_snapshot_if_db_exists,
+    )
+    if dump_path:
+        load_dump(app.scheduler, dump_path, auth=app.auth)
         journal.clear()  # explicit import = fresh history
-    elif opt.import_snapshot:
-        load_snapshot(app.scheduler, opt.import_snapshot)
+    elif snap_path:
+        load_snapshot(app.scheduler, snap_path)
         journal.clear()
     else:
-        if os.path.exists(db_snapshot):
-            load_snapshot(app.scheduler, db_snapshot)
+        if db_exists:
+            load_snapshot(
+                app.scheduler, db_snapshot, allow_upgrade=opt.upgrade_db
+            )
         # crash recovery: acknowledged-but-unsnapshotted tasks re-enqueue
         # from the WAL and reprocess (idempotent-by-replay, SURVEY §5)
         replayed = replay_journal(app.scheduler, journal)
@@ -187,7 +292,16 @@ def main():
 
         threading.Thread(target=snapshot_loop, daemon=True).start()
 
-    serve(opt.host, opt.port, app=app)
+    serve(
+        opt.host,
+        opt.port,
+        app=app,
+        payload_limit=parse_byte_size(opt.http_payload_size_limit),
+        ssl_cert=opt.ssl_cert_path,
+        ssl_key=opt.ssl_key_path,
+        ssl_require_auth=opt.ssl_require_auth,
+        ssl_auth_path=opt.ssl_auth_path,
+    )
 
 
 if __name__ == "__main__":

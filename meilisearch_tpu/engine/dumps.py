@@ -48,15 +48,25 @@ def serialize_instance(scheduler) -> dict:
                 ],
             }
         tasks = [t.to_json() for t in scheduler.queue.tasks.values()]
+    from .versioning import SNAPSHOT_FORMAT_VERSION
+
     return {
         "dumpVersion": DUMP_VERSION,
         "dbVersion": "1.50.0-tpu",
+        "formatVersion": SNAPSHOT_FORMAT_VERSION,
+        "engineVersion": _engine_version(),
         "dumpDate": time.time(),
         "indexes": indexes,
         "tasks": tasks,
         "network": scheduler.network,
         "features": scheduler.runtime_features,
     }
+
+
+def _engine_version() -> str:
+    from .. import __version__
+
+    return __version__
 
 
 def _tar_add_bytes(tar, name: str, data: bytes) -> None:
@@ -158,6 +168,11 @@ def load_dump(scheduler, file_path: str, auth=None) -> None:
         return
     with gzip.open(file_path, "rb") as f:
         data = json.loads(f.read().decode("utf-8"))
+    # dumps are version-independent: the migration chain always applies
+    # (reference dump/src/reader compat shims v1..v6)
+    from .versioning import check_and_migrate
+
+    data = check_and_migrate(data, allow_upgrade=True)
     import_instance(scheduler, data)
 
 
@@ -308,8 +323,14 @@ def create_snapshot(scheduler, path: Optional[str] = None) -> str:
     return file_path
 
 
-def load_snapshot(scheduler, file_path: str) -> None:
+def load_snapshot(scheduler, file_path: str, allow_upgrade: bool = False) -> None:
+    """Open a snapshot, enforcing the version gate (engine/versioning.py):
+    same format opens, newer always refuses, older migrates only when
+    `allow_upgrade` (--upgrade-db or an upgradeDatabase task)."""
+    from .versioning import check_and_migrate
+
     with tarfile.open(file_path, "r:gz") as tar:
         member = tar.getmember("instance.json")
         data = json.loads(tar.extractfile(member).read().decode("utf-8"))
+    data = check_and_migrate(data, allow_upgrade=allow_upgrade)
     import_instance(scheduler, data)

@@ -369,9 +369,14 @@ class IndexScheduler:
 
     def _autobatch(self, tasks: list[Task]) -> list[Task]:
         """Merge consecutive compatible tasks on one index
-        (reference: scheduler/autobatcher.rs BatchKind::accumulate)."""
+        (reference: scheduler/autobatcher.rs BatchKind::accumulate;
+        `max_batched_tasks` = --experimental-max-number-of-batched-tasks,
+        option.rs:471)."""
         if not tasks:
             return []
+        limit = getattr(self, "max_batched_tasks", None)
+        if limit:
+            tasks = tasks[:limit]
         batch = [tasks[0]]
         kind = tasks[0].type
         if kind in (
@@ -767,10 +772,24 @@ class IndexScheduler:
             self.dsr.rules.clear()
             task.details = {"deletedRules": n}
         elif t == TaskType.UPGRADE_DATABASE:
-            task.details = {"upgradeFrom": content.get("from"), "upgradeTo": "current"}
+            # the live instance is always current-format (migrations run at
+            # snapshot load); the upgrade task re-checkpoints the on-disk
+            # snapshot at the current format version (reference:
+            # index-scheduler/src/upgrade/ + process_upgrade.rs)
+            from .versioning import SNAPSHOT_FORMAT_VERSION
+
+            self.checkpoint()
+            task.details = {
+                "upgradeFrom": content.get("from"),
+                "upgradeTo": f"v{SNAPSHOT_FORMAT_VERSION}",
+            }
         elif t == TaskType.INDEX_COMPACTION:
-            self.index(task.index_uid)  # ensure exists
-            task.details = {"preCompactionSize": None, "postCompactionSize": None}
+            store = self.index(task.index_uid)
+            pre, post = store.compact()
+            task.details = {
+                "preCompactionSize": pre,
+                "postCompactionSize": post,
+            }
         elif t == TaskType.DOCUMENT_EDITION:
             store = self.index(task.index_uid)
             if not self.runtime_features.get("editDocumentsByFunction"):

@@ -1021,6 +1021,41 @@ class IndexStore:
             return out | exact
         return set(out or exact or ())
 
+    def compact(self) -> tuple[int, int]:
+        """Merge every posting's LSM segments, drop tombstones and empty
+        entries, and return (pre_bytes, post_bytes) estimates — the
+        in-memory analogue of the reference's LMDB copy-compact
+        (process_batch.rs:443 `copy_to_path`). Queries already compact
+        lazily per posting; this forces the whole index so a long-lived
+        write-heavy index releases segment and tombstone overhead at once."""
+
+        from .arrays import Posting
+
+        def posting_bytes(p) -> int:
+            if not isinstance(p, Posting):
+                return len(p) * 8 if hasattr(p, "__len__") else 0
+            n = sum(seg.nbytes for seg in p.segs)
+            # set entries cost far more than packed int64s
+            n += 64 * (len(p.extra or ()) + len(p.dead or ()))
+            return n
+
+        with self._lock:
+            pre = 0
+            post = 0
+            for table in self._all_posting_tables():
+                empty_keys = []
+                for key, p in table.items():
+                    pre += posting_bytes(p)
+                    if isinstance(p, Posting):
+                        arr = p.ids_array()  # merges segments in place
+                        if not len(arr):
+                            empty_keys.append(key)
+                    post += posting_bytes(p)
+                for key in empty_keys:
+                    del table[key]
+            self._bump()
+            return pre, post
+
     def set_shard_topology(self, shard_names) -> None:
         """Install (or clear, with None/empty) the shard name set. Docid
         ownership is recomputed lazily (shard_docids)."""

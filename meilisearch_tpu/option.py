@@ -1,38 +1,127 @@
 """Server configuration: CLI flags > MEILI_* env vars > config.toml.
 
-Reference: crates/meilisearch/src/option.rs (the `Opt` struct, 82 fields,
-env prefix mapping at option.rs:28-108) — the subset that affects behavior
-in this engine is implemented; unknown config keys are accepted and kept in
-`extra` so workload configs parse.
+Reference: crates/meilisearch/src/option.rs (the `Opt` struct, 82 public
+fields across Opt/IndexerOpts/S3SnapshotOpts, env prefix mapping at
+option.rs:28-108). Fields are declared once in _FIELDS with their type and
+wired where the engine has the behavior; the rest are accepted, surfaced
+on `Opt`, and honestly rejected or warned about when they require a
+capability this build does not have (e.g. S3 multipart upload under zero
+egress). Unknown config keys are kept in `extra` so workload configs parse.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
-from dataclasses import dataclass, field
+import sys
+from dataclasses import dataclass, field, fields as dc_fields
 from typing import Any, Optional
 
+# name, python type ("str" | "int" | "bool" | "float"), default
+# env var = MEILI_ + NAME.upper() (the reference's mapping, option.rs:28-108)
+_FIELDS = [
+    ("db_path", "str", "./data.ms"),
+    ("http_addr", "str", "localhost:7700"),
+    ("master_key", "str", None),
+    ("env", "str", "development"),
+    ("task_webhook_url", "str", None),
+    ("task_webhook_authorization_header", "str", None),
+    ("no_analytics", "bool", True),
+    ("max_index_size", "str", "2 TiB"),
+    ("max_task_db_size", "str", "20 GiB"),
+    ("http_payload_size_limit", "str", "100 MB"),
+    ("ssl_cert_path", "str", None),
+    ("ssl_key_path", "str", None),
+    ("ssl_auth_path", "str", None),
+    ("ssl_ocsp_path", "str", None),
+    ("ssl_require_auth", "bool", False),
+    ("ssl_resumption", "bool", False),
+    ("ssl_tickets", "bool", False),
+    ("import_snapshot", "str", None),
+    ("ignore_missing_snapshot", "bool", False),
+    ("ignore_snapshot_if_db_exists", "bool", False),
+    ("snapshot_dir", "str", "snapshots/"),
+    ("schedule_snapshot", "int", None),  # seconds; flag sans value = 86400
+    ("import_dump", "str", None),
+    ("ignore_missing_dump", "bool", False),
+    ("ignore_dump_if_db_exists", "bool", False),
+    ("dump_dir", "str", "dumps/"),
+    ("log_level", "str", "INFO"),
+    ("experimental_contains_filter", "bool", False),
+    ("experimental_enable_metrics", "bool", False),
+    ("experimental_legacy_search_default", "bool", False),
+    ("experimental_search_queue_size", "int", 1000),
+    ("experimental_drop_search_after", "int", 60),
+    ("experimental_nb_searches_per_core", "int", 4),
+    ("experimental_logs_mode", "str", "human"),
+    ("upgrade_db", "bool", False),
+    ("experimental_enable_logs_route", "bool", False),
+    ("experimental_reduce_indexing_memory_usage", "bool", False),
+    ("experimental_max_number_of_batched_tasks", "int", 1_000_000),
+    ("experimental_limit_batched_tasks_total_size", "str", None),
+    ("experimental_embedding_cache_entries", "int", 0),
+    ("experimental_personalization_api_key", "str", None),
+    ("experimental_allowed_ip_networks", "str", None),  # comma-separated CIDRs
+    # IndexerOpts (option.rs:799-823)
+    ("max_indexing_memory", "str", None),
+    ("max_indexing_threads", "int", None),
+    ("skip_index_budget", "bool", False),
+    ("experimental_no_edition_2024_for_settings", "bool", False),
+    # S3SnapshotOpts (option.rs:896-982) — accepted for config parity;
+    # snapshot upload requires egress this environment forbids, so setting
+    # a bucket produces a boot warning and local snapshots only
+    ("s3_bucket_url", "str", None),
+    ("s3_bucket_region", "str", None),
+    ("s3_bucket_name", "str", None),
+    ("s3_snapshot_prefix", "str", None),
+    ("s3_access_key", "str", None),
+    ("s3_secret_key", "str", None),
+    ("experimental_s3_role_arn", "str", None),
+    ("experimental_s3_web_identity_token_file", "str", None),
+    ("experimental_s3_max_in_flight_parts", "int", 4),
+    ("experimental_s3_compression_level", "int", 0),
+    ("experimental_s3_signature_duration_seconds", "int", 3600),
+    ("experimental_s3_multipart_part_size", "str", "250 MiB"),
+    ("config_file_path", "str", None),
+]
 
-@dataclass
-class Opt:
-    db_path: str = "./data.ms"
-    http_addr: str = "localhost:7700"
-    master_key: Optional[str] = None
-    env: str = "development"
-    import_dump: Optional[str] = None
-    import_snapshot: Optional[str] = None
-    schedule_snapshot: Optional[int] = None  # seconds
-    snapshot_dir: str = "snapshots/"
-    dump_dir: str = "dumps/"
-    max_indexing_memory: Optional[str] = None
-    max_indexing_threads: Optional[int] = None
-    http_payload_size_limit: str = "100 MB"
-    log_level: str = "INFO"
-    no_analytics: bool = True
-    experimental_enable_metrics: bool = False
-    experimental_personalization_api_key: Optional[str] = None
-    extra: dict = field(default_factory=dict)
+_TYPES = {name: typ for name, typ, _default in _FIELDS}
+
+
+def parse_byte_size(text: Optional[str]) -> Optional[int]:
+    """'100 MB' / '2 TiB' / '1048576' -> bytes (reference: byte_unit)."""
+    if text is None:
+        return None
+    if isinstance(text, int):
+        return text
+    s = str(text).strip().replace(" ", "")
+    units = {
+        "b": 1,
+        "kb": 10**3, "mb": 10**6, "gb": 10**9, "tb": 10**12,
+        "kib": 2**10, "mib": 2**20, "gib": 2**30, "tib": 2**40,
+    }
+    low = s.lower()
+    for unit in sorted(units, key=len, reverse=True):
+        if low.endswith(unit):
+            try:
+                return int(float(low[: -len(unit)]) * units[unit])
+            except ValueError:
+                return None
+    try:
+        return int(low)
+    except ValueError:
+        return None
+
+
+def _make_opt_class():
+    ns: dict[str, Any] = {"__annotations__": {}}
+    for name, typ, default in _FIELDS:
+        py = {"str": Optional[str], "int": Optional[int], "bool": bool,
+              "float": Optional[float]}[typ]
+        ns["__annotations__"][name] = py
+        ns[name] = default
+    ns["__annotations__"]["extra"] = dict
+    ns["extra"] = field(default_factory=dict)
 
     @property
     def host(self) -> str:
@@ -45,49 +134,44 @@ class Opt:
         except (IndexError, ValueError):
             return 7700
 
+    ns["host"] = host
+    ns["port"] = port
+    return dataclass(type("Opt", (), ns))
 
-_ENV_MAP = {
-    "MEILI_DB_PATH": "db_path",
-    "MEILI_HTTP_ADDR": "http_addr",
-    "MEILI_MASTER_KEY": "master_key",
-    "MEILI_ENV": "env",
-    "MEILI_IMPORT_DUMP": "import_dump",
-    "MEILI_IMPORT_SNAPSHOT": "import_snapshot",
-    "MEILI_SCHEDULE_SNAPSHOT": "schedule_snapshot",
-    "MEILI_SNAPSHOT_DIR": "snapshot_dir",
-    "MEILI_DUMP_DIR": "dump_dir",
-    "MEILI_MAX_INDEXING_MEMORY": "max_indexing_memory",
-    "MEILI_MAX_INDEXING_THREADS": "max_indexing_threads",
-    "MEILI_HTTP_PAYLOAD_SIZE_LIMIT": "http_payload_size_limit",
-    "MEILI_LOG_LEVEL": "log_level",
-    "MEILI_NO_ANALYTICS": "no_analytics",
-    "MEILI_EXPERIMENTAL_ENABLE_METRICS": "experimental_enable_metrics",
-    "MEILI_EXPERIMENTAL_PERSONALIZATION_API_KEY": (
-        "experimental_personalization_api_key"
-    ),
-}
+
+Opt = _make_opt_class()
+
+
+def _coerce(name: str, value: Any) -> Any:
+    typ = _TYPES.get(name)
+    if value is None or typ is None:
+        return value
+    if typ == "bool":
+        if isinstance(value, bool):
+            return value
+        return str(value).lower() in ("1", "true", "yes", "on")
+    if typ == "int":
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return None
+    return value
 
 
 def load_options(argv: Optional[list[str]] = None) -> Opt:
     parser = argparse.ArgumentParser(prog="meilisearch-tpu")
-    parser.add_argument("--db-path")
-    parser.add_argument("--http-addr")
     parser.add_argument("--host")  # convenience split form
     parser.add_argument("--port", type=int)
-    parser.add_argument("--master-key")
-    parser.add_argument("--env", choices=["development", "production"])
-    parser.add_argument("--import-dump")
-    parser.add_argument("--import-snapshot")
-    parser.add_argument("--schedule-snapshot", type=int, nargs="?", const=86400)
-    parser.add_argument("--snapshot-dir")
-    parser.add_argument("--dump-dir")
-    parser.add_argument("--max-indexing-memory")
-    parser.add_argument("--max-indexing-threads", type=int)
-    parser.add_argument("--log-level")
-    parser.add_argument("--no-analytics", action="store_true", default=None)
-    parser.add_argument("--experimental-enable-metrics", action="store_true", default=None)
-    parser.add_argument("--experimental-personalization-api-key")
-    parser.add_argument("--config-file-path")
+    for name, typ, _default in _FIELDS:
+        flag = "--" + name.replace("_", "-")
+        if name == "schedule_snapshot":
+            parser.add_argument(flag, type=int, nargs="?", const=86400)
+        elif typ == "bool":
+            parser.add_argument(flag, action="store_true", default=None)
+        elif typ == "int":
+            parser.add_argument(flag, type=int)
+        else:
+            parser.add_argument(flag)
     args = parser.parse_args(argv)
 
     opt = Opt()
@@ -104,43 +188,41 @@ def load_options(argv: Optional[list[str]] = None) -> Opt:
         for key, value in data.items():
             attr = key.replace("-", "_")
             if hasattr(opt, attr) and attr != "extra":
-                setattr(opt, attr, value)
+                setattr(opt, attr, _coerce(attr, value))
             else:
                 opt.extra[key] = value
 
-    # 2. MEILI_* env vars
-    for env_key, attr in _ENV_MAP.items():
-        value: Any = os.environ.get(env_key)
+    # 2. MEILI_* env vars (reference mapping: MEILI_ + field name upper)
+    for name, _typ, _default in _FIELDS:
+        value = os.environ.get("MEILI_" + name.upper())
         if value is None:
             continue
-        if attr in ("no_analytics", "experimental_enable_metrics"):
-            value = value.lower() in ("1", "true", "yes")
-        elif attr in ("schedule_snapshot", "max_indexing_threads"):
-            try:
-                value = int(value)
-            except ValueError:
-                continue
-        setattr(opt, attr, value)
+        coerced = _coerce(name, value)
+        if coerced is not None:
+            setattr(opt, name, coerced)
 
     # 3. CLI flags (highest precedence)
-    for attr in (
-        "db_path", "http_addr", "master_key", "env", "import_dump",
-        "import_snapshot", "schedule_snapshot", "snapshot_dir", "dump_dir",
-        "max_indexing_memory", "max_indexing_threads", "log_level",
-    ):
-        value = getattr(args, attr, None)
+    for name, typ, _default in _FIELDS:
+        value = getattr(args, name, None)
         if value is not None:
-            setattr(opt, attr, value)
-    if args.no_analytics is not None:
-        opt.no_analytics = True
-    if args.experimental_enable_metrics is not None:
-        opt.experimental_enable_metrics = True
+            setattr(opt, name, value if typ == "bool" else _coerce(name, value))
     if args.host or args.port:
         opt.http_addr = f"{args.host or opt.host}:{args.port or opt.port}"
 
+    if opt.env not in ("development", "production"):
+        raise SystemExit(
+            f"error: Invalid environment `{opt.env}`: expected one of"
+            " `development`, `production`"
+        )
     if opt.env == "production" and not opt.master_key:
         raise SystemExit(
             "error: In production mode, the environment variable"
             " MEILI_MASTER_KEY is mandatory"
+        )
+    if opt.s3_bucket_url:
+        print(
+            "warning: S3 snapshot options are accepted for config parity"
+            " but this build has no egress; snapshots stay local",
+            file=sys.stderr,
         )
     return opt

@@ -29,6 +29,24 @@ def guarded_urlopen(req, timeout: float = 30):
     return urllib.request.urlopen(req, timeout=timeout)
 
 
+def allowed_networks() -> list:
+    """CIDR allow-list that punches holes in the deny-by-default policy
+    (reference: `--experimental-allowed-ip-networks`, option.rs:501 +
+    cidr::AnyIpCidr). Set via MEILI_EXPERIMENTAL_ALLOWED_IP_NETWORKS, a
+    comma-separated CIDR list (the option loader exports it there)."""
+    raw = os.environ.get("MEILI_EXPERIMENTAL_ALLOWED_IP_NETWORKS", "")
+    nets = []
+    for part in raw.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            nets.append(ipaddress.ip_network(part, strict=False))
+        except ValueError:
+            pass
+    return nets
+
+
 def check_url_policy(url: str) -> None:
     """Raise when the URL resolves to a non-public address.
 
@@ -50,8 +68,11 @@ def check_url_policy(url: str) -> None:
         raise EngineError(
             ErrorCode.BAD_REQUEST, f"Could not resolve host `{host}`."
         )
+    allowed = allowed_networks()
     for info in infos:
         addr = ipaddress.ip_address(info[4][0])
+        if any(addr in net for net in allowed):
+            continue
         if (
             addr.is_private
             or addr.is_loopback
