@@ -55,8 +55,9 @@ class SearchBatcher:
     RATE_WINDOW_S = 0.25
     RATE_MIN_ARRIVALS = 6
     PROBE_RATE = 12  # arrivals/RATE_WINDOW_S (~48 QPS) to consider device
-    PROBE_S = 1.5  # device probe length
-    REPROBE_S = 5.0  # wait after the first failed probe (doubles to 60 s)
+    MIN_DRAIN_AVG = 1.8  # real request overlap, not one fast serial client
+    MEASURE_S = 1.2  # per-mode A/B measurement slice
+    COMMIT_S = 8.0  # initial winner tenure (doubles to 60 s while stable)
 
     def __init__(self):
         self.lock = threading.Lock()
@@ -67,10 +68,13 @@ class SearchBatcher:
         self._arrivals: list[float] = []  # recent submit timestamps
         self.mode = "host"
         self._served: list[float] = []  # recent completion timestamps
+        self._drains: list[int] = []  # recent drain sizes
+        self._phase = "idle"  # idle | measure_host | measure_device | commit
+        self._phase_until = 0.0
+        self._phase_served = 0
         self._host_qps = 0.0
-        self._probe_until = 0.0
-        self._next_probe_at = 0.0
-        self._reprobe_backoff = self.REPROBE_S
+        self._commit_s = self.COMMIT_S
+        self._last_winner = "host"
 
     def _qps(self, now: float, window: float = 1.0) -> float:
         return sum(1 for t in self._served if now - t <= window) / window
@@ -119,28 +123,54 @@ class SearchBatcher:
         return entry.result
 
     def _update_mode(self, now: float, recent: int, store) -> None:
-        """The probe state machine (see class docstring)."""
-        if self.mode == "host":
-            if (
-                recent >= self.PROBE_RATE
-                and now >= self._next_probe_at
-                and _device_ready(store)
-            ):
-                self._host_qps = self._qps(now)
-                self.mode = "device"
-                self._probe_until = now + self.PROBE_S
-        else:
+        """A/B mode controller: under sustained CONCURRENT load, measure a
+        host slice then a device slice with the same window and commit the
+        winner for a tenure that doubles while the winner repeats. Honest
+        by construction — no stale baseline, and a one-client stream of
+        fast queries (high rate but avg drain ~1, which batching cannot
+        help) never triggers measurement."""
+        drains = self._drains[-16:]
+        loaded = (
+            recent >= self.PROBE_RATE
+            and len(drains) >= 8
+            and sum(drains) / len(drains) >= self.MIN_DRAIN_AVG
+        )
+        if not loaded:
             if recent < self.RATE_MIN_ARRIVALS:
-                self.mode = "host"  # load went away
-            elif self._probe_until and now >= self._probe_until:
-                device_qps = self._qps(now)
-                if device_qps >= self._host_qps * 1.05:
-                    self._probe_until = 0.0  # promoted: stay until idle
-                    self._reprobe_backoff = self.REPROBE_S
+                # load gone: reset to host + fresh measurement next time
+                self._phase = "idle"
+                self.mode = "host"
+                self._commit_s = self.COMMIT_S
+            return
+        if self._phase == "idle":
+            if _device_ready(store):
+                self._phase = "measure_host"
+                self.mode = "host"
+                self._phase_until = now + self.MEASURE_S
+                self._phase_served = len(self._served)
+        elif now >= self._phase_until:
+            served = len(self._served) - self._phase_served
+            if self._phase == "measure_host":
+                self._host_qps = served / self.MEASURE_S
+                self._phase = "measure_device"
+                self.mode = "device"
+                self._phase_until = now + self.MEASURE_S
+                self._phase_served = len(self._served)
+            elif self._phase == "measure_device":
+                device_qps = served / self.MEASURE_S
+                winner = (
+                    "device" if device_qps >= self._host_qps * 1.05 else "host"
+                )
+                if winner == self._last_winner:
+                    self._commit_s = min(self._commit_s * 2, 60.0)
                 else:
-                    self.mode = "host"
-                    self._next_probe_at = now + self._reprobe_backoff
-                    self._reprobe_backoff = min(self._reprobe_backoff * 2, 60.0)
+                    self._commit_s = self.COMMIT_S
+                self._last_winner = winner
+                self.mode = winner
+                self._phase = "commit"
+                self._phase_until = now + self._commit_s
+            else:  # commit expired: re-measure
+                self._phase = "idle"
 
     def _run(self):
         from ..search.perform import perform_search_many
@@ -157,10 +187,10 @@ class SearchBatcher:
                 )
                 store_hint = self.queue[0].store
             self._update_mode(now, recent, store_hint)
-            hold = (
-                recent >= self.RATE_MIN_ARRIVALS
-                and len(self.queue) < MAX_BATCH
-            )
+            # the pre-drain hold only pays off when a device execute will
+            # amortize it; in host mode it is pure added latency (measured:
+            # it doubled serial p50)
+            hold = self.mode == "device" and len(self.queue) < MAX_BATCH
             if hold:
                 _time.sleep(self.WINDOW_S)  # let the batch fill
             with self.lock:
@@ -171,6 +201,9 @@ class SearchBatcher:
                 del self.queue[: len(batch)]
                 if not self.queue:
                     self.wake.clear()
+            self._drains.append(len(batch))
+            if len(self._drains) > 256:
+                del self._drains[:128]
             # group by store: one perform_search_many per index
             by_store: dict[int, list[_Pending]] = {}
             for e in batch:

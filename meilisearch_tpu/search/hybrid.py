@@ -21,12 +21,37 @@ def resolve_query_vector(store, query: dict) -> Optional[np.ndarray]:
     vector = query.get("vector")
     if vector is not None:
         return np.asarray(vector, dtype=np.float32)
-    q = query.get("q")
-    if not q:
-        return None
     from ..vector.embedders import get_embedder
 
     hybrid = query.get("hybrid") or {}
+    media = query.get("media")
+    q = query.get("q")
+    if media is not None:
+        # multimodal search: the first searchFragment (name order) that
+        # fully renders against {media, q} produces the query embedding
+        # (reference: search/mod.rs:306-312 `media` + search_fragments)
+        embedder = get_embedder(store, hybrid.get("embedder"))
+        fragments = embedder.conf.get("searchFragments") or {}
+        if not fragments:
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                f"Embedder `{embedder.name}` does not define"
+                " `searchFragments`, so the `media` parameter cannot be"
+                " used with it.",
+            )
+        from ..vector.templates import render_json_fragment
+
+        for _fname, fvalue in sorted(fragments.items()):
+            rendered = render_json_fragment(fvalue, media=media, q=q)
+            if rendered is not None:
+                return embedder.embed_fragment(rendered)
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            "Invalid request: no search fragment matched the provided"
+            " `media` fields.",
+        )
+    if not q:
+        return None
     embedder = get_embedder(store, hybrid.get("embedder"))
     return embedder.embed_search(q)
 

@@ -145,6 +145,12 @@ def _perform_search_locked(
             "Invalid request: missing `hybrid` parameter when `vector` is"
             " present.",
         )
+    if query.get("media") is not None and hybrid is None:
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            "Invalid request: missing `hybrid` parameter when `media` is"
+            " present.",
+        )
 
     semantic_hit_count = None
     scores_needed = bool(

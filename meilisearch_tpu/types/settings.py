@@ -303,6 +303,11 @@ class Settings:
                     if conf is None:
                         new.pop(name, None)
                     else:
+                        from ..vector.embedders import (
+                            validate_embedder_settings,
+                        )
+
+                        validate_embedder_settings(name, conf)
                         new[name] = conf
                 setattr_tracked("embedders", new)
 

@@ -66,6 +66,30 @@ def validate_embedder_settings(name: str, conf: dict) -> None:
         from .templates import Template
 
         Template(str(conf["documentTemplate"]))  # raises on invalid syntax
+    # media fragments (reference: vector/settings.rs:169-182
+    # indexing_fragments/search_fragments — REST-only, named JSON templates)
+    for key in ("indexingFragments", "searchFragments"):
+        frags = conf.get(key)
+        if frags is None:
+            continue
+        if source != "rest":
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                f"`.embedders.{name}.{key}`: Field not available for source"
+                f" `{source}` (note: fragments require source `rest`)",
+            )
+        if conf.get("documentTemplate") is not None:
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                f"`.embedders.{name}.{key}`: Cannot use both fragments and"
+                " `documentTemplate`.",
+            )
+        if not isinstance(frags, dict):
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                f"`.embedders.{name}.{key}`: Expected a map of fragment"
+                " names to fragment values.",
+            )
 
 
 class Embedder:
@@ -203,6 +227,43 @@ class Embedder:
         emb = _extract_embedding(data, self.conf.get("response"))
         return np.asarray(emb, dtype=np.float32)
 
+    def embed_fragment(self, rendered) -> np.ndarray:
+        """Embed one rendered fragment JSON through the REST request
+        template's `{{fragment}}` placeholder (reference:
+        rest.rs:611 REQUEST_FRAGMENT_PLACEHOLDER)."""
+        import urllib.request
+
+        from ..utils.http_policy import guarded_urlopen
+
+        if self.source != "rest":
+            raise EngineError(
+                ErrorCode.INVALID_EMBEDDER,
+                f"Embedder `{self.name}`: fragments require source `rest`.",
+            )
+        url = self.conf.get("url")
+        request_template = self.conf.get("request", {"input": "{{fragment}}"})
+        payload = _inject_fragment(request_template, rendered)
+        headers = {
+            "Content-Type": "application/json",
+            **(self.conf.get("headers") or {}),
+        }
+        if self.conf.get("apiKey"):
+            headers["Authorization"] = f"Bearer {self.conf['apiKey']}"
+        try:
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode("utf-8"), headers=headers
+            )
+            with guarded_urlopen(req, timeout=30) as resp:
+                data = json.loads(resp.read().decode("utf-8"))
+        except Exception as err:
+            raise EngineError(
+                ErrorCode.VECTOR_EMBEDDING_ERROR,
+                f"Error while generating embeddings with embedder"
+                f" `{self.name}`: {err}",
+            )
+        emb = _extract_embedding(data, self.conf.get("response"))
+        return np.asarray(emb, dtype=np.float32)
+
 
 @lru_cache(maxsize=4)
 def _load_hf_model(model_name: str):
@@ -234,6 +295,22 @@ def _inject_text(template, text):
         return {k: _inject_text(v, text) for k, v in template.items()}
     if isinstance(template, list):
         return [_inject_text(v, text) for v in template]
+    return template
+
+
+def _inject_fragment(template, rendered):
+    """Replace the `{{fragment}}` placeholder with the rendered fragment
+    VALUE (a bare-placeholder string keeps the JSON type)."""
+    if isinstance(template, str):
+        if template.strip() == "{{fragment}}":
+            return rendered
+        if "{{fragment}}" in template:
+            return template.replace("{{fragment}}", json.dumps(rendered))
+        return template
+    if isinstance(template, dict):
+        return {k: _inject_fragment(v, rendered) for k, v in template.items()}
+    if isinstance(template, list):
+        return [_inject_fragment(v, rendered) for v in template]
     return template
 
 
@@ -282,6 +359,31 @@ def ensure_document_embeddings(store) -> None:
             if docid not in per_doc or regen.get(docid, True)
         ]
         if not todo:
+            continue
+        fragments = conf.get("indexingFragments")
+        if fragments:
+            # media fragments: each named fragment that renders for the
+            # document becomes ONE of its embeddings (reference:
+            # new/extract/vectors/mod.rs fragment diffing)
+            from .templates import render_json_fragment
+
+            new_vectors: dict[int, np.ndarray] = {}
+            for docid in todo:
+                rows = []
+                for _fname, fvalue in sorted(fragments.items()):
+                    rendered = render_json_fragment(
+                        fvalue, doc=store.documents[docid]
+                    )
+                    if rendered is None:
+                        continue
+                    rows.append(embedder.embed_fragment(rendered))
+                if rows:
+                    new_vectors[docid] = np.stack(rows).astype(np.float32)
+            with store._lock:
+                for docid, mat in new_vectors.items():
+                    store.vectors[name][docid] = mat
+                    store.vector_regenerate[name][docid] = True
+            changed = True
             continue
         searchable = None
         if not settings.searchable_is_wildcard():

@@ -237,6 +237,63 @@ def _render_nodes(nodes: list, ctx: dict, out: list) -> None:
                     break
 
 
+_SKIP = object()
+
+
+def _render_fragment_string(text: str, ctx: dict):
+    tokens = _lex(text)
+    if len(tokens) == 1 and tokens[0][0] == "out":
+        # a pure-placeholder string keeps the VALUE type, so media objects
+        # (image payloads, arrays) pass through intact — the reference's
+        # InjectableValue placeholder semantics (vector/json_template/)
+        v = _eval_expr(tokens[0][1], ctx)
+        return _SKIP if v is _NIL or v is None else v
+    for kind, expr in tokens:
+        if kind == "out":
+            v = _eval_expr(expr, ctx)
+            if v is _NIL or v is None:
+                return _SKIP
+    return Template(text).render(ctx)
+
+
+def _render_fragment_value(value: Any, ctx: dict):
+    if isinstance(value, str):
+        if "{{" in value or "{%" in value:
+            return _render_fragment_string(value, ctx)
+        return value
+    if isinstance(value, dict):
+        out = {}
+        for k, v in value.items():
+            r = _render_fragment_value(v, ctx)
+            if r is _SKIP:
+                return _SKIP
+            out[k] = r
+        return out
+    if isinstance(value, list):
+        out_list = []
+        for v in value:
+            r = _render_fragment_value(v, ctx)
+            if r is _SKIP:
+                return _SKIP
+            out_list.append(r)
+        return out_list
+    return value
+
+
+def render_json_fragment(value: Any, doc=None, media=None, q=None):
+    """Render one indexing/search fragment (reference: JsonTemplate,
+    vector/json_template/mod.rs): every string in the JSON value renders as
+    a template over `doc` / `media` / `q`; if ANY placeholder resolves to
+    nothing the whole fragment is skipped (returns None) — that is how a
+    multimodal embedder config gets 'only the fragments whose media are
+    present' behavior at both index and search time."""
+    ctx: dict = {"doc": doc or {}, "media": media or {}}
+    if q is not None:
+        ctx["q"] = q
+    out = _render_fragment_value(value, ctx)
+    return None if out is _SKIP else out
+
+
 class Template:
     def __init__(self, text: str):
         self.nodes, _, stop = _parse(_lex(text), 0, ())
