@@ -53,10 +53,14 @@ class SearchBatcher:
 
     WINDOW_S = 0.005  # pre-drain hold so a forming batch can fill
     RATE_WINDOW_S = 0.25
-    RATE_MIN_ARRIVALS = 6
-    PROBE_RATE = 12  # arrivals/RATE_WINDOW_S (~48 QPS) to consider device
+    RATE_MIN_ARRIVALS = 2  # still-arriving floor inside one rate window
     MIN_DRAIN_AVG = 1.8  # real request overlap, not one fast serial client
-    MEASURE_S = 1.2  # per-mode A/B measurement slice
+    MEASURE_S = 1.2  # per-mode A/B measurement slice (time floor)
+    MEASURE_MIN_DRAINS = 2  # a slice must span whole drains: at large
+    # corpus sizes one device execute alone exceeds MEASURE_S, and a
+    # slice that catches zero completions would report 0 QPS for the
+    # better mode
+    MEASURE_CAP_S = 8.0  # hard stop for a measurement slice
     COMMIT_S = 8.0  # initial winner tenure (doubles to 60 s while stable)
 
     def __init__(self):
@@ -71,7 +75,9 @@ class SearchBatcher:
         self._drains: list[int] = []  # recent drain sizes
         self._phase = "idle"  # idle | measure_host | measure_device | commit
         self._phase_until = 0.0
+        self._phase_start = 0.0
         self._phase_served = 0
+        self._phase_drains = 0
         self._host_qps = 0.0
         self._commit_s = self.COMMIT_S
         self._last_winner = "host"
@@ -130,10 +136,16 @@ class SearchBatcher:
         fast queries (high rate but avg drain ~1, which batching cannot
         help) never triggers measurement."""
         drains = self._drains[-16:]
+        # "loaded" = genuine request OVERLAP (drain size > 1 means callers
+        # queued while a batch executed), not a raw arrival-rate bar: a
+        # slow host path (1M docs ~ 50-80 ms/query) caps the closed-loop
+        # arrival rate at its own low QPS, which is exactly the regime
+        # where device batching wins — an absolute rate gate could never
+        # engage there.
         loaded = (
-            recent >= self.PROBE_RATE
-            and len(drains) >= 8
+            len(drains) >= 8
             and sum(drains) / len(drains) >= self.MIN_DRAIN_AVG
+            and recent >= self.RATE_MIN_ARRIVALS
         )
         if not loaded:
             if recent < self.RATE_MIN_ARRIVALS:
@@ -144,22 +156,26 @@ class SearchBatcher:
             return
         if self._phase == "idle":
             if _device_ready(store):
-                self._phase = "measure_host"
-                self.mode = "host"
-                self._phase_until = now + self.MEASURE_S
-                self._phase_served = len(self._served)
-        elif now >= self._phase_until:
+                self._start_phase("measure_host", "host", now)
+        elif self._phase in ("measure_host", "measure_device"):
+            # a slice ends only after spanning whole drains: at 1M docs a
+            # single device execute exceeds MEASURE_S and a time-only
+            # slice could catch zero completions
+            phase_drains = len(self._drains) - self._phase_drains
+            done = now >= self._phase_until and (
+                phase_drains >= self.MEASURE_MIN_DRAINS
+                or now >= self._phase_start + self.MEASURE_CAP_S
+            )
+            if not done:
+                return
             served = len(self._served) - self._phase_served
+            qps = served / max(now - self._phase_start, 1e-6)
             if self._phase == "measure_host":
-                self._host_qps = served / self.MEASURE_S
-                self._phase = "measure_device"
-                self.mode = "device"
-                self._phase_until = now + self.MEASURE_S
-                self._phase_served = len(self._served)
-            elif self._phase == "measure_device":
-                device_qps = served / self.MEASURE_S
+                self._host_qps = qps
+                self._start_phase("measure_device", "device", now)
+            else:
                 winner = (
-                    "device" if device_qps >= self._host_qps * 1.05 else "host"
+                    "device" if qps >= self._host_qps * 1.05 else "host"
                 )
                 if winner == self._last_winner:
                     self._commit_s = min(self._commit_s * 2, 60.0)
@@ -169,8 +185,16 @@ class SearchBatcher:
                 self.mode = winner
                 self._phase = "commit"
                 self._phase_until = now + self._commit_s
-            else:  # commit expired: re-measure
-                self._phase = "idle"
+        elif now >= self._phase_until:  # commit expired: re-measure
+            self._phase = "idle"
+
+    def _start_phase(self, phase: str, mode: str, now: float) -> None:
+        self._phase = phase
+        self.mode = mode
+        self._phase_start = now
+        self._phase_until = now + self.MEASURE_S
+        self._phase_served = len(self._served)
+        self._phase_drains = len(self._drains)
 
     def _run(self):
         from ..search.perform import perform_search_many

@@ -57,6 +57,20 @@ REINDEX_SETTINGS = {
 }
 
 
+def _kick_warm(stores) -> None:
+    """Async device-kernel warm-up for indexes whose ingest just drained
+    (search/device_batch.warm_kernels); never raises."""
+    try:
+        from ..search.device_batch import device_batch_enabled, warm_kernels
+
+        if not device_batch_enabled():
+            return
+        for store in stores:
+            warm_kernels(store, wait=False)
+    except Exception:
+        pass
+
+
 class IndexScheduler:
     def __init__(self, autobatching_enabled: bool = True) -> None:
         self.queue = TaskQueue()
@@ -473,19 +487,26 @@ class IndexScheduler:
         # kick the async device-kernel warm-up for every index this batch
         # touched: a corpus-size bucket's first compile must happen OFF the
         # serving path (search/device_batch.warm_kernels)
+        pending_uids = {t.index_uid for t in self._enqueued() if t.index_uid}
+        warm_stores = []
         for uid in {t.index_uid for t in tasks if t.index_uid}:
+            if uid in pending_uids:
+                # more work queued for this index: warming now would
+                # compile for a corpus-size bucket about to be outgrown
+                # AND steal the single core from the ingest (measured:
+                # intermediate-bucket compiles during a 50-chunk 1M load
+                # cut indexing throughput ~4x). Warm when the queue drains.
+                continue
             store = self.indexes.get(uid)
             if store is not None and store.documents:
-                try:
-                    from ..search.device_batch import (
-                        device_batch_enabled,
-                        warm_kernels,
-                    )
-
-                    if device_batch_enabled():
-                        warm_kernels(store, wait=False)
-                except Exception:
-                    pass
+                warm_stores.append(store)
+        if warm_stores:
+            # off-thread: the first jax import alone costs seconds and
+            # must never sit between task completion and the loop's next
+            # iteration
+            threading.Thread(
+                target=_kick_warm, args=(warm_stores,), daemon=True
+            ).start()
         self._breakpoint("batch_processed")
         statuses: dict[str, int] = {}
         types: dict[str, int] = {}

@@ -1,0 +1,118 @@
+"""Unit tests for the SearchBatcher A/B mode controller (engine/batcher.py).
+
+The controller must engage its host-vs-device measurement under real
+request OVERLAP — including the slow-host regime where the closed-loop
+arrival rate is capped at the host's own low QPS (1M-doc corpora), which
+is exactly where device batching wins — and must never engage for a
+single fast serial client (drain average ~1, batching cannot help).
+"""
+
+import meilisearch_tpu.engine.batcher as batcher_mod
+from meilisearch_tpu.engine.batcher import SearchBatcher
+
+
+def make_batcher(drains, arrivals_per_window=3):
+    b = SearchBatcher.__new__(SearchBatcher)
+    SearchBatcher.__init__(b)
+    b._drains = list(drains)
+    return b
+
+
+def test_slow_host_overlap_engages_measurement(monkeypatch):
+    """1M-doc regime: ~12 QPS host => ~3 arrivals per 0.25 s window, but
+    32 blocked clients => large drains. The controller must start
+    measuring (the old absolute arrival-rate gate never could)."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8, 12, 16, 10, 9, 14, 11, 13])
+    b._update_mode(now=100.0, recent=3, store=None)
+    assert b._phase == "measure_host"
+    assert b.mode == "host"
+
+
+def test_fast_serial_client_never_measures(monkeypatch):
+    """One fast client: high arrival rate but drain average ~1 — batching
+    cannot help, the controller must stay idle in host mode."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([1, 1, 1, 1, 1, 1, 1, 1, 2, 1])
+    b._update_mode(now=100.0, recent=40, store=None)
+    assert b._phase == "idle"
+    assert b.mode == "host"
+
+
+def test_measurement_slice_waits_for_whole_drains(monkeypatch):
+    """A slice only ends after MEASURE_MIN_DRAINS drains completed in it:
+    at 1M docs one device execute exceeds MEASURE_S and a time-only slice
+    could catch zero completions and report 0 QPS."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    b._update_mode(now=100.0, recent=3, store=None)
+    assert b._phase == "measure_host"
+    # time expired but no drain completed in the phase -> keep measuring
+    b._update_mode(now=100.0 + b.MEASURE_S + 0.1, recent=3, store=None)
+    assert b._phase == "measure_host"
+    # two drains land -> the phase may end at the next tick
+    b._drains += [8, 8]
+    b._served += [101.0] * 16
+    b._update_mode(now=100.0 + b.MEASURE_S + 0.2, recent=3, store=None)
+    assert b._phase == "measure_device"
+    assert b.mode == "device"
+
+
+def test_measurement_slice_hard_cap(monkeypatch):
+    """A mode that never completes a drain inside MEASURE_CAP_S still ends
+    its slice (0 QPS measured) instead of wedging the controller."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    b._update_mode(now=100.0, recent=3, store=None)
+    assert b._phase == "measure_host"
+    b._update_mode(now=100.0 + b.MEASURE_CAP_S + 0.1, recent=3, store=None)
+    assert b._phase == "measure_device"
+
+
+def test_device_wins_and_commit_tenure_doubles(monkeypatch):
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    now = 100.0
+    b._update_mode(now=now, recent=3, store=None)
+
+    # host slice: 2 drains, 4 requests served over ~1.3 s (~3 QPS)
+    now += b.MEASURE_S + 0.1
+    b._drains += [2, 2]
+    b._served += [now] * 4
+    b._update_mode(now=now, recent=3, store=None)
+    assert b._phase == "measure_device"
+
+    # device slice: 2 drains, 40 requests served (~30 QPS)
+    now += b.MEASURE_S + 0.1
+    b._drains += [20, 20]
+    b._served += [now] * 40
+    b._update_mode(now=now, recent=3, store=None)
+    assert b._phase == "commit"
+    assert b.mode == "device"
+
+    # commit expires -> re-measure -> device wins again -> tenure doubled
+    first_tenure = b._commit_s
+    now = b._phase_until + 0.1
+    b._update_mode(now=now, recent=3, store=None)
+    assert b._phase == "idle"
+    b._update_mode(now=now, recent=3, store=None)
+    now += b.MEASURE_S + 0.1
+    b._drains += [2, 2]
+    b._served += [now] * 4
+    b._update_mode(now=now, recent=3, store=None)
+    now += b.MEASURE_S + 0.1
+    b._drains += [20, 20]
+    b._served += [now] * 40
+    b._update_mode(now=now, recent=3, store=None)
+    assert b.mode == "device"
+    assert b._commit_s > first_tenure
+
+
+def test_load_gone_resets_to_host(monkeypatch):
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    b._update_mode(now=100.0, recent=3, store=None)
+    assert b._phase == "measure_host"
+    b._update_mode(now=101.0, recent=0, store=None)
+    assert b._phase == "idle"
+    assert b.mode == "host"
