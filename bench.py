@@ -94,9 +94,9 @@ def main():
     # the reference hackernews workload ships 10 x 100k chunks
     t0 = time.perf_counter()
     last = None
-    for i in range(0, len(docs), 20000):
+    for i in range(0, len(docs), 100000):
         last = http(
-            "POST", port, "/indexes/hackernews/documents", docs[i : i + 20000]
+            "POST", port, "/indexes/hackernews/documents", docs[i : i + 100000]
         )
     deadline = time.time() + max(600, n_docs / 1000)
     while time.time() < deadline:

@@ -180,15 +180,17 @@ def native_build_postings(texts: bytes, entries, stop_words):
     )
     if n < 0:
         return None
-    try:
-        raw = np.frombuffer(
-            ctypes.cast(
-                out_buf, ctypes.POINTER(ctypes.c_uint8 * n)
-            ).contents,
-            dtype=np.int32,
-        ).copy()
-    finally:
-        lib.mstpu_free(out_buf)
+    # zero-copy view over the C buffer: the sections below are views into
+    # `raw`, so numpy's .base chain keeps it (and therefore the C buffer)
+    # alive; mstpu_free fires only when the last view dies. Copying the
+    # whole buffer here measured ~15% of the batch-path cost.
+    import weakref
+
+    raw = np.frombuffer(
+        ctypes.cast(out_buf, ctypes.POINTER(ctypes.c_uint8 * n)).contents,
+        dtype=np.int32,
+    )
+    weakref.finalize(raw, lib.mstpu_free, out_buf)
 
     (magic, n_words, blob_bytes, n_fallback,
      nk_wd, tot_wd, nk_wf, tot_wf, nk_wp, tot_wp,

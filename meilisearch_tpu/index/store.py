@@ -155,6 +155,11 @@ def flatten_json(value: Any, prefix: str = "") -> dict[str, list[Any]]:
     return dict(out)
 
 
+# flat-scalar check for the batched facet path (bool before int: `type`
+# identity makes the distinction explicit)
+_SCALAR_TYPES = frozenset((str, int, float, bool, type(None)))
+
+
 class IndexStore:
     """One search index (the milli `Index` equivalent)."""
 
@@ -389,7 +394,8 @@ class IndexStore:
                 for d, dd in pending:
                     if d in fallback:
                         self._index_document_tokens(d, dd)
-                    self._index_facets(d, dd)
+                self._index_facets_batch(pending)
+                for d, dd in pending:
                     self._index_vectors(d, dd)
                     self._index_geo(d, dd)
                 pending.clear()
@@ -963,6 +969,100 @@ class IndexStore:
             for norm, orig in pairs:
                 self.facet_string_docids[fid][norm].add(docid)
                 self.facet_string_original.setdefault((fid, norm), orig)
+
+    def _index_facets_batch(self, pending: list) -> None:
+        """Facet extraction for a batch of documents, column-wise.
+
+        Behavior-identical to per-document `_index_facets` for flat
+        scalar documents (the common case; any document with a nested
+        value falls back to it): per-field decisions resolve once per
+        batch, string normalization memoizes per raw value, and docids
+        land in the facet sets via bulk `set.update`. This is the
+        single-core collapse of the reference's parallel faceted
+        extractors (update/new/extract/faceted/extract_facets.rs) —
+        profiling showed the per-document path at ~55% of indexing time.
+        """
+        scalars = _SCALAR_TYPES
+        fdec: dict[str, Any] = {}
+        norm_cache: dict[str, tuple[str, str]] = {}
+        exists_cols: dict[int, list[int]] = defaultdict(list)
+        null_cols: dict[int, list[int]] = defaultdict(list)
+        empty_cols: dict[int, list[int]] = defaultdict(list)
+        num_cols: dict[int, tuple[list[int], list[float]]] = {}
+        str_cols: dict[tuple[int, str], list[int]] = defaultdict(list)
+        str_orig: dict[tuple[int, str], str] = {}
+        docid_nums = self.docid_facet_numbers
+        docid_strs = self.docid_facet_strings
+        id_or_insert = self.fields_ids_map.id_or_insert
+        for docid, doc in pending:
+            fast = True
+            for v in doc.values():
+                if type(v) not in scalars:
+                    fast = False
+                    break
+            if not fast:
+                self._index_facets(docid, doc)
+                continue
+            for key, value in doc.items():
+                dec = fdec.get(key, False)
+                if dec is False:
+                    if key.startswith(RESERVED_VECTORS_FIELD):
+                        dec = None
+                    else:
+                        fid = id_or_insert(key)
+                        dec = (fid, self._is_faceted(key))
+                    fdec[key] = dec
+                if dec is None:
+                    continue
+                fid, faceted = dec
+                if not faceted:
+                    continue
+                exists_cols[fid].append(docid)
+                tv = type(value)
+                if value is None:
+                    null_cols[fid].append(docid)
+                elif tv is bool:
+                    norm = "true" if value else "false"
+                    str_cols[(fid, norm)].append(docid)
+                    str_orig.setdefault((fid, norm), norm)
+                    docid_strs[(fid, docid)] = [(norm, norm)]
+                elif tv is int or tv is float:
+                    f = float(value)
+                    if f == f:  # not NaN
+                        col = num_cols.get(fid)
+                        if col is None:
+                            col = num_cols[fid] = ([], [])
+                        col[0].append(docid)
+                        col[1].append(f)
+                        docid_nums[(fid, docid)] = [f]
+                elif value == "":
+                    empty_cols[fid].append(docid)
+                else:
+                    cached = norm_cache.get(value)
+                    if cached is None:
+                        cached = (
+                            facet_string_normalize(value),
+                            truncate_facet_string(value),
+                        )
+                        norm_cache[value] = cached
+                    norm, orig = cached
+                    str_cols[(fid, norm)].append(docid)
+                    str_orig.setdefault((fid, norm), orig)
+                    docid_strs[(fid, docid)] = [(norm, orig)]
+        for fid, col in exists_cols.items():
+            self.facet_exists_docids[fid].update(col)
+        for fid, col in null_cols.items():
+            self.facet_is_null_docids[fid].update(col)
+        for fid, col in empty_cols.items():
+            self.facet_is_empty_docids[fid].update(col)
+        for (fid, norm), col in str_cols.items():
+            self.facet_string_docids[fid][norm].update(col)
+        for key, orig in str_orig.items():
+            self.facet_string_original.setdefault(key, orig)
+        for fid, (dcol, vcol) in num_cols.items():
+            table = self.facet_number_docids[fid]
+            for v, d in zip(vcol, dcol):
+                table[v].add(d)
 
     def _index_vectors(self, docid: int, doc: dict) -> None:
         vectors = doc.get(RESERVED_VECTORS_FIELD)
