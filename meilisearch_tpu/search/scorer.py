@@ -78,6 +78,34 @@ def position_cost_from_distance(distance: int) -> int:
     return 10
 
 
+# every value bucketed_position can produce for u16 positions
+# (index/store.py:58, reference milli/src/lib.rs:248-260)
+_BUCKET_UNIVERSE = tuple(range(16)) + (24,) + tuple(2**k for k in range(5, 17))
+
+
+class _LazyWordKeyMap:
+    """word -> set of second-key values present in a (word, k2)-keyed
+    posting table, probed on demand against the small k2 universe.
+
+    Exposes dict-like `.get(word, default)`; results memoize per store
+    generation (instances live in store._derived_maps)."""
+
+    __slots__ = ("table", "universe_fn", "cache")
+
+    def __init__(self, table, universe_fn):
+        self.table = table
+        self.universe_fn = universe_fn
+        self.cache: dict = {}
+
+    def get(self, word, default=None):
+        s = self.cache.get(word)
+        if s is None:
+            table = self.table
+            s = {k2 for k2 in self.universe_fn() if (word, k2) in table}
+            self.cache[word] = s
+        return s
+
+
 class Resolver:
     """Posting-set resolution with per-search caching (the db_cache twin).
 
@@ -97,15 +125,20 @@ class Resolver:
         self.restricted_fids = restricted_fids
         self.arrays = ArrayCache(store)
         self._phrase_cache: dict[Phrase, np.ndarray] = {}
-        # word -> fids / position buckets, derived once per store generation
+        # word -> fids / position buckets, probed lazily per word against
+        # the small second-key universe (#fields / #position buckets):
+        # eagerly inverting the (word, k2) tables cost ~70 s per
+        # generation at a 1M-doc vocabulary, all of it on the first
+        # query after a write
         maps = getattr(store, "_derived_maps", None)
         if maps is None or maps[0] != store.generation:
-            fids_by_word: dict[str, set[int]] = {}
-            buckets_by_word: dict[str, set[int]] = {}
-            for (w, fid) in store.word_fid_docids:
-                fids_by_word.setdefault(w, set()).add(fid)
-            for (w, bucket) in store.word_position_docids:
-                buckets_by_word.setdefault(w, set()).add(bucket)
+            fids_by_word = _LazyWordKeyMap(
+                store.word_fid_docids,
+                lambda: range(len(store.fields_ids_map)),
+            )
+            buckets_by_word = _LazyWordKeyMap(
+                store.word_position_docids, lambda: _BUCKET_UNIVERSE
+            )
             maps = (store.generation, fids_by_word, buckets_by_word)
             store._derived_maps = maps
         self.fids_by_word = maps[1]
