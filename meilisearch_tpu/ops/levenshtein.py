@@ -63,11 +63,18 @@ def pack_words(words: list[str], max_len: int = MAX_LEN) -> tuple[np.ndarray, np
     total = len(cps)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    # row index per character: +1 at each word start, cumsum. Vocabulary
-    # words are never empty, so starts are distinct offsets.
-    starts = np.zeros(total, dtype=np.int64)
-    starts[offs[:-1]] = 1
-    rows = np.cumsum(starts) - 1
+    # row index per character: +1 at each word start, cumsum. Distinct
+    # start offsets take the fancy-store fast path; zero-length words
+    # (possible in ad-hoc inputs, never in an index vocabulary) duplicate
+    # offsets and need accumulation.
+    starts = np.zeros(total + 1, dtype=np.int64)
+    if lens.all():
+        starts[offs[:-1]] = 1
+    else:
+        # a zero-length word shares its start offset with the next word
+        # (and trailing empties land at offset == total, hence the +1 slot)
+        np.add.at(starts, offs[:-1], 1)
+    rows = np.cumsum(starts[:total]) - 1
     cols = np.arange(total, dtype=np.int64) - offs[rows]
     mat = np.zeros((n, max_len), dtype=np.int32)
     mat[rows, cols] = cps
