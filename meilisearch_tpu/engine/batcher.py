@@ -78,6 +78,7 @@ class SearchBatcher:
         self._phase_start = 0.0
         self._phase_served = 0
         self._phase_drains = 0
+        self._skip_first_drain = False
         self._host_qps = 0.0
         self._commit_s = self.COMMIT_S
         self._last_winner = "host"
@@ -156,12 +157,38 @@ class SearchBatcher:
             return
         if self._phase == "idle":
             if _device_ready(store):
+                # already serving in host mode under this same load: the
+                # trailing served window IS the host baseline — skip the
+                # dedicated host slice (it costs ~4 s at 1M docs)
+                if self.mode == "host":
+                    recent_served = sum(
+                        1 for t in self._served if now - t <= 2.0
+                    )
+                    if recent_served >= 4:
+                        self._host_qps = recent_served / 2.0
+                        self._start_phase("measure_device", "device", now)
+                        return
                 self._start_phase("measure_host", "host", now)
         elif self._phase in ("measure_host", "measure_device"):
+            phase_drains = len(self._drains) - self._phase_drains
+            if (
+                self._phase == "measure_device"
+                and self._skip_first_drain
+                and phase_drains >= 1
+            ):
+                # the first device drain pays one-time per-generation row
+                # registration (packing (term,class) bitmaps at corpus
+                # width); the mode decision must compare steady-state
+                # serving, so the measurement window restarts after it
+                self._skip_first_drain = False
+                self._phase_start = now
+                self._phase_until = now + self.MEASURE_S
+                self._phase_served = len(self._served)
+                self._phase_drains = len(self._drains)
+                return
             # a slice ends only after spanning whole drains: at 1M docs a
             # single device execute exceeds MEASURE_S and a time-only
             # slice could catch zero completions
-            phase_drains = len(self._drains) - self._phase_drains
             done = now >= self._phase_until and (
                 phase_drains >= self.MEASURE_MIN_DRAINS
                 or now >= self._phase_start + self.MEASURE_CAP_S
@@ -195,6 +222,7 @@ class SearchBatcher:
         self._phase_until = now + self.MEASURE_S
         self._phase_served = len(self._served)
         self._phase_drains = len(self._drains)
+        self._skip_first_drain = phase == "measure_device"
 
     def _run(self):
         from ..search.perform import perform_search_many

@@ -56,6 +56,33 @@ def test_measurement_slice_waits_for_whole_drains(monkeypatch):
     b._update_mode(now=100.0 + b.MEASURE_S + 0.2, recent=3, store=None)
     assert b._phase == "measure_device"
     assert b.mode == "device"
+    assert b._skip_first_drain
+
+
+def test_first_device_drain_excluded_from_measurement(monkeypatch):
+    """The first device drain pays one-time per-generation row
+    registration (measured ~4 s at 1M docs vs 0.44 s steady) — the mode
+    decision must not count it, or the device loses every A/B at exactly
+    the corpus sizes where it wins."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    now = 100.0
+    b._update_mode(now=now, recent=3, store=None)
+    now += b.MEASURE_S + 0.1
+    b._drains += [2, 2]
+    b._served += [now] * 4
+    b._update_mode(now=now, recent=3, store=None)
+    assert b._phase == "measure_device"
+    # a slow cold drain lands; the window must restart, not conclude
+    now += 5.0
+    b._drains += [32]
+    b._served += [now] * 32
+    served_before = b._phase_served
+    b._update_mode(now=now, recent=3, store=None)
+    assert b._phase == "measure_device"
+    assert not b._skip_first_drain
+    assert b._phase_start == now
+    assert b._phase_served == len(b._served) > served_before
 
 
 def test_measurement_slice_hard_cap(monkeypatch):
@@ -82,6 +109,13 @@ def test_device_wins_and_commit_tenure_doubles(monkeypatch):
     b._update_mode(now=now, recent=3, store=None)
     assert b._phase == "measure_device"
 
+    # first device drain: warm-up, restarts the window
+    now += 0.5
+    b._drains += [20]
+    b._served += [now] * 20
+    b._update_mode(now=now, recent=3, store=None)
+    assert b._phase == "measure_device"
+
     # device slice: 2 drains, 40 requests served (~30 QPS)
     now += b.MEASURE_S + 0.1
     b._drains += [20, 20]
@@ -100,12 +134,29 @@ def test_device_wins_and_commit_tenure_doubles(monkeypatch):
     b._drains += [2, 2]
     b._served += [now] * 4
     b._update_mode(now=now, recent=3, store=None)
+    now += 0.5
+    b._drains += [20]
+    b._served += [now] * 20
+    b._update_mode(now=now, recent=3, store=None)
     now += b.MEASURE_S + 0.1
     b._drains += [20, 20]
     b._served += [now] * 40
     b._update_mode(now=now, recent=3, store=None)
     assert b.mode == "device"
     assert b._commit_s > first_tenure
+
+
+def test_host_baseline_from_trailing_window(monkeypatch):
+    """When the batcher is already draining in host mode, the trailing
+    served window doubles as the host measurement — measurement jumps
+    straight to the device slice."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    b._served = [99.5] * 24  # 24 served in the last 2 s => 12 QPS host
+    b._update_mode(now=100.0, recent=3, store=None)
+    assert b._phase == "measure_device"
+    assert b.mode == "device"
+    assert b._host_qps == 12.0
 
 
 def test_load_gone_resets_to_host(monkeypatch):
