@@ -187,6 +187,9 @@ def main():
     if opt.experimental_enable_logs_route:
         feats["logsRoute"] = True
     app.scheduler.dump_dir = opt.dump_dir
+    from ..engine.s3_snapshot import S3SnapshotOpts
+
+    app.scheduler.s3_opts = S3SnapshotOpts.from_options(opt)
     if opt.experimental_max_number_of_batched_tasks:
         app.scheduler.max_batched_tasks = (
             opt.experimental_max_number_of_batched_tasks

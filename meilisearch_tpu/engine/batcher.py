@@ -52,8 +52,11 @@ class SearchBatcher:
     the better one wins; probes repeat so load changes re-decide."""
 
     WINDOW_S = 0.005  # pre-drain hold so a forming batch can fill
-    RATE_WINDOW_S = 0.25
-    RATE_MIN_ARRIVALS = 2  # still-arriving floor inside one rate window
+    # the still-arriving check spans a full second: at 1M-doc host QPS
+    # (~10/s) a 0.25 s window flickers to zero arrivals between drains
+    # and every flicker reset the controller to idle mid-measurement
+    RATE_WINDOW_S = 1.0
+    RATE_MIN_ARRIVALS = 3  # still-arriving floor inside one rate window
     MIN_DRAIN_AVG = 1.8  # real request overlap, not one fast serial client
     MEASURE_S = 1.2  # per-mode A/B measurement slice (time floor)
     MEASURE_MIN_DRAINS = 2  # a slice must span whole drains: at large

@@ -724,8 +724,16 @@ class IndexScheduler:
         elif t == TaskType.SNAPSHOT_CREATION:
             from .dumps import create_snapshot
 
-            create_snapshot(self, content.get("path"))
+            snap_path = create_snapshot(self, content.get("path"))
             task.details = {}
+            if getattr(self, "s3_opts", None) is not None:
+                # EE parity: scheduler/enterprise_edition/s3.rs
+                # process_snapshot_to_s3 — the snapshot lands in the
+                # bucket as {prefix}/data.ms.snapshot
+                from .s3_snapshot import upload_snapshot_to_s3
+
+                key = upload_snapshot_to_s3(snap_path, self.s3_opts)
+                task.details = {"s3Object": key}
         elif t == TaskType.EXPORT:
             # push settings + documents to a remote instance
             # (reference: scheduler/process_export.rs)

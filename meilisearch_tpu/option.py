@@ -78,10 +78,10 @@ _FIELDS = [
     ("s3_secret_key", "str", None),
     ("experimental_s3_role_arn", "str", None),
     ("experimental_s3_web_identity_token_file", "str", None),
-    ("experimental_s3_max_in_flight_parts", "int", 4),
+    ("experimental_s3_max_in_flight_parts", "int", 10),
     ("experimental_s3_compression_level", "int", 0),
-    ("experimental_s3_signature_duration_seconds", "int", 3600),
-    ("experimental_s3_multipart_part_size", "str", "250 MiB"),
+    ("experimental_s3_signature_duration_seconds", "int", 28800),
+    ("experimental_s3_multipart_part_size", "str", "375 MiB"),
     ("config_file_path", "str", None),
 ]
 

@@ -159,6 +159,52 @@ def test_host_baseline_from_trailing_window(monkeypatch):
     assert b._host_qps == 12.0
 
 
+def test_controller_converges_to_device_under_slow_host_load(monkeypatch):
+    """End-to-end controller simulation of the 1M-doc regime: host path
+    ~60 ms/query serial, device path ~0.5 s per 32-batch. 16 closed-loop
+    clients => ~16 QPS host vs ~64 QPS device. The controller must
+    converge to device mode and stay there (measured through the real
+    executor thread, fake search costs)."""
+    import threading
+    import time
+
+    import meilisearch_tpu.search.perform as perform_mod
+
+    def fake_many(store, bodies, features=None, force_device=False):
+        if force_device:
+            time.sleep(0.2 + 0.01 * len(bodies))  # one device execute
+        else:
+            time.sleep(0.03 * len(bodies))  # serial host loop
+        return [{"hits": []} for _ in bodies]
+
+    monkeypatch.setattr(perform_mod, "perform_search_many", fake_many)
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+
+    b = SearchBatcher.__new__(SearchBatcher)
+    SearchBatcher.__init__(b)
+    stop = time.monotonic() + 12.0
+    modes_seen = []
+    store = object()  # one shared index: drains group into one execute
+
+    def client():
+        while time.monotonic() < stop:
+            b.submit(store, {"q": "x"})
+            modes_seen.append(b.mode)
+
+    threads = [threading.Thread(target=client) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.stop()
+    # the tail of the run must be solidly in device mode
+    tail = modes_seen[-100:]
+    assert tail.count("device") > 80, (
+        tail.count("device"),
+        len(modes_seen),
+    )
+
+
 def test_load_gone_resets_to_host(monkeypatch):
     monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
     b = make_batcher([8] * 8)
