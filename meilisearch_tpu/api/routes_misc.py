@@ -731,17 +731,23 @@ def register_misc_routes(app):
                 ErrorCode.NOT_FOUND,
                 f"Chat `{req.params['workspace']}` not found",
             )
-        from ..engine.chat import execute_chat_completion, sse_chunks
+        from ..engine.chat import (
+            execute_chat_completion,
+            execute_chat_completion_stream,
+        )
 
         body = req.body or {}
-        response = execute_chat_completion(app_.scheduler, ws, body)
         if body.get("stream"):
+            # token-level passthrough: upstream deltas forward as they
+            # arrive, tool calls run between upstream streams
             return Response(
                 200,
-                stream=sse_chunks(response),
+                stream=execute_chat_completion_stream(
+                    app_.scheduler, ws, body
+                ),
                 headers={"Content-Type": "text/event-stream"},
             )
-        return response
+        return execute_chat_completion(app_.scheduler, ws, body)
 
     app.add(
         "POST",

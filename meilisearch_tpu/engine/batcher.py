@@ -154,6 +154,11 @@ class SearchBatcher:
         if not loaded:
             if recent < self.RATE_MIN_ARRIVALS:
                 # load gone: reset to host + fresh measurement next time
+                if self._phase != "idle" or self.mode != "host":
+                    self._trace(
+                        f"load gone (recent={recent}): reset from"
+                        f" {self._phase}/{self.mode}"
+                    )
                 self._phase = "idle"
                 self.mode = "host"
                 self._commit_s = self.COMMIT_S
@@ -207,6 +212,11 @@ class SearchBatcher:
                 winner = (
                     "device" if qps >= self._host_qps * 1.05 else "host"
                 )
+                self._trace(
+                    f"decide: device_qps={qps:.1f} host_qps="
+                    f"{self._host_qps:.1f} winner={winner}"
+                    f" commit_s={self._commit_s}"
+                )
                 if winner == self._last_winner:
                     self._commit_s = min(self._commit_s * 2, 60.0)
                 else:
@@ -218,7 +228,21 @@ class SearchBatcher:
         elif now >= self._phase_until:  # commit expired: re-measure
             self._phase = "idle"
 
+    def _trace(self, msg: str) -> None:
+        if os.environ.get("MEILI_TPU_BATCHER_TRACE") == "1":
+            import sys
+
+            print(
+                f"[batcher +{_time.monotonic():.2f}] {msg}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     def _start_phase(self, phase: str, mode: str, now: float) -> None:
+        self._trace(
+            f"phase {self._phase}->{phase} mode {self.mode}->{mode}"
+            f" host_qps={self._host_qps:.1f}"
+        )
         self._phase = phase
         self.mode = mode
         self._phase_start = now

@@ -164,6 +164,130 @@ def execute_chat_completion(scheduler, workspace: dict, body: dict) -> dict:
     return response
 
 
+def _call_llm_stream(ws: dict, payload: dict):
+    """Yield parsed chunk dicts from the upstream SSE stream."""
+    import urllib.error
+    import urllib.request
+
+    from ..utils.http_policy import guarded_urlopen
+
+    source = ws.get("source", "openAi")
+    base = (ws.get("baseUrl") or DEFAULT_BASE_URLS.get(source, "")).rstrip("/")
+    headers = {"Content-Type": "application/json"}
+    if ws.get("apiKey"):
+        headers["Authorization"] = f"Bearer {ws['apiKey']}"
+    req = urllib.request.Request(
+        f"{base}/chat/completions",
+        data=json.dumps(payload).encode("utf-8"),
+        headers=headers,
+    )
+    try:
+        with guarded_urlopen(req, timeout=120) as resp:
+            for raw in resp:
+                line = raw.strip()
+                if not line or not line.startswith(b"data:"):
+                    continue
+                data = line[5:].strip()
+                if data == b"[DONE]":
+                    return
+                yield json.loads(data)
+    except urllib.error.HTTPError as err:
+        raise EngineError(
+            ErrorCode.REMOTE_BAD_REQUEST if err.code < 500 else ErrorCode.REMOTE_REMOTE_ERROR,
+            f"Error from the chat LLM: {err.code} {err.reason}",
+        )
+
+
+def execute_chat_completion_stream(scheduler, workspace: dict, body: dict):
+    """Token-level SSE passthrough (reference: streamed branch of
+    routes/chats/chat_completions.rs). Content deltas forward to the
+    client AS THEY ARRIVE from upstream; tool-call deltas accumulate
+    per index, run the `_meiliSearchInIndex` search between upstream
+    streams, and the loop re-enters with the tool results appended.
+    Yields SSE byte chunks, terminated by `data: [DONE]`."""
+    prompts = workspace.get("prompts") or {}
+    messages = list(body.get("messages") or [])
+    system = prompts.get("system")
+    if system and not any(m.get("role") == "system" for m in messages):
+        messages.insert(0, {"role": "system", "content": system})
+    tools = list(body.get("tools") or [])
+    if any(
+        (t.get("function") or {}).get("name") == SEARCH_IN_INDEX for t in tools
+    ):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"{SEARCH_IN_INDEX} function is already defined.",
+        )
+    tools.append(_build_search_tool(scheduler, prompts))
+    payload_base = {
+        k: v for k, v in body.items() if k not in ("messages", "tools", "stream")
+    }
+
+    for _ in range(MAX_TOOL_ROUNDS):
+        payload = {
+            **payload_base,
+            "messages": messages,
+            "tools": tools,
+            "stream": True,
+        }
+        tool_acc: dict[int, dict] = {}
+        for chunk in _call_llm_stream(workspace, payload):
+            choice = (chunk.get("choices") or [{}])[0]
+            delta = choice.get("delta") or {}
+            tcs = delta.get("tool_calls")
+            if tcs:
+                for tc in tcs:
+                    acc = tool_acc.setdefault(
+                        tc.get("index", 0),
+                        {"id": None, "name": "", "arguments": ""},
+                    )
+                    if tc.get("id"):
+                        acc["id"] = tc["id"]
+                    fn = tc.get("function") or {}
+                    acc["name"] += fn.get("name") or ""
+                    acc["arguments"] += fn.get("arguments") or ""
+                continue  # interpreted locally, not forwarded
+            if delta.get("content") or delta.get("role") or choice.get(
+                "finish_reason"
+            ):
+                yield (
+                    f"data: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode(
+                        "utf-8"
+                    )
+                )
+        calls = [
+            a for a in tool_acc.values() if a["name"] == SEARCH_IN_INDEX
+        ]
+        if not calls:
+            break
+        messages.append(
+            {
+                "role": "assistant",
+                "content": None,
+                "tool_calls": [
+                    {
+                        "id": a["id"] or f"call_{i}",
+                        "type": "function",
+                        "function": {
+                            "name": a["name"],
+                            "arguments": a["arguments"],
+                        },
+                    }
+                    for i, a in enumerate(calls)
+                ],
+            }
+        )
+        for a in calls:
+            messages.append(
+                {
+                    "role": "tool",
+                    "tool_call_id": a["id"],
+                    "content": _run_search_tool(scheduler, a["arguments"]),
+                }
+            )
+    yield b"data: [DONE]\n\n"
+
+
 def sse_chunks(response: dict):
     """Renders a completed response as OpenAI-style SSE chunks."""
     choice = (response.get("choices") or [{}])[0]

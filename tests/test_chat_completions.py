@@ -13,9 +13,48 @@ from meilisearch_tpu.api.app import App, TestClient
 class _FakeLLM(BaseHTTPRequestHandler):
     requests: list = []
 
+    def _stream(self, body):
+        """SSE mode: round 1 streams a tool call split across delta
+        chunks (accumulation exercised), round 2 streams the answer
+        token by token (passthrough exercised)."""
+        has_tool_result = any(m.get("role") == "tool" for m in body["messages"])
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.end_headers()
+
+        def chunk(delta, finish=None):
+            payload = {
+                "id": "chatcmpl-test",
+                "object": "chat.completion.chunk",
+                "model": body.get("model"),
+                "choices": [
+                    {"index": 0, "delta": delta, "finish_reason": finish}
+                ],
+            }
+            self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+
+        if not has_tool_result:
+            args = json.dumps({"index_uid": "kb", "q": "reset password"})
+            chunk({"role": "assistant", "tool_calls": [
+                {"index": 0, "id": "call_1", "type": "function",
+                 "function": {"name": "_meiliSearchInIndex", "arguments": args[:9]}}]})
+            chunk({"tool_calls": [
+                {"index": 0, "function": {"arguments": args[9:]}}]})
+            chunk({}, finish="tool_calls")
+        else:
+            tool_msg = next(m for m in body["messages"] if m["role"] == "tool")
+            docs = json.loads(tool_msg["content"])["documents"]
+            chunk({"role": "assistant", "content": "Found "})
+            chunk({"content": f"{len(docs)} docs; first: "})
+            chunk({"content": docs[0]["title"]}, finish="stop")
+        self.wfile.write(b"data: [DONE]\n\n")
+
     def do_POST(self):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         _FakeLLM.requests.append(body)
+        if body.get("stream"):
+            self._stream(body)
+            return
         has_tool_result = any(m.get("role") == "tool" for m in body["messages"])
         if not has_tool_result:
             # first round: ask Meilisearch to search
@@ -135,9 +174,23 @@ def test_stream_mode_sse(app, llm_server):
         )
     )
     assert res.status == 200 and res.stream is not None
-    data = b"".join(res.stream).decode()
+    parts = list(res.stream)
+    data = b"".join(parts).decode()
     assert data.startswith("data: ")
     assert "data: [DONE]" in data
+    # token-level passthrough: the answer arrives as MULTIPLE content
+    # deltas relayed from upstream, and the tool loop ran (two upstream
+    # streams), with tool-call deltas interpreted rather than forwarded
+    deltas = [
+        json.loads(p.decode()[6:])["choices"][0]["delta"]
+        for p in parts
+        if p.startswith(b"data: {")
+    ]
+    contents = [d.get("content") for d in deltas if d.get("content")]
+    assert len(contents) >= 3, deltas
+    assert "".join(contents).endswith("How to reset your password")
+    assert not any(d.get("tool_calls") for d in deltas)
+    assert len(_FakeLLM.requests) == 2
 
 
 def test_duplicate_tool_rejected(app, llm_server):
