@@ -85,6 +85,23 @@ class Route:
         self.regex = re.compile(regex)
 
 
+def _batcher_handles(req) -> bool:
+    """Whether this request is served through the SearchBatcher, in which
+    case it must NOT consume a search-queue permit: batched requests wait
+    inside the batcher (not on a core) and execute as one grouped device
+    batch. The permit's capacity is per-core (reference search_queue.rs:31
+    bounds CPU-bound searches) — on a 1-core host it is 2, and gating the
+    batcher behind it capped drains at 2, which silently disabled device
+    serving under load."""
+    if req.method != "POST":
+        return False
+    if getattr(req, "_route_pattern", None) != "/indexes/{index_uid}/search":
+        return False
+    from ..engine.batcher import batchable_body, microbatch_enabled
+
+    return microbatch_enabled() and batchable_body(dict(req.body or {}))
+
+
 class App:
     def __init__(
         self,
@@ -180,7 +197,7 @@ class App:
                         req.auth_token, route.action, index_uid
                     )
                 req.params["_auth"] = auth_ctx
-                if route.action == "search":
+                if route.action == "search" and not _batcher_handles(req):
                     with self.search_queue.permit():
                         result = route.handler(self, req)
                 else:
