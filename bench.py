@@ -41,6 +41,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_QPS = 20.0  # reference README.md:53 <50ms p50 => ~20 QPS/core
 
 
+class KeepAliveClient:
+    """One persistent HTTP/1.1 connection (the reference bench clients
+    reuse connections too; per-request urllib connections cost a TCP
+    handshake plus a fresh server thread each, which on a 1-core host
+    measured as a large share of the serving budget)."""
+
+    def __init__(self, port, timeout=600):
+        import http.client
+
+        self.conn = http.client.HTTPConnection(
+            "127.0.0.1", port, timeout=timeout
+        )
+
+    def request(self, method, path, payload=None):
+        import http.client
+
+        body = None if payload is None else json.dumps(payload).encode()
+        headers = {"Content-Type": "application/json"}
+        for attempt in (0, 1):
+            try:
+                self.conn.request(method, path, body=body, headers=headers)
+                resp = self.conn.getresponse()
+                data = resp.read()
+                return json.loads(data or b"null")
+            except (http.client.HTTPException, OSError):
+                self.conn.close()
+                if attempt:
+                    raise
+
+
 def http(method, port, path, payload=None, timeout=120):
     data = None if payload is None else json.dumps(payload).encode()
     req = urllib.request.Request(
@@ -113,8 +143,10 @@ def main():
     queries.append({"q": "database", "sort": ["points:desc"], "limit": 20})
     queries.append({"q": "ai", "facets": ["author"], "limit": 20})
 
+    main_client = KeepAliveClient(port)
+
     def run_query(q):
-        return http("POST", port, "/indexes/hackernews/search", q, timeout=600)
+        return main_client.request("POST", "/indexes/hackernews/search", q)
 
     # device-kernel warm-up: the per-corpus-bucket XLA compile is a
     # one-time per-machine cost (persistent cache) and must not land
@@ -154,9 +186,10 @@ def main():
     done = [0] * clients
 
     def client(ci):
+        c = KeepAliveClient(port)
         i = ci
         while time.perf_counter() < stop_at:
-            run_query(queries[i % len(queries)])
+            c.request("POST", "/indexes/hackernews/search", queries[i % len(queries)])
             i += clients
             done[ci] += 1
 
