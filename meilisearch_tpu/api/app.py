@@ -97,9 +97,12 @@ def _batcher_handles(req) -> bool:
         return False
     if getattr(req, "_route_pattern", None) != "/indexes/{index_uid}/search":
         return False
-    from ..engine.batcher import batchable_body, microbatch_enabled
+    from ..engine.batcher import microbatch_enabled
 
-    return microbatch_enabled() and batchable_body(dict(req.body or {}))
+    return (
+        microbatch_enabled()
+        and (req.body or {}).get("personalize") is None
+    )
 
 
 class App:

@@ -102,13 +102,18 @@ def register_index_routes(app):
     # -- search ----------------------------------------------------------------
 
     def search_post(app_, req):
-        from ..engine.batcher import batchable_body, microbatch_enabled
+        from ..engine.batcher import microbatch_enabled
 
         store = app_.scheduler.index(req.params["index_uid"])
         query = dict(req.body or {})
         _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
-        if microbatch_enabled() and batchable_body(query):
-            # concurrent requests share device batches (engine/batcher.py)
+        if microbatch_enabled() and query.get("personalize") is None:
+            # ALL searches drain through the batcher: device-eligible
+            # queries share grouped device executes, the rest run in the
+            # executor's host section under ONE store-lock acquisition
+            # per drain. Sending only device-eligible bodies here (and
+            # the rest through the per-core permit, capacity 2 on this
+            # host) let the direct path bottleneck the mixed workload.
             return app_.search_batcher.submit(store, query)
         return perform_search(
             store, query, personalization=app_.personalization

@@ -152,8 +152,15 @@ class SearchBatcher:
             and recent >= self.RATE_MIN_ARRIVALS
         )
         if not loaded:
-            if recent < self.RATE_MIN_ARRIVALS:
-                # load gone: reset to host + fresh measurement next time
+            recent_overlap = drains[-4:] and (
+                sum(drains[-4:]) / len(drains[-4:]) >= 1.5
+            )
+            if recent < self.RATE_MIN_ARRIVALS and not recent_overlap:
+                # load gone: reset to host + fresh measurement next time.
+                # The drain-overlap guard matters in device mode: a big
+                # drain absorbs every blocked client, so arrivals pause
+                # during the execute and burst after it — a raw arrival
+                # trickle at that instant is not "load gone".
                 if self._phase != "idle" or self.mode != "host":
                     self._trace(
                         f"load gone (recent={recent}): reset from"

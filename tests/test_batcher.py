@@ -210,6 +210,22 @@ def test_load_gone_resets_to_host(monkeypatch):
     b = make_batcher([8] * 8)
     b._update_mode(now=100.0, recent=3, store=None)
     assert b._phase == "measure_host"
+    # arrivals trickle AND the recent drains show no overlap -> reset
+    b._drains += [1, 1, 1, 1]
     b._update_mode(now=101.0, recent=0, store=None)
     assert b._phase == "idle"
     assert b.mode == "host"
+
+
+def test_arrival_pause_during_big_drain_is_not_load_gone(monkeypatch):
+    """In device mode a full drain absorbs every blocked client; arrivals
+    pause during the execute and burst after. The instantaneous trickle
+    must not reset a committed device mode."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([32, 32, 32, 32])
+    b._phase = "commit"
+    b.mode = "device"
+    b._phase_until = 200.0
+    b._update_mode(now=101.0, recent=0, store=None)
+    assert b._phase == "commit"
+    assert b.mode == "device"
