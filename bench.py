@@ -49,10 +49,19 @@ class KeepAliveClient:
 
     def __init__(self, port, timeout=600):
         import http.client
+        import socket
 
-        self.conn = http.client.HTTPConnection(
-            "127.0.0.1", port, timeout=timeout
-        )
+        class _Conn(http.client.HTTPConnection):
+            def connect(inner):
+                super(_Conn, inner).connect()
+                # request bodies flush in two sends (headers, body);
+                # without TCP_NODELAY, Nagle holds the second for the
+                # server's delayed ACK (~40 ms flat per request)
+                inner.sock.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                )
+
+        self.conn = _Conn("127.0.0.1", port, timeout=timeout)
 
     def request(self, method, path, payload=None):
         import http.client
