@@ -232,6 +232,11 @@ def main():
         "kernel_warm_s": round(warm_s, 2),
     }
     print(json.dumps(result))
+    sys.stdout.flush()
+    # skip interpreter/C++ teardown: a background kernel-warm thread mid
+    # remote-compile aborts the process at exit ("exception not
+    # rethrown") AFTER the result line — harmless but reads as a crash
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -651,7 +651,10 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
     elif wait:
         import time as _t
 
-        deadline = _t.monotonic() + 600
+        # a tunneled cold compile has measured up to ~900 s; a shorter
+        # cap here once made the bench run host-only because an async
+        # warm (kicked at ingest completion) held "pending" past it
+        deadline = _t.monotonic() + 1800
         while _WARM_STATE.get(key) == "pending" and _t.monotonic() < deadline:
             _t.sleep(0.5)
     return _WARM_STATE.get(key) == "ready"
