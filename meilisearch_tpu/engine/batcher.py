@@ -66,12 +66,17 @@ class SearchBatcher:
     MEASURE_CAP_S = 8.0  # hard stop for a measurement slice
     COMMIT_S = 8.0  # initial winner tenure (doubles to 60 s while stable)
 
+    # two executors pipeline drains: while one blocks on a device
+    # readback (store lock released, search/device_batch.py), the other
+    # prepares and serves the next drain on the core
+    N_EXECUTORS = 2
+
     def __init__(self):
         self.lock = threading.Lock()
         self.queue: list[_Pending] = []
         self.wake = threading.Event()
         self._stop = False
-        self._thread: Optional[threading.Thread] = None
+        self._threads: list[threading.Thread] = []
         self._arrivals: list[float] = []  # recent submit timestamps
         self.mode = "host"
         self._served: list[float] = []  # recent completion timestamps
@@ -90,11 +95,16 @@ class SearchBatcher:
         return sum(1 for t in self._served if now - t <= window) / window
 
     def _ensure_thread(self):
-        if self._thread is None or not self._thread.is_alive():
-            self._thread = threading.Thread(
-                target=self._run, name="search-batcher", daemon=True
+        alive = [t for t in self._threads if t.is_alive()]
+        while len(alive) < self.N_EXECUTORS:
+            t = threading.Thread(
+                target=self._run,
+                name=f"search-batcher-{len(alive)}",
+                daemon=True,
             )
-            self._thread.start()
+            t.start()
+            alive.append(t)
+        self._threads = alive
 
     def stop(self):
         self._stop = True
@@ -123,7 +133,7 @@ class SearchBatcher:
         while not entry.event.wait(timeout=5.0):
             if _time.monotonic() > deadline:
                 raise TimeoutError("search batcher timed out")
-            if self._thread is None or not self._thread.is_alive():
+            if not any(t.is_alive() for t in self._threads):
                 # executor died (interpreter teardown / unrecoverable error):
                 # don't strand the caller
                 if not entry.event.is_set():
@@ -272,7 +282,9 @@ class SearchBatcher:
                     1 for t in self._arrivals if now - t <= self.RATE_WINDOW_S
                 )
                 store_hint = self.queue[0].store
-            self._update_mode(now, recent, store_hint)
+                # under self.lock: two executor threads share one
+                # controller state machine
+                self._update_mode(now, recent, store_hint)
             # the pre-drain hold only pays off when a device execute will
             # amortize it; in host mode it is pure added latency (measured:
             # it doubled serial p50)
