@@ -190,6 +190,9 @@ def main():
     if opt.experimental_enable_logs_route:
         feats["logsRoute"] = True
     app.scheduler.dump_dir = opt.dump_dir
+    if opt.experimental_docs_on_disk:
+        # new indexes spill document bodies to disk (index/docs.py)
+        os.environ["MEILI_TPU_DOCS_SPILL"] = "1"
     from ..engine.s3_snapshot import S3SnapshotOpts
 
     app.scheduler.s3_opts = S3SnapshotOpts.from_options(opt)

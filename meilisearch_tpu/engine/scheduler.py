@@ -886,7 +886,7 @@ class IndexScheduler:
             }
             return {
                 "databaseSize": sum(
-                    len(str(s.documents)) for s in self.indexes.values()
+                    s.documents.approx_bytes() for s in self.indexes.values()
                 ),
                 "usedDatabaseSize": 0,
                 "lastUpdate": max(

@@ -171,7 +171,10 @@ class IndexStore:
         self.settings = Settings()
         self.fields_ids_map = FieldsIdsMap()
 
-        self.documents: dict[int, dict] = {}
+        from .docs import DocTable
+
+        # docid -> document; spill mode keeps bodies on disk (index/docs.py)
+        self.documents: DocTable = DocTable()
         self.external_to_internal: dict[str, int] = {}
         self.internal_to_external: dict[int, str] = {}
         self._next_docid = 0
@@ -1153,6 +1156,10 @@ class IndexStore:
                     post += posting_bytes(p)
                 for key in empty_keys:
                     del table[key]
+            # spill-mode documents: drop orphaned versions on disk too
+            pre += self.documents.file_bytes()
+            self.documents.vacuum()
+            post += self.documents.file_bytes()
             self._bump()
             return pre, post
 

@@ -67,9 +67,9 @@ _FIELDS = [
     ("max_indexing_threads", "int", None),
     ("skip_index_budget", "bool", False),
     ("experimental_no_edition_2024_for_settings", "bool", False),
-    # S3SnapshotOpts (option.rs:896-982) — accepted for config parity;
-    # snapshot upload requires egress this environment forbids, so setting
-    # a bucket produces a boot warning and local snapshots only
+    ("experimental_docs_on_disk", "bool", False),
+    # S3SnapshotOpts (option.rs:896-982): snapshotCreation uploads via
+    # SigV4 presigned URLs when the group is complete (engine/s3_snapshot.py)
     ("s3_bucket_url", "str", None),
     ("s3_bucket_region", "str", None),
     ("s3_bucket_name", "str", None),
