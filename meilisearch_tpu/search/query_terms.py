@@ -325,11 +325,32 @@ class DerivationContext:
         from ..ops.levenshtein import MAX_LEN, osa_distances
 
         m = len(word)
-        # column trim: an edit path using a dictionary prefix longer than
-        # m + max_typo costs more than max_typo, so the DP never needs
-        # more than K columns
+        # device path: the whole-vocabulary OSA DP as ONE execute over the
+        # resident codepoint matrix (ops/device_osa.py) — at a 1M-word
+        # vocabulary the host pass costs ~1.7 s per cold term, the device
+        # pass one tunnel round-trip. Host remains fallback + oracle.
+        from ..ops.device_osa import device_osa_available
+
+        dist = None
+        if device_osa_available(self.store, len(words_all)):
+            try:
+                from ..ops.device_osa import osa_distances_device
+
+                full_d, prefix_d = osa_distances_device(
+                    self.store, mat, lens, word
+                )
+                dist_all = prefix_d if is_prefix else full_d
+                cand_idx = np.flatnonzero(dist_all <= max_typo)
+                dist = dist_all[cand_idx]
+            except Exception:
+                dist = None  # any device failure degrades to the host pass
+        # host pass: column trim — an edit path using a dictionary prefix
+        # longer than m + max_typo costs more than max_typo, so the DP
+        # never needs more than K columns
         K = min(MAX_LEN, m + max_typo)
-        if is_prefix:
+        if dist is not None:
+            pass  # device pass already produced cand_idx/dist
+        elif is_prefix:
             # prefix terms match against every word of length >= m-2 — at
             # a 1M-doc vocabulary that is the whole dictionary, and the
             # full-width pass measured minutes. Two structural cuts:
