@@ -236,7 +236,9 @@ def main():
     os.makedirs(opt.db_path, exist_ok=True)
     journal = TaskJournal(opt.db_path)
     db_snapshot = os.path.join(opt.db_path, "data.ms.snapshot")
-    db_exists = os.path.exists(db_snapshot)
+    db_exists = os.path.exists(db_snapshot) or os.path.exists(
+        os.path.join(opt.db_path, "instance.json")
+    )
 
     def resolve_import(path, kind, ignore_missing, ignore_if_db_exists):
         """--import-{dump,snapshot} with the reference's ignore flags
@@ -264,7 +266,11 @@ def main():
         load_snapshot(app.scheduler, snap_path)
         journal.clear()
     else:
-        if db_exists:
+        from ..engine.dumps import load_packed_checkpoint
+
+        if load_packed_checkpoint(app.scheduler, opt.db_path):
+            pass  # packed columnar checkpoint (fast mmap'd restore)
+        elif db_exists:
             load_snapshot(
                 app.scheduler, db_snapshot, allow_upgrade=opt.upgrade_db
             )
@@ -282,6 +288,21 @@ def main():
             pass
 
     atexit.register(persist)
+    # SIGTERM (systemd/docker/timeout stop) bypasses atexit by default;
+    # checkpoint directly and exit hard (raising SystemExit instead
+    # deadlocks in serve()'s finally: server.shutdown() waits for a
+    # serve_forever loop that already unwound). A SIGKILL crash is
+    # covered by WAL replay instead (engine/journal.py).
+    import signal
+
+    def _graceful_term(signum, frame):
+        persist()
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful_term)
+    except ValueError:
+        pass  # not the main thread (embedded use)
 
     if opt.schedule_snapshot:
         import threading

@@ -323,6 +323,82 @@ def create_snapshot(scheduler, path: Optional[str] = None) -> str:
     return file_path
 
 
+def create_packed_checkpoint(scheduler, db_path: str) -> None:
+    """Durability checkpoint in the PACKED format (index/packed.py):
+    one columnar directory per index plus a small instance.json for
+    tasks/network/features. Boot restore slices mmap'd arrays back into
+    postings instead of re-indexing documents — the SURVEY §7 P0 packed
+    index format & loader on the db path. The portable tar.gz snapshot
+    (create_snapshot) remains the interchange format."""
+    import shutil
+
+    from ..index.packed import save_index
+    from .versioning import SNAPSHOT_FORMAT_VERSION
+
+    idx_dir = os.path.join(db_path, "indexes")
+    os.makedirs(idx_dir, exist_ok=True)
+    # task statuses snapshot BEFORE the store saves: a task finishing
+    # mid-checkpoint is then recorded non-terminal here AND carried by
+    # the journal rotation, so boot replays it (idempotent-by-replay)
+    # instead of trusting a packed store that may predate its effects
+    with scheduler.lock:
+        stores = dict(scheduler.indexes)
+        tasks_snapshot = [
+            t.to_json() for t in scheduler.queue.tasks.values()
+        ]
+        data = {
+            "formatVersion": SNAPSHOT_FORMAT_VERSION,
+            "engineVersion": _engine_version(),
+            "checkpointDate": time.time(),
+            "indexes": sorted(stores),
+            "tasks": tasks_snapshot,
+            "network": scheduler.network,
+            "features": scheduler.runtime_features,
+        }
+    live = set()
+    for uid, store in stores.items():
+        with store._lock:
+            save_index(store, os.path.join(idx_dir, uid + ".packed"))
+        live.add(uid + ".packed")
+    for name in os.listdir(idx_dir):
+        if name.endswith(".packed") and name not in live:
+            shutil.rmtree(os.path.join(idx_dir, name), ignore_errors=True)
+    tmp = os.path.join(db_path, "instance.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(data, fh)
+    os.replace(tmp, os.path.join(db_path, "instance.json"))
+    return tasks_snapshot
+
+
+def load_packed_checkpoint(scheduler, db_path: str) -> bool:
+    """Restore from a packed checkpoint; returns False when none exists."""
+    from ..index.packed import load_index
+
+    meta_path = os.path.join(db_path, "instance.json")
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as fh:
+        data = json.load(fh)
+    with scheduler.lock:
+        for uid in data.get("indexes", []):
+            directory = os.path.join(db_path, "indexes", uid + ".packed")
+            store = load_index(directory)
+            store.dynamic_rules = scheduler.dsr
+            if scheduler.network.get("shards") and store.shard_topology is None:
+                store.set_shard_topology(
+                    sorted(scheduler.network["shards"])
+                )
+            scheduler.indexes[uid] = store
+    # tasks/network/features restore through the shared logical importer
+    payload = {"indexes": {}, "tasks": data.get("tasks", [])}
+    if data.get("network"):
+        payload["network"] = data["network"]
+    if data.get("features"):
+        payload["features"] = data["features"]
+    import_instance(scheduler, payload)
+    return True
+
+
 def load_snapshot(scheduler, file_path: str, allow_upgrade: bool = False) -> None:
     """Open a snapshot, enforcing the version gate (engine/versioning.py):
     same format opens, newer always refuses, older migrates only when

@@ -262,15 +262,24 @@ class IndexScheduler:
         stays replayable."""
         if self.journal is None:
             return
-        from .dumps import create_snapshot
+        from .dumps import create_packed_checkpoint
         from .journal import TERMINAL
 
+        # packed columnar format: boot restore slices mmap'd arrays back
+        # into postings instead of re-indexing (index/packed.py)
+        tasks_snapshot = create_packed_checkpoint(self, self.journal.db_path)
+        terminal_uids = {
+            int(t["uid"])
+            for t in tasks_snapshot
+            if TaskStatus(t.get("status", "enqueued")) in TERMINAL
+        }
         with self.lock:
-            create_snapshot(self, self.journal.db_path)
+            # carry tasks by the SNAPSHOT's view: anything that finished
+            # after it must replay against the checkpointed state
             unfinished = [
                 t
                 for t in self.queue.tasks.values()
-                if t.status not in TERMINAL
+                if t.uid not in terminal_uids
             ]
             self.journal.rotate(carry_tasks=unfinished)
 

@@ -1,0 +1,445 @@
+"""Packed on-disk index snapshot: the L6 storage format.
+
+SURVEY §7 P0 ("packed index format & loader"): a committed generation
+serializes to flat columnar arrays — every posting list's docids live in
+ONE concatenated int64 array per table with an offsets column, keys in
+columnar form (words as one newline-joined blob), documents as JSONL.
+Loading rebuilds each Posting as a zero-copy slice VIEW into the mmap'd
+concatenation: restore cost is file-read + slicing, not re-indexing
+(reference counterpart: the LMDB file IS the index and opening it is
+O(1); here the packed directory plays that role for boot restore, while
+the portable JSON snapshot/dump formats remain for interchange).
+
+Layout of a packed index directory:
+  meta.json   — uid, settings, fields, counts, format version
+  docs.jsonl  — one document per line, docid order
+  arrays.npz  — every columnar table (np.savez, mmap-loadable)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+PACKED_FORMAT_VERSION = 1
+
+
+def _pack_postings(table, key_cols):
+    """table: key -> Posting/set. Returns (columns dict, offsets, ids)."""
+    keys = list(table.keys())
+    ids_parts = []
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    kept_keys = []
+    total = 0
+    for k in keys:
+        p = table[k]
+        arr = p.ids_array() if hasattr(p, "ids_array") else None
+        if arr is None:
+            arr = np.fromiter(sorted(p), dtype=np.int64, count=len(p))
+        if not len(arr):
+            continue
+        kept_keys.append(k)
+        ids_parts.append(arr)
+        total += len(arr)
+        offsets[len(kept_keys)] = total
+    offsets = offsets[: len(kept_keys) + 1]
+    ids = (
+        np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    )
+    cols = key_cols(kept_keys)
+    return cols, offsets, ids
+
+
+def _str_col(strings):
+    """Columnar string list: one joined blob + lengths (newline-free
+    encoding via lengths, so any character is safe)."""
+    blob = "".join(strings).encode("utf-8")
+    lens = np.fromiter(
+        (len(s.encode("utf-8")) for s in strings), np.int64, len(strings)
+    )
+    return blob, lens
+
+
+def _str_col_load(blob: bytes, lens: np.ndarray) -> list[str]:
+    out = []
+    pos = 0
+    for ln in lens.tolist():
+        out.append(blob[pos : pos + ln].decode("utf-8"))
+        pos += ln
+    return out
+
+
+def save_index(store, directory: str) -> None:
+    """Write one index as a packed directory (atomic via tmp+rename)."""
+    from .store import RESERVED_GEOJSON_FIELD
+
+    tmp = directory + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+
+    def add_str_col(name, strings):
+        blob, lens = _str_col(strings)
+        arrays[name + "_blob"] = np.frombuffer(blob, dtype=np.uint8)
+        arrays[name + "_lens"] = lens
+
+    # 1. word-keyed posting tables
+    for name in ("word_docids", "exact_word_docids"):
+        cols, offsets, ids = _pack_postings(
+            getattr(store, name), lambda ks: {"words": ks}
+        )
+        add_str_col(name + "_words", cols["words"])
+        arrays[name + "_offsets"] = offsets
+        arrays[name + "_ids"] = ids
+    # 2. (word, int) tables
+    for name in ("word_fid_docids", "word_position_docids"):
+        cols, offsets, ids = _pack_postings(
+            getattr(store, name),
+            lambda ks: {
+                "words": [k[0] for k in ks],
+                "nums": np.array([k[1] for k in ks], np.int64),
+            },
+        )
+        add_str_col(name + "_words", cols["words"])
+        arrays[name + "_nums"] = cols["nums"]
+        arrays[name + "_offsets"] = offsets
+        arrays[name + "_ids"] = ids
+    # 3. (prox, w1, w2)
+    cols, offsets, ids = _pack_postings(
+        store.word_pair_proximity_docids,
+        lambda ks: {
+            "prox": np.array([k[0] for k in ks], np.int64),
+            "w1": [k[1] for k in ks],
+            "w2": [k[2] for k in ks],
+        },
+    )
+    arrays["wpp_prox"] = cols["prox"]
+    add_str_col("wpp_w1", cols["w1"])
+    add_str_col("wpp_w2", cols["w2"])
+    arrays["wpp_offsets"] = offsets
+    arrays["wpp_ids"] = ids
+    # 4. (fid, count)
+    cols, offsets, ids = _pack_postings(
+        store.field_id_word_count_docids,
+        lambda ks: {
+            "fid": np.array([k[0] for k in ks], np.int64),
+            "cnt": np.array([k[1] for k in ks], np.int64),
+        },
+    )
+    arrays["fwc_fid"] = cols["fid"]
+    arrays["fwc_cnt"] = cols["cnt"]
+    arrays["fwc_offsets"] = offsets
+    arrays["fwc_ids"] = ids
+    # 5. facet numbers: (fid, value) -> docids
+    fn_fid, fn_val, fn_parts = [], [], []
+    fn_offsets = [0]
+    for fid, sub in store.facet_number_docids.items():
+        for val, s in sub.items():
+            if not s:
+                continue
+            fn_fid.append(fid)
+            fn_val.append(val)
+            arr = np.fromiter(sorted(s), np.int64, len(s))
+            fn_parts.append(arr)
+            fn_offsets.append(fn_offsets[-1] + len(arr))
+    arrays["fn_fid"] = np.array(fn_fid, np.int64)
+    arrays["fn_val"] = np.array(fn_val, np.float64)
+    arrays["fn_offsets"] = np.array(fn_offsets, np.int64)
+    arrays["fn_ids"] = (
+        np.concatenate(fn_parts) if fn_parts else np.empty(0, np.int64)
+    )
+    # 6. facet strings: (fid, norm) -> docids (+ original)
+    fs_fid, fs_norm, fs_orig, fs_parts = [], [], [], []
+    fs_offsets = [0]
+    for fid, sub in store.facet_string_docids.items():
+        for norm, s in sub.items():
+            if not s:
+                continue
+            fs_fid.append(fid)
+            fs_norm.append(norm)
+            fs_orig.append(
+                store.facet_string_original.get((fid, norm), norm)
+            )
+            arr = np.fromiter(sorted(s), np.int64, len(s))
+            fs_parts.append(arr)
+            fs_offsets.append(fs_offsets[-1] + len(arr))
+    arrays["fs_fid"] = np.array(fs_fid, np.int64)
+    add_str_col("fs_norm", fs_norm)
+    add_str_col("fs_orig", fs_orig)
+    arrays["fs_offsets"] = np.array(fs_offsets, np.int64)
+    arrays["fs_ids"] = (
+        np.concatenate(fs_parts) if fs_parts else np.empty(0, np.int64)
+    )
+    # 7. fid -> docids sets
+    for name in (
+        "facet_exists_docids",
+        "facet_is_null_docids",
+        "facet_is_empty_docids",
+    ):
+        cols, offsets, ids = _pack_postings(
+            getattr(store, name),
+            lambda ks: {"fid": np.array(ks, np.int64)},
+        )
+        arrays[name + "_fid"] = cols["fid"]
+        arrays[name + "_offsets"] = offsets
+        arrays[name + "_ids"] = ids
+    # 8. per-doc facet values
+    dn_fid, dn_doc, dn_parts = [], [], []
+    dn_offsets = [0]
+    for (fid, docid), vals in store.docid_facet_numbers.items():
+        dn_fid.append(fid)
+        dn_doc.append(docid)
+        dn_parts.append(np.asarray(vals, np.float64))
+        dn_offsets.append(dn_offsets[-1] + len(vals))
+    arrays["dn_fid"] = np.array(dn_fid, np.int64)
+    arrays["dn_doc"] = np.array(dn_doc, np.int64)
+    arrays["dn_offsets"] = np.array(dn_offsets, np.int64)
+    arrays["dn_vals"] = (
+        np.concatenate(dn_parts) if dn_parts else np.empty(0, np.float64)
+    )
+    ds_fid, ds_doc, ds_norms, ds_origs = [], [], [], []
+    ds_counts = []
+    for (fid, docid), pairs in store.docid_facet_strings.items():
+        ds_fid.append(fid)
+        ds_doc.append(docid)
+        ds_counts.append(len(pairs))
+        for norm, orig in pairs:
+            ds_norms.append(norm)
+            ds_origs.append(orig)
+    arrays["ds_fid"] = np.array(ds_fid, np.int64)
+    arrays["ds_doc"] = np.array(ds_doc, np.int64)
+    arrays["ds_counts"] = np.array(ds_counts, np.int64)
+    add_str_col("ds_norm", ds_norms)
+    add_str_col("ds_orig", ds_origs)
+    # 9. external ids (docid order aligns with ext column)
+    ext_ids = list(store.external_to_internal.keys())
+    add_str_col("ext", ext_ids)
+    arrays["ext_docid"] = np.array(
+        [store.external_to_internal[e] for e in ext_ids], np.int64
+    )
+    # 10. vectors + regenerate flags
+    vec_meta = {}
+    for emb, per_doc in store.vectors.items():
+        docids = sorted(per_doc)
+        if not docids:
+            continue
+        rows = [np.asarray(per_doc[d], np.float32) for d in docids]
+        counts = np.array([r.shape[0] for r in rows], np.int64)
+        key = f"vec_{emb}"
+        arrays[key + "_doc"] = np.array(docids, np.int64)
+        arrays[key + "_counts"] = counts
+        arrays[key + "_data"] = (
+            np.concatenate(rows, axis=0)
+            if rows
+            else np.empty((0, 0), np.float32)
+        )
+        vec_meta[emb] = {"dim": int(rows[0].shape[1])}
+    regen = {
+        emb: {str(d): bool(v) for d, v in per.items()}
+        for emb, per in store.vector_regenerate.items()
+    }
+    # 11. geo points
+    geo_ids = sorted(store.geo_points)
+    arrays["geo_doc"] = np.array(geo_ids, np.int64)
+    arrays["geo_latlng"] = np.array(
+        [store.geo_points[d] for d in geo_ids], np.float64
+    ).reshape(len(geo_ids), 2)
+
+    # one .npy per column: np.load(mmap_mode="r") only truly mmaps plain
+    # .npy files (npz members read through the zip layer)
+    for name, arr in arrays.items():
+        np.save(os.path.join(tmp, name + ".npy"), arr)
+
+    with open(os.path.join(tmp, "docs.jsonl"), "w", encoding="utf-8") as fh:
+        for docid in sorted(store.documents.keys()):
+            fh.write(
+                json.dumps(
+                    [docid, store.documents[docid]], ensure_ascii=False
+                )
+            )
+            fh.write("\n")
+
+    meta = {
+        "formatVersion": PACKED_FORMAT_VERSION,
+        "uid": store.uid,
+        "primaryKey": store.primary_key,
+        "createdAt": store.created_at,
+        "updatedAt": store.updated_at,
+        "settings": store.settings.to_json(),
+        "fields": store.fields_ids_map.names(),
+        "nextDocid": store._next_docid,
+        "generation": store.generation,
+        "shardTopology": store.shard_topology,
+        "vectorMeta": vec_meta,
+        "vectorRegenerate": regen,
+        "hasGeojson": bool(store.geojson_shapes),
+        "geojsonField": RESERVED_GEOJSON_FIELD,
+    }
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    if os.path.exists(directory):
+        import shutil
+
+        shutil.rmtree(directory)
+    os.rename(tmp, directory)
+
+
+def load_index(directory: str, spill_docs: Optional[bool] = None):
+    """Rebuild an IndexStore from a packed directory. Posting lists are
+    zero-copy views into the mmap'd concatenated arrays."""
+    from ..types.settings import Settings
+    from .arrays import Posting
+    from .store import IndexStore
+
+    with open(os.path.join(directory, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["formatVersion"] > PACKED_FORMAT_VERSION:
+        raise RuntimeError(
+            "packed index format "
+            f"{meta['formatVersion']} is newer than this engine "
+            f"({PACKED_FORMAT_VERSION}); refusing to open"
+        )
+    class _Cols:
+        """Lazy mmap access to the per-column .npy files."""
+
+        def __getitem__(self, name):
+            return np.load(
+                os.path.join(directory, name + ".npy"), mmap_mode="r"
+            )
+
+    z = _Cols()
+
+    store = IndexStore(meta["uid"], primary_key=meta["primaryKey"])
+    store.created_at = meta["createdAt"]
+    store.updated_at = meta["updatedAt"]
+    store.settings = Settings.from_json(meta["settings"])
+    for name in meta["fields"]:
+        store.fields_ids_map.id_or_insert(name)
+    store._next_docid = meta["nextDocid"]
+    store.generation = meta["generation"]
+    if meta.get("shardTopology"):
+        store.shard_topology = meta["shardTopology"]
+
+    def strs(name):
+        return _str_col_load(
+            z[name + "_blob"].tobytes(), z[name + "_lens"]
+        )
+
+    def seg(ids, offsets, i):
+        p = Posting()
+        p.segs.append(np.asarray(ids[offsets[i] : offsets[i + 1]]))
+        return p
+
+    for name in ("word_docids", "exact_word_docids"):
+        words = strs(name + "_words")
+        ids, offsets = z[name + "_ids"], z[name + "_offsets"]
+        table = getattr(store, name)
+        for i, w in enumerate(words):
+            table[w] = seg(ids, offsets, i)
+    for name in ("word_fid_docids", "word_position_docids"):
+        words = strs(name + "_words")
+        nums = z[name + "_nums"]
+        ids, offsets = z[name + "_ids"], z[name + "_offsets"]
+        table = getattr(store, name)
+        for i, w in enumerate(words):
+            table[(w, int(nums[i]))] = seg(ids, offsets, i)
+    w1, w2 = strs("wpp_w1"), strs("wpp_w2")
+    prox = z["wpp_prox"]
+    ids, offsets = z["wpp_ids"], z["wpp_offsets"]
+    for i in range(len(w1)):
+        store.word_pair_proximity_docids[(int(prox[i]), w1[i], w2[i])] = seg(
+            ids, offsets, i
+        )
+    fid, cnt = z["fwc_fid"], z["fwc_cnt"]
+    ids, offsets = z["fwc_ids"], z["fwc_offsets"]
+    for i in range(len(fid)):
+        store.field_id_word_count_docids[(int(fid[i]), int(cnt[i]))] = seg(
+            ids, offsets, i
+        )
+    fn_fid, fn_val = z["fn_fid"], z["fn_val"]
+    ids, offsets = z["fn_ids"], z["fn_offsets"]
+    for i in range(len(fn_fid)):
+        store.facet_number_docids[int(fn_fid[i])][float(fn_val[i])] = set(
+            ids[offsets[i] : offsets[i + 1]].tolist()
+        )
+    fs_fid = z["fs_fid"]
+    fs_norm, fs_orig = strs("fs_norm"), strs("fs_orig")
+    ids, offsets = z["fs_ids"], z["fs_offsets"]
+    for i in range(len(fs_fid)):
+        f = int(fs_fid[i])
+        store.facet_string_docids[f][fs_norm[i]] = set(
+            ids[offsets[i] : offsets[i + 1]].tolist()
+        )
+        store.facet_string_original[(f, fs_norm[i])] = fs_orig[i]
+    for name in (
+        "facet_exists_docids",
+        "facet_is_null_docids",
+        "facet_is_empty_docids",
+    ):
+        fid = z[name + "_fid"]
+        ids, offsets = z[name + "_ids"], z[name + "_offsets"]
+        table = getattr(store, name)
+        for i in range(len(fid)):
+            table[int(fid[i])] = set(
+                ids[offsets[i] : offsets[i + 1]].tolist()
+            )
+    dn_fid, dn_doc = z["dn_fid"], z["dn_doc"]
+    dn_offsets, dn_vals = z["dn_offsets"], z["dn_vals"]
+    for i in range(len(dn_fid)):
+        store.docid_facet_numbers[(int(dn_fid[i]), int(dn_doc[i]))] = dn_vals[
+            dn_offsets[i] : dn_offsets[i + 1]
+        ].tolist()
+    ds_fid, ds_doc, ds_counts = z["ds_fid"], z["ds_doc"], z["ds_counts"]
+    ds_norms, ds_origs = strs("ds_norm"), strs("ds_orig")
+    pos = 0
+    for i in range(len(ds_fid)):
+        c = int(ds_counts[i])
+        store.docid_facet_strings[(int(ds_fid[i]), int(ds_doc[i]))] = list(
+            zip(ds_norms[pos : pos + c], ds_origs[pos : pos + c])
+        )
+        pos += c
+    ext = strs("ext")
+    ext_docid = z["ext_docid"]
+    for i, e in enumerate(ext):
+        d = int(ext_docid[i])
+        store.external_to_internal[e] = d
+        store.internal_to_external[d] = e
+    for emb, vm in meta.get("vectorMeta", {}).items():
+        key = f"vec_{emb}"
+        docs = z[key + "_doc"]
+        counts = z[key + "_counts"]
+        data = np.asarray(z[key + "_data"])
+        pos = 0
+        for i in range(len(docs)):
+            c = int(counts[i])
+            store.vectors[emb][int(docs[i])] = data[pos : pos + c]
+            pos += c
+    for emb, per in meta.get("vectorRegenerate", {}).items():
+        for d, v in per.items():
+            store.vector_regenerate[emb][int(d)] = bool(v)
+    geo_doc = z["geo_doc"]
+    geo = z["geo_latlng"]
+    for i in range(len(geo_doc)):
+        store.geo_points[int(geo_doc[i])] = (
+            float(geo[i, 0]),
+            float(geo[i, 1]),
+        )
+
+    if spill_docs:
+        store.documents.enable_spill()
+    geo_field = meta.get("geojsonField", "_geojson")
+    rebuild_geojson = meta.get("hasGeojson", False)
+    with open(
+        os.path.join(directory, "docs.jsonl"), encoding="utf-8"
+    ) as fh:
+        for line in fh:
+            docid, doc = json.loads(line)
+            store.documents[docid] = doc
+            if rebuild_geojson and geo_field in doc:
+                # geojson shape objects are derived, not serialized
+                store._index_geo(docid, doc)
+    store._bump()
+    return store

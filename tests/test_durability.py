@@ -61,7 +61,7 @@ def test_replay_reconstructs_unsnapshotted_writes(tmp_path):
 
 
 def test_checkpoint_rotates_and_skips_snapshotted_tasks(tmp_path):
-    from meilisearch_tpu.engine.dumps import load_snapshot
+    from meilisearch_tpu.engine.dumps import load_packed_checkpoint
 
     sched = _mk_scheduler(tmp_path)
     try:
@@ -88,9 +88,7 @@ def test_checkpoint_rotates_and_skips_snapshotted_tasks(tmp_path):
 
     sched2 = IndexScheduler()
     try:
-        load_snapshot(
-            sched2, os.path.join(str(tmp_path), "data.ms.snapshot")
-        )
+        assert load_packed_checkpoint(sched2, str(tmp_path))
         # terminal task views restored from the snapshot
         assert sched2.queue.tasks[t1.uid].status == TaskStatus.SUCCEEDED
         assert replay_journal(sched2, journal2) == 1  # only t2
