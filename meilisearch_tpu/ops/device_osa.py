@@ -34,7 +34,10 @@ from .levenshtein import INF, MAX_LEN
 
 configure_jax()
 
-MIN_DEVICE_VOCAB = 1 << 16  # below ~65k words the host pass wins
+# crossover: the device execute costs a ~0.35 s tunnel round trip flat,
+# the host pass scales with vocabulary (~1.7 s at 1M words, ~0.1 s at
+# 100k) — below ~0.5M words the host wins
+MIN_DEVICE_VOCAB = 1 << 19
 
 
 def _vocab_bucket(n: int) -> int:
