@@ -25,8 +25,16 @@ baseline anchor is derived from its only published absolute number: the
 per-core serving bound of 1000/50 = 20 queries/sec/core — documented in
 BASELINE.md with the caveat that a measured binary would be better.
 
-Env knobs: BENCH_DOCS (100000), BENCH_SECONDS (10), BENCH_CLIENTS (16),
-BENCH_PORT (7799).
+Alongside the HTTP phases the bench reports:
+  inprocess_device_qps — perform_search_many batches directly against the
+      store (no HTTP), quantifying the tunnel+HTTP tax (BASELINE.md)
+  hybrid — 768-d embeddings block (reference workload
+      embeddings-movies-subset-hf.json): in-process hybrid QPS at
+      semanticRatio=0.5 plus IVF recall@10 vs the exact MXU oracle
+
+Env knobs: BENCH_DOCS (1000000 — the hackernews scale the driver targets),
+BENCH_SECONDS (10), BENCH_CLIENTS (64 at 1M / 32 below), BENCH_PORT (7799),
+BENCH_HYBRID (1).
 """
 
 import json
@@ -92,6 +100,107 @@ def http(method, port, path, payload=None, timeout=120):
         return json.loads(resp.read() or b"null")
 
 
+def hybrid_block():
+    """768-d embeddings bench (reference embeddings-movies-subset-hf.json
+    shape): 30k docs with userProvided vectors, hybrid semanticRatio=0.5.
+    Reports in-process hybrid QPS, plus IVF recall@10 against the exact
+    MXU path on the same corpus (BASELINE.json config 4)."""
+    import numpy as np
+
+    from meilisearch_tpu.index.store import IndexStore
+    from meilisearch_tpu.search.perform import perform_search
+    from meilisearch_tpu.utils.synthetic import WORDS
+    from meilisearch_tpu.vector.store import VectorSearcher
+
+    rng = np.random.default_rng(11)
+    n, dim = 30_000, 768
+    # clustered vectors (IVF's hard case is structure, not noise)
+    n_clusters = 64
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = centers[assign] + 0.3 * rng.standard_normal((n, dim)).astype(
+        np.float32
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    store = IndexStore("movies-hybrid", primary_key="id")
+    store.settings.apply_json(
+        {
+            "searchableAttributes": ["title", "overview"],
+            "embedders": {
+                "default": {"source": "userProvided", "dimensions": dim}
+            },
+        }
+    )
+    docs = []
+    for i in range(n):
+        words = rng.choice(WORDS, size=6).tolist()
+        docs.append(
+            {
+                "id": i,
+                "title": " ".join(words[:3]),
+                "overview": " ".join(words),
+                "_vectors": {"default": vecs[i].tolist()},
+            }
+        )
+    t0 = time.perf_counter()
+    for s in range(0, n, 10_000):
+        store.add_documents(docs[s : s + 10_000])
+    index_s = time.perf_counter() - t0
+
+    qvecs = centers[rng.integers(0, n_clusters, size=32)] + 0.3 * (
+        rng.standard_normal((32, dim)).astype(np.float32)
+    )
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    qwords = [" ".join(rng.choice(WORDS, size=2).tolist()) for _ in range(32)]
+
+    def run(i):
+        return perform_search(
+            store,
+            {
+                "q": qwords[i % 32],
+                "vector": qvecs[i % 32].tolist(),
+                "hybrid": {"semanticRatio": 0.5, "embedder": "default"},
+                "limit": 10,
+            },
+        )
+
+    run(0)  # warm caches / device matmul
+    n_done = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 5.0:
+        run(n_done)
+        n_done += 1
+    hybrid_qps = n_done / (time.perf_counter() - t0)
+
+    # IVF recall@10 vs the exact path, same data (tests pin >= 0.9 on
+    # synthetic clusters; this publishes the measured number)
+    exact_vs = VectorSearcher(store, "default")  # 30k < threshold: exact
+    os.environ["MEILI_TPU_IVF_THRESHOLD"] = "10000"
+    store._vector_searcher_cache = {}
+    try:
+        ivf_vs = VectorSearcher(store, "default")
+    finally:
+        del os.environ["MEILI_TPU_IVF_THRESHOLD"]
+        store._vector_searcher_cache = {}
+    hits = 0
+    trials = 32
+    for i in range(trials):
+        exact_ids = {d for d, _s in exact_vs.search(qvecs[i], 10)}
+        ivf_ids = {d for d, _s in ivf_vs.search(qvecs[i], 10)}
+        hits += len(exact_ids & ivf_ids)
+    recall = hits / (trials * 10)
+
+    return {
+        "n_docs": n,
+        "dim": dim,
+        "semantic_ratio": 0.5,
+        "hybrid_qps": round(hybrid_qps, 2),
+        "ivf_recall_at_10": round(recall, 4),
+        "index_s": round(index_s, 2),
+    }
+
+
 # NOTE on client model: the serving hosts here have ONE CPU core
 # (measured: spawning 16 client interpreters costs 45 s and they timeshare
 # the same core as the server), so separate client processes measure
@@ -101,9 +210,14 @@ def http(method, port, path, payload=None, timeout=120):
 
 
 def main():
-    n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "1000000"))
     seconds = float(os.environ.get("BENCH_SECONDS", "10"))
-    clients = int(os.environ.get("BENCH_CLIENTS", "32"))
+    # enough closed-loop clients to keep two device batches in flight
+    # (one draining per executor) — 32 clients can never outrun one
+    # 32-slot drain, which idled the second executor in round 2
+    clients = int(
+        os.environ.get("BENCH_CLIENTS", "64" if n_docs >= 500_000 else "32")
+    )
     port = int(os.environ.get("BENCH_PORT", "7799"))
 
     from http.server import ThreadingHTTPServer
@@ -212,6 +326,32 @@ def main():
         t.join()
     conc_qps = sum(done) / (time.perf_counter() - t0)
 
+    # in-process device phase: perform_search_many straight against the
+    # store (no HTTP, no client threads) — quantifies the HTTP+GIL tax on
+    # the 1-core host (BASELINE.md documents the tunnel share separately)
+    inproc_qps = 0.0
+    try:
+        from meilisearch_tpu.search.perform import perform_search_many
+
+        store = app.scheduler.index("hackernews")
+        batch = [dict(queries[i % len(queries)]) for i in range(32)]
+        perform_search_many(store, batch, force_device=True)  # warm rows
+        n_done = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < max(4.0, seconds / 2):
+            perform_search_many(store, batch, force_device=True)
+            n_done += len(batch)
+        inproc_qps = n_done / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
+    hybrid = None
+    if os.environ.get("BENCH_HYBRID", "1") == "1":
+        try:
+            hybrid = hybrid_block()
+        except Exception as e:
+            hybrid = {"error": repr(e)}
+
     server.shutdown()
     app.scheduler.stop()
 
@@ -230,7 +370,10 @@ def main():
         "n_docs": n_docs,
         "corpus_gen_s": round(gen_s, 2),
         "kernel_warm_s": round(warm_s, 2),
+        "inprocess_device_qps": round(inproc_qps, 2),
     }
+    if hybrid is not None:
+        result["hybrid"] = hybrid
     print(json.dumps(result))
     sys.stdout.flush()
     # skip interpreter/C++ teardown: a background kernel-warm thread mid

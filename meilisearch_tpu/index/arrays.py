@@ -271,6 +271,74 @@ class FacetArrays:
         return union_many(self.str_arrays[i:j])
 
 
+class FacetConcat:
+    """Per-(generation, fid) concatenated facet posting arrays for BULK
+    counting: one gather + one reduceat counts EVERY value's candidate
+    overlap at once (the vectorized strategy behind facet distribution —
+    reference facet_distribution.rs picks between iterate-docs and
+    iterate-tree; this is the iterate-tree arm without the per-value
+    Python loop)."""
+
+    def __init__(self, store, fid: int):
+        fa = facet_arrays(store, fid)
+
+        def build(arrays):
+            kept, parts, offs = [], [], [0]
+            for i, a in enumerate(arrays):
+                if len(a):
+                    kept.append(i)
+                    parts.append(a)
+                    offs.append(offs[-1] + len(a))
+            ids = np.concatenate(parts) if parts else EMPTY
+            return (
+                np.array(kept, dtype=np.int64),
+                ids,
+                np.array(offs, dtype=np.int64),
+            )
+
+        self.num_kept, self.num_ids, self.num_offsets = build(fa.num_arrays)
+        self.str_kept, self.str_ids, self.str_offsets = build(fa.str_arrays)
+        self.num_values = fa.num_values
+        self.str_values = fa.str_values
+
+    def counts(self, mask: Optional[np.ndarray]):
+        """(num_kept_idx, num_counts, str_kept_idx, str_counts) of
+        |value posting ∩ mask| per kept value; mask None = no restriction."""
+
+        def seg(ids, offsets):
+            if len(offsets) <= 1:
+                return np.zeros(0, dtype=np.int64)
+            if mask is None:
+                return np.diff(offsets)
+            if len(ids) and int(ids.max()) >= len(mask):
+                # ids beyond the mask width cannot be candidates
+                hits = np.zeros(len(ids), dtype=np.int64)
+                sel = ids < len(mask)
+                hits[sel] = mask[ids[sel]]
+            else:
+                hits = mask[ids].astype(np.int64)
+            return np.add.reduceat(hits, offsets[:-1])
+
+        return (
+            self.num_kept,
+            seg(self.num_ids, self.num_offsets),
+            self.str_kept,
+            seg(self.str_ids, self.str_offsets),
+        )
+
+
+def facet_concat(store, fid: int) -> FacetConcat:
+    cache = getattr(store, "_facet_concat_cache", None)
+    if cache is None or cache[0] != store.generation:
+        cache = (store.generation, {})
+        store._facet_concat_cache = cache
+    fc = cache[1].get(fid)
+    if fc is None:
+        fc = FacetConcat(store, fid)
+        cache[1][fid] = fc
+    return fc
+
+
 class SortColumns:
     """Dense per-field sort keys: docid -> min/max number (NaN = none) and
     min/max string rank (-1 = none), built from the sorted facet index."""

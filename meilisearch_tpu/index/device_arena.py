@@ -3,14 +3,20 @@
 The measured v5e truth (ops/arena_scorer.py docstring): random gather and
 scatter run at ~270 ns/element over HBM, while dense row reads stream at
 memory bandwidth. So the device index is NOT posting id lists — it is
-dense per-document planes, one ROW per cached posting structure:
+dense per-document planes, one int8 ROW per cached posting structure.
+Round 3 packs each structure family into a single plane (the kernel is
+HBM-bandwidth bound at 1M docs, so fewer/denser rows is the whole game):
 
-  * bitmap rows (D/32 int32 words) for membership masks — per-(term,class)
-    docids, per-term exact words;
-  * byte rows (D int8) for cost structures — min pair-proximity per
-    (left-class, right-class), min fid weight, min position cost,
-    ExactAttribute rank per words level — host-merged so one row carries
-    the whole structure with its default as the fill value.
+  * term planes, one per (term, typo-class): -1 = class absent; else
+    bit 7 = exact-original-word flag (class-0 plane only), bits 4-6 =
+    min field weight, bits 0-3 = min position cost;
+  * pair planes, one per (term edge, left-class): 2-bit min pair
+    proximity cost per right-class at bits 0-1/2-3/4-5, fill 0b111111;
+  * ExactAttribute rank planes per words level (0/1, -1 -> rank 2);
+  * sort planes, one per (field, direction): the doc's sort rank over
+    the field's value order quantized to 255 buckets, stored as
+    rank - 128 (so row 0's constant -1 means "no sort": plain docid
+    tie-break on device).
 
 A query descriptor is then a handful of ROW INDICES in fixed-shape
 matrices; the kernel is pure dense row gathers + the chain DP. Rows are
@@ -18,15 +24,14 @@ built on host once per (generation, structure), uploaded once, resident
 until the store generation changes (the atomic-snapshot-swap model of
 SURVEY §7; the reference's LMDB-page-cache role).
 
-Row 0 of each pool is reserved as the identity row (bitmap: all zero;
-byte: all 255 = the per-structure default sentinel) so absent structures
-need no branches.
+Row 0 of the pool is reserved as the identity row (all -1 = the
+per-structure "absent" sentinel) so absent structures need no branches.
 
 Compile-variant discipline (the round-2 BENCH lesson — each variant costs
-30-290 s of XLA over the tunnel): pool capacities are FIXED per plane
-width D, appends go through one trivial fixed-chunk kernel
-(arena_scorer.append_rows), and filter universes never enter the pools.
-If a pool ever fills, the arena resets and rows re-register on demand
+30-290 s of XLA over the tunnel): pool capacity is FIXED per plane width
+D, appends go through one trivial fixed-chunk kernel
+(arena_scorer.append_rows), and filter universes never enter the pool.
+If the pool ever fills, the arena resets and rows re-register on demand
 from the host caches — a cache flush, not a failure.
 """
 
@@ -39,26 +44,29 @@ import numpy as np
 # the serving import chain must stay loadable when no backend exists.
 APPEND_ROWS = 64
 
-BIT_POOL_BYTES = 1 << 30  # 1 GiB of bitmap rows
-BYTE_POOL_BYTES = 2 << 30  # 2 GiB of cost rows
-MAX_BIT_ROWS = 16384
-MAX_BYTE_ROWS = 4096
-
-
-def bit_capacity(D: int) -> int:
-    return int(min(MAX_BIT_ROWS, max(256, BIT_POOL_BYTES // (D // 8))))
+BYTE_POOL_BYTES = 3 << 30  # 3 GiB of cost rows
+MAX_BYTE_ROWS = 8192
 
 
 def byte_capacity(D: int) -> int:
-    return int(min(MAX_BYTE_ROWS, max(128, BYTE_POOL_BYTES // D)))
+    return int(min(MAX_BYTE_ROWS, max(192, BYTE_POOL_BYTES // D)))
 
 
 def pack_bitmap(ids: np.ndarray, D: int) -> np.ndarray:
-    """Sorted docids -> (D/32,) int32 little-bit-order bitmap row."""
+    """Sorted docids -> (D/32,) int32 little-bit-order bitmap row (used for
+    the per-query filter-universe kernel inputs)."""
     mask = np.zeros(D, dtype=bool)
     if len(ids):
         mask[ids] = True
     return np.packbits(mask, bitorder="little").view(np.uint32).astype(np.int32)
+
+
+def unpack_bitmap(words: np.ndarray, D: int) -> np.ndarray:
+    """(D/32,) int32 row -> (D,) bool mask (inverse of pack_bitmap and of
+    the kernel's candwords packing)."""
+    return np.unpackbits(
+        words.astype(np.int32).view(np.uint8), bitorder="little"
+    )[:D].astype(bool)
 
 
 def byte_plane(parts, D: int, fill: int) -> np.ndarray:
@@ -74,31 +82,80 @@ def byte_plane(parts, D: int, fill: int) -> np.ndarray:
     return plane
 
 
+def term_plane(
+    D: int, class_ids, fid_parts, pos_parts, exact_ids=None
+) -> np.ndarray:
+    """Packed (exact | fid | pos) plane for one (term, typo-class).
+
+    class_ids: sorted docids present in the class; fid_parts/pos_parts:
+    [(ids, value)] min-merged as in byte_plane; exact_ids: docids
+    containing the exact original word (class-0 planes only)."""
+    fid = np.zeros(D, dtype=np.int16)
+    for ids, value in sorted(fid_parts, key=lambda p: -p[1]):
+        if len(ids):
+            fid[ids] = value
+    pos = np.zeros(D, dtype=np.int16)
+    for ids, value in sorted(pos_parts, key=lambda p: -p[1]):
+        if len(ids):
+            pos[ids] = value
+    packed = (np.minimum(fid, 7) << 4) | np.minimum(pos, 15)
+    if exact_ids is not None and len(exact_ids):
+        exact = np.zeros(D, dtype=np.int16)
+        exact[exact_ids] = 0x80
+        packed |= exact
+    plane = packed.astype(np.uint8).view(np.int8)
+    mask = np.zeros(D, dtype=bool)
+    if len(class_ids):
+        mask[class_ids] = True
+    plane[~mask] = -1
+    return plane
+
+
+def pair_plane(D: int, parts_by_class) -> np.ndarray:
+    """Packed 2-bit-per-right-class pair-proximity plane for one
+    (term edge, left-class). parts_by_class: three [(ids, cost)] lists."""
+    combined = np.zeros(D, dtype=np.int8)
+    for cls, parts in enumerate(parts_by_class):
+        combined |= byte_plane(parts, D, 3) << (2 * cls)
+    return combined
+
+
+def sort_plane(D: int, ordered_id_groups) -> np.ndarray:
+    """Quantized sort-rank plane for one (field, direction).
+
+    ordered_id_groups: iterable of docid arrays in ascending rank order
+    (each group = one distinct sort value; docs absent from every group
+    rank LAST). Value groups quantize to 0..253 (equal values stay equal,
+    order preserved); missing-field docs get the reserved rank 254 so
+    they never collide with a value bucket; stored as rank - 128
+    (int8)."""
+    plane = np.full(D, 126, dtype=np.int8)  # 126 + 128 = 254: missing last
+    groups = [g for g in ordered_id_groups if len(g)]
+    n = len(groups)
+    if n:
+        for i, ids in enumerate(groups):
+            q = min((i * 254) // n, 253)
+            plane[ids] = np.int8(q - 128)
+    return plane
+
+
 class DeviceArena:
-    """Row pools for one store at one plane width D. Fixed capacity; a
+    """Row pool for one store at one plane width D. Fixed capacity; a
     full pool resets (rows re-register lazily from host caches)."""
 
     def __init__(self, store, D: int):
         self.store = store
         self.D = D
         self.generation = store.generation
-        self.bit_cap = bit_capacity(D)
         self.byte_cap = byte_capacity(D)
-        self.bit_pool = None  # jnp (bit_cap, D/32) int32
         self.byte_pool = None  # jnp (byte_cap, D) int8
-        self.bit_used = 1  # row 0 reserved (all-zero)
-        self.byte_used = 1  # row 0 reserved (all-255 sentinel)
-        self._bit_rows: dict = {}  # cache key -> row index
-        self._byte_rows: dict = {}
-        self._staged_bits: list[np.ndarray] = []
+        self.byte_used = 1  # row 0 reserved (all-(-1) sentinel)
+        self._byte_rows: dict = {}  # cache key -> row index
         self._staged_bytes: list[np.ndarray] = []
 
     def _reset_rows(self) -> None:
-        self.bit_used = 1
         self.byte_used = 1
-        self._bit_rows.clear()
         self._byte_rows.clear()
-        self._staged_bits = []
         self._staged_bytes = []
 
     def _reset_if_stale(self) -> None:
@@ -106,14 +163,12 @@ class DeviceArena:
             self.generation = self.store.generation
             self._reset_rows()
 
-    def has_room(self, bit_rows_needed: int, byte_rows_needed: int) -> bool:
-        """Whether `*_needed` more rows fit without overflowing a pool
-        (APPEND_ROWS headroom covers append-chunk padding)."""
+    def has_room(self, byte_rows_needed: int) -> bool:
+        """Whether `byte_rows_needed` more rows fit without overflowing the
+        pool (APPEND_ROWS headroom covers append-chunk padding)."""
         self._reset_if_stale()
         return (
-            self.bit_used + len(self._staged_bits) + bit_rows_needed
-            <= self.bit_cap - APPEND_ROWS
-            and self.byte_used + len(self._staged_bytes) + byte_rows_needed
+            self.byte_used + len(self._staged_bytes) + byte_rows_needed
             <= self.byte_cap - APPEND_ROWS
         )
 
@@ -124,74 +179,47 @@ class DeviceArena:
         self._reset_rows()
 
     def footprint(self) -> int:
-        return self.bit_cap * (self.D // 32) * 4 + self.byte_cap * self.D
+        return self.byte_cap * self.D
 
     # -- row registration ---------------------------------------------------
 
-    def bit_row(self, key, build) -> int:
-        """Row index for a bitmap structure; build() -> sorted docid array."""
-        self._reset_if_stale()
-        row = self._bit_rows.get(key)
-        if row is None:
-            row = self.bit_used + len(self._staged_bits)
-            self._staged_bits.append(pack_bitmap(build(), self.D))
-            self._bit_rows[key] = row
-        return row
-
-    def byte_row(self, key, build, fill: int) -> int:
-        """Row index for a cost structure; build() -> [(ids, value)]."""
+    def byte_row(self, key, build) -> int:
+        """Row index for a plane; build() -> (D,) int8 row."""
         self._reset_if_stale()
         row = self._byte_rows.get(key)
         if row is None:
-            parts = build()
             row = self.byte_used + len(self._staged_bytes)
-            self._staged_bytes.append(byte_plane(parts, self.D, fill))
+            self._staged_bytes.append(build())
             self._byte_rows[key] = row
         return row
 
     # -- batch I/O ---------------------------------------------------------------
 
-    def _append(self, pool, staged, used, pad_value, dtype, width):
-        """Upload staged rows in fixed APPEND_ROWS chunks (one compiled
-        append kernel per pool shape — never a scorer recompile)."""
-        from ..ops.arena_scorer import append_rows
-
-        for start in range(0, len(staged), APPEND_ROWS):
-            chunk = staged[start : start + APPEND_ROWS]
-            buf = np.full((APPEND_ROWS, width), pad_value, dtype=dtype)
-            for i, row in enumerate(chunk):
-                buf[i] = row
-            # padding rows land above the watermark and are overwritten by
-            # the next append; capacity headroom is guaranteed by ensure_room
-            pool = append_rows(pool, buf, np.int32(used + start))
-        return pool, used + len(staged)
-
     def prepare_batch(self):
-        """Flush staged rows into the resident pools; returns
-        (bit_pool, byte_pool) ready for the scorer."""
+        """Flush staged rows into the resident pool; returns the byte pool
+        ready for the scorer."""
         import jax.numpy as jnp
 
+        from ..ops.arena_scorer import append_rows
+
         self._reset_if_stale()
-        D32 = self.D // 32
-        if self.bit_pool is None or self.bit_pool.shape[0] != self.bit_cap:
-            self.bit_pool = jnp.zeros((self.bit_cap, D32), jnp.int32)
-            self.bit_used = 1
         if self.byte_pool is None or self.byte_pool.shape[0] != self.byte_cap:
             self.byte_pool = jnp.full((self.byte_cap, self.D), -1, jnp.int8)
             self.byte_used = 1
-        if self._staged_bits:
-            self.bit_pool, self.bit_used = self._append(
-                self.bit_pool, self._staged_bits, self.bit_used, 0,
-                np.int32, D32,
+        staged = self._staged_bytes
+        for start in range(0, len(staged), APPEND_ROWS):
+            chunk = staged[start : start + APPEND_ROWS]
+            buf = np.full((APPEND_ROWS, self.D), -1, dtype=np.int8)
+            for i, row in enumerate(chunk):
+                buf[i] = row
+            # padding rows land above the watermark and are overwritten by
+            # the next append; capacity headroom is guaranteed by has_room
+            self.byte_pool = append_rows(
+                self.byte_pool, buf, np.int32(self.byte_used + start)
             )
-            self._staged_bits = []
-        if self._staged_bytes:
-            self.byte_pool, self.byte_used = self._append(
-                self.byte_pool, self._staged_bytes, self.byte_used, -1,
-                np.int8, self.D,
-            )
-            self._staged_bytes = []
-        return self.bit_pool, self.byte_pool
+        self.byte_used += len(staged)
+        self._staged_bytes = []
+        return self.byte_pool
 
 
 def get_arena(store, D: int) -> DeviceArena:

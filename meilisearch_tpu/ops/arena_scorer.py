@@ -4,43 +4,59 @@ row reads only.
 Design forced by measurement on the tunneled v5e (see git history for the
 raw numbers):
 
-  * every execute costs a fixed ~28 ms -> batch queries;
+  * every execute costs a fixed ~27 ms round trip and readback streams at
+    only ~25-70 MB/s -> batch queries AND keep outputs small;
   * random gather/scatter runs at ~270 ns/element while dense rows stream
     at HBM bandwidth -> posting structures live as dense per-document
-    planes (bitmap rows for masks, int8 rows for costs), built once on
-    host per (generation, structure) and resident thereafter
-    (index/device_arena.py);
+    planes built once on host per (generation, structure) and resident
+    thereafter (index/device_arena.py);
+  * the kernel is HBM-bandwidth bound at 1M docs, so round 3 packs the
+    per-(term, typo-class) structures into ONE int8 plane each
+    (bit 7 exact-word flag on the class-0 plane, bits 4-6 min field
+    weight, bits 0-3 min position cost, -1 = class absent) and the pair
+    proximities into ONE int8 plane per (term-edge, left-class) (2-bit
+    cost per right-class, fill 0b111111) — ~41 MB of row reads per query
+    at D=2^20 versus ~90 MB for the round-2 separate-plane layout;
   * a full-axis sort costs 0.1-10 s, lax.top_k rides under the dispatch
     floor -> the rank key packs into one int32 and top_k picks the page,
     a second top_k resolving the kth-key tie class exactly;
   * a cold XLA compile costs 30-290 s over the tunnel -> the NUMBER OF
-    COMPILED VARIANTS is itself a first-order cost. Round-2 lesson
-    (BENCH run with ladders): pow4 pool-capacity growth x fresh-row
-    buckets x {2,4,6} T-ladder x {8,32} B-ladder produced dozens of
-    variants and compile time swamped serving. This version compiles ONE
-    scoring program per corpus-size bucket: B and T are fixed at their
-    maxima (padding is cheap — the kernel is dispatch/bandwidth bound,
-    not FLOPs bound), pool capacities are fixed per D (index/device_arena
-    flushes and re-registers rows if ever full), and row appends moved to
+    COMPILED VARIANTS is itself a first-order cost. This version compiles
+    ONE scoring program per corpus-size bucket: B and T are fixed at
+    their maxima, pool capacities are fixed per D, and row appends ride
     a separate trivial kernel so the scorer's shapes never change.
 
-The per-query descriptor is a handful of row indices in fixed-shape
-matrices — a few hundred bytes of host->device traffic per query. Filter
-universes ride as packed (B, D/32) bitmap inputs (a few hundred KB),
-NOT as pool rows: transient rows were the other recompile source. The
-ranking semantics are the `last`-strategy suffix DP shared with
+Round-3 additions (VERDICT r2 "widen the device-servable class"):
+
+  * `sort_rows`/`use_sort`: a resident byte plane per (field, direction)
+    holds the doc's quantized sort rank (value order quantized to 255
+    buckets, stored as int8 rank-128). For sort queries the FIRST top_k
+    selects on the key with the below-sort rule bits masked off (the
+    reference's default criteria put `sort` between `attribute` and
+    `exactness`, criterion.rs:28), and the kth-tie pass orders by
+    (quantized rank, docid) so the host can reconstruct the exact
+    (relevance, sort-value, exactness, docid) order — with an explicit
+    ambiguity check that falls back to the host scorer when quantization
+    cannot prove the page exact (search/device_batch.py).
+  * `candwords`: the kernel also returns each query's FULL candidate set
+    as a packed bitmap, left device-resident; the host fetches a 128 KB
+    row only for queries that need full-candidate semantics (facet
+    distribution, distinct totals) instead of paying a 4 MB readback on
+    every batch over the ~25 MB/s tunnel.
+
+The ranking semantics are the `last`-strategy suffix DP shared with
 ops/batch_scorer (_chain_dp), pinned by tests/golden and the 3-way
 ranking fuzz; parity target is search/new/bucket_sort.rs:23 ordering at
 graph_based_ranking_rule.rs:220 fidelity.
 
-Byte-plane value conventions (host side: index/device_arena.byte_plane):
-  pair rows: min proximity cost per (left-class, right-class), fill 3
-  fid rows:  min field weight, fill -1 (= INF)
-  pos rows:  min position cost, fill -1 (= INF)
-  ea rows:   ExactAttribute rank 0/1 per words level, fill 2
+Byte-plane value conventions (host side: index/device_arena.py):
+  term rows: -1 absent; else bit7 exact (cls-0 plane only),
+             bits 4-6 fid weight, bits 0-3 position cost
+  pair rows: 2-bit min proximity cost per right-class at bits 0-1/2-3/4-5
+  ea rows:   ExactAttribute rank 0/1 per words level, fill 2 (-1 -> 2)
+  sort rows: quantized sort rank - 128 (row 0 = constant -> docid order)
 Row 0 of the byte pool is all -1 and row 0 of the bit pool is all zero,
-so "structure absent" is just row index 0 (the kernel maps -1 under pair
-to 3 and under ea to 2 for that case).
+so "structure absent" is just row index 0.
 """
 
 from __future__ import annotations
@@ -56,7 +72,7 @@ from .jax_setup import configure_jax
 configure_jax()
 
 INF32 = jnp.int32(1 << 24)
-INF16 = jnp.int16(20000)
+INVALID_KEY = 1 << 30
 TOPK = 1024
 
 
@@ -66,7 +82,13 @@ def _key_layout(T: int):
     field is wide enough for its accumulated bound): words(T via skips),
     typo(2T), proximity(3(T-1)), fid(7T), position(10T), a 2-bit gap where
     the ExactAttribute rank lands AFTER the DP (it depends on the final
-    words level), exactness(T). Total <= 29 bits for T <= 6."""
+    words level), exactness(T). Total <= 29 bits for T <= 6.
+
+    The `sort` ranking rule of the reference's default criteria sits
+    between attributeRank (fid) and wordPosition (criterion.rs:121
+    default_criteria), i.e. just below bit sh_fd: masking the low sh_fd
+    bits (position + ea + exactness) yields the above-sort portion of
+    the key."""
     ex_b = (T + 1).bit_length()
     ps_b = (10 * T + 1).bit_length()
     fd_b = (7 * T + 1).bit_length()
@@ -84,18 +106,14 @@ def _key_layout(T: int):
     return sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total
 
 
-def _packed_chain_dp(class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D):
+def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost, exact_mask, T, D):
     """`last`-strategy suffix DP over ONE packed int32 key per state —
-    6x less state traffic than the 6-row cost-matrix DP and a plain
-    jnp.minimum instead of a 6-pass lexicographic min. Semantics are
-    batch_scorer._chain_dp's: states [cls0, cls1, cls2, skip], a visit may
-    only follow a visit (or START at t=0), the skip state absorbs all and
-    never feeds back.
+    states [cls0, cls1, cls2, skip], a visit may only follow a visit (or
+    START at t=0), the skip state absorbs all and never feeds back.
 
-    fid/pos bytes are clamped to their per-step bounds (7 / 10): the host
-    builder guarantees a doc inside class_mask always has fid and position
-    postings for that (term, class) — the -1 'absent' sentinel only ever
-    applies to docs the class_mask where() already invalidates."""
+    fid/pos values are clamped to their per-step bounds (7 / 10): the host
+    builder guarantees a doc inside a present class always has fid and
+    position postings for that (term, class)."""
     sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total = _key_layout(T)
     BIG = jnp.int32(1 << total)  # invalid-state sentinel (> any valid key)
 
@@ -122,7 +140,7 @@ def _packed_chain_dp(class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D
                     )
                 cand = states[prev] + add
                 best = cand if best is None else jnp.minimum(best, cand)
-            best = jnp.where(class_mask[t, cls], best, BIG)
+            best = jnp.where(present[t, cls], best, BIG)
             new_states.append(jnp.minimum(best, BIG))
         skip_add = jnp.int32(1 << sh_w)
         if t == 0:
@@ -138,7 +156,7 @@ def _packed_chain_dp(class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D
     key = jnp.minimum(
         jnp.minimum(states[0], states[1]), jnp.minimum(states[2], states[3])
     )
-    return key, BIG, sh_ea, sh_w
+    return key, BIG, sh_ea, sh_ps, sh_w
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -151,49 +169,51 @@ def append_rows(pool, fresh, used):
 
 @functools.partial(jax.jit, static_argnames=("T", "D", "k"))
 def planes_chain_topk(
-    bit_pool,  # (NB, D/32) int32 — resident, NOT donated
     byte_pool,  # (NC, D) int8 — resident, NOT donated
-    class_rows,  # (B, T, 3) int32 bit rows
-    exact_rows,  # (B, T) int32 bit rows
+    term_rows,  # (B, T, 3) int32 byte rows: packed (exact|fid|pos) per class
+    pair_rows,  # (B, tp, 3) int32 byte rows: 2-bit cost per right-class
+    ea_rows,  # (B, T+1) int32 byte rows
+    sort_rows,  # (B,) int32 byte rows (quantized sort rank - 128)
+    use_sort,  # (B,) bool — mask below-sort key bits in selection
     universe,  # (B, D/32) int32 packed filter universes
     use_valid,  # (B,) bool — True: intersect with `universe` row
-    pair_rows,  # (B, tp, 3, 3) int32 byte rows
-    fid_rows,  # (B, T, 3) int32 byte rows
-    pos_rows,  # (B, T, 3) int32 byte rows
-    ea_rows,  # (B, T+1) int32 byte rows
     adj,  # (B, tp) bool
     live,  # (D,) bool
     T: int,
     D: int,
     k: int,
 ):
-    """Returns one (B, 4k+1) int32 tensor: [idx1 | key1 | idx2 | key2 | count]."""
+    """Returns (out, candwords):
+    out        (B, 4k+1) int32: [idx1 | key1 | idx2 | key2 | count]
+    candwords  (B, D/32) int32: packed full candidate bitmaps (device-kept)
+    """
     tp = max(T - 1, 1)
-
-    def unpack(rows):
-        words = bit_pool[rows]  # (..., D/32)
-        bits = (words[..., None] >> jnp.arange(32, dtype=jnp.int32)) & 1
-        return bits.reshape(rows.shape + (D,)).astype(bool)
+    _, _, sh_fd, _, _, _, _ = _key_layout(T)
+    low_mask = jnp.int32((1 << sh_fd) - 1)
 
     def unpack_words(words):  # (D/32,) int32 -> (D,) bool
         bits = (words[:, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
         return bits.reshape(D).astype(bool)
 
     def one(args):
-        crows, erows, urow, uv, prows, frows, orows, earows, aj = args
-        class_mask = unpack(crows)  # (T, 3, D)
-        exact_mask = unpack(erows)  # (T, D)
+        trows, prows, earows, srow, us, urow, uv, aj = args
+        planes = byte_pool[trows]  # (T, 3, D) int8
+        present = planes != jnp.int8(-1)
+        fid_cost = (planes >> 4) & 7  # arithmetic shift + mask: sign-safe
+        pos_cost = planes & 15
+        # exact flag: sign bit set but not the -1 absence sentinel; it is
+        # only encoded on the class-0 plane (an exact original word is by
+        # definition a zero-typo match)
+        exact_mask = (planes[:, 0] < 0) & present[:, 0]
 
-        pair_b = byte_pool[prows]  # (tp, 3, 3, D) int8
-        pair_cost = jnp.where(pair_b < 0, jnp.int8(3), pair_b)
+        pair_b = byte_pool[prows]  # (tp, 3, D) int8
+        cls_shift = jnp.arange(3, dtype=jnp.int8)[None, None, :, None] * 2
+        pair_cost = (pair_b[:, :, None, :] >> cls_shift) & 3  # (tp,3,3,D)
         # non-adjacent consecutive terms have the free term edge (cost 0)
         pair_cost = jnp.where(aj[:tp, None, None, None], pair_cost, 0)
 
-        fid_cost = byte_pool[frows]  # (T, 3, D) int8 (-1 = absent)
-        pos_cost = byte_pool[orows]
-
-        key, BIG, sh_ea, sh_w = _packed_chain_dp(
-            class_mask, pair_cost, fid_cost, pos_cost, exact_mask, T, D
+        key, BIG, sh_ea, sh_ps_, sh_w = _packed_chain_dp(
+            present, fid_cost, pos_cost, pair_cost, exact_mask, T, D
         )
         dead = key >= BIG  # no valid interpretation
 
@@ -210,53 +230,73 @@ def planes_chain_topk(
 
         valid = jnp.where(uv, unpack_words(urow) & live, live)
         invalid = (~valid) | dead
-        key = jnp.where(invalid, jnp.int32(1) << 30, key)
+        key = jnp.where(invalid, jnp.int32(INVALID_KEY), key)
+
+        # the full candidate set as a packed bitmap (device-resident
+        # output; host fetches single rows only for facet/distinct needs)
+        cbits = (~invalid).reshape(D // 32, 4, 8)
+        cbytes = jnp.sum(
+            cbits.astype(jnp.int32) << jnp.arange(8, dtype=jnp.int32), axis=2
+        )
+        cwords = (
+            cbytes[:, 0]
+            | (cbytes[:, 1] << 8)
+            | (cbytes[:, 2] << 16)
+            | (cbytes[:, 3] << 24)
+        )
+
+        # sort queries select on the key with the below-sort rule bits
+        # masked (exactness resolves AFTER the sort value, host-side);
+        # the invalid sentinel has no low bits so it survives the mask
+        sel_key = jnp.where(us, key & ~low_mask, key)
+
         # TPU top_k does NOT break ties by lower index (measured: tie
         # members come back scrambled and the k-boundary picks arbitrary
-        # tie-class members). Exact selection: top_k by key gives the kth
-        # key threshold and every strictly-better doc; a second top_k over
-        # the tie class picks its LOWEST docids; the host merges both 1k
-        # lists and finishes with a stable (key, docid) sort of 2k rows.
-        negv, idx1 = jax.lax.top_k(-key, k)
-        key1 = -negv
-        kth = key1[k - 1]
+        # tie-class members). Exact selection: top_k by sel_key gives the
+        # kth threshold and every strictly-better doc; a second top_k over
+        # the kth tie class picks its best members by (quantized sort
+        # rank, docid); the host merges both lists exactly.
+        negv, idx1 = jax.lax.top_k(-sel_key, k)
+        key1 = key[idx1]
+        kth = -negv[k - 1]
+        qsort = (byte_pool[srow].astype(jnp.int32) + 128) & 255  # 0..255
+        iota = jnp.arange(D, dtype=jnp.int32)
         tie_rank = jnp.where(
-            key == kth, -jnp.arange(D, dtype=jnp.int32), jnp.int32(-(2**31) + 1)
+            sel_key == kth,
+            -((qsort << 23) | iota),
+            jnp.int32(-(2**31) + 1),
         )
         tr2, idx2 = jax.lax.top_k(tie_rank, k)
-        key2 = jnp.where(tr2 > jnp.int32(-(2**31) + 1), kth, jnp.int32(1) << 30)
+        key2 = jnp.where(
+            tr2 > jnp.int32(-(2**31) + 1), key[idx2], jnp.int32(INVALID_KEY)
+        )
         count = jnp.sum(~invalid).astype(jnp.int32)
-        return idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2, count
+        return (
+            idx1.astype(jnp.int32),
+            key1,
+            idx2.astype(jnp.int32),
+            key2,
+            count,
+            cwords,
+        )
 
+    xs = (term_rows, pair_rows, ea_rows, sort_rows, use_sort, universe,
+          use_valid, adj)
     # chunked map bounds peak HBM: vmap over the full batch materializes
-    # (B, T, 3, D) temporaries — 46 GB at D=2^20 (measured OOM with the
-    # 6-row DP). Above the threshold, chunks run as an on-device loop
-    # (no extra host dispatches).
-    xs = (
-        class_rows,
-        exact_rows,
-        universe,
-        use_valid,
-        pair_rows,
-        fid_rows,
-        pos_rows,
-        ea_rows,
-        adj,
-    )
-    # chunk=16 measured at D=2^20: compile 150 s, warm 0.47 s/32 queries,
-    # peak fits HBM (full vmap needs 17.6 GB > 16 GB; chunk=8's scan took
-    # pathologically long to compile)
+    # (B, T, 3, D) temporaries. chunk=16 measured at D=2^20: compile
+    # 150 s, warm under 0.5 s/32 queries, peak fits HBM.
     bs = int(os.environ.get("MEILI_TPU_BATCH_CHUNK", "16"))
-    if D <= (1 << 18) or bs >= class_rows.shape[0]:
-        idx1, key1, idx2, key2, counts = jax.vmap(lambda *a: one(a))(*xs)
+    if D <= (1 << 18) or bs >= term_rows.shape[0]:
+        idx1, key1, idx2, key2, counts, cwords = jax.vmap(lambda *a: one(a))(*xs)
     else:
-        idx1, key1, idx2, key2, counts = jax.lax.map(one, xs, batch_size=bs)
-    # ONE output tensor: each host readback over the tunnel is a round
-    # trip, so the candidate lists and counts ride together
-    out = jnp.concatenate(
-        [idx1, key1, idx2, key2, counts[:, None]], axis=1
-    )
-    return out
+        idx1, key1, idx2, key2, counts, cwords = jax.lax.map(
+            one, xs, batch_size=bs
+        )
+    # ONE small output tensor: each host readback over the tunnel is a
+    # ~27 ms round trip at ~25-70 MB/s, so the candidate lists and counts
+    # ride together and the (B, D/32) bitmap stays on device
+    out = jnp.concatenate([idx1, key1, idx2, key2, counts[:, None]], axis=1)
+    return out, cwords
 
 
 def merge_topk_host(idx1, key1, idx2, key2, count, k):
@@ -264,7 +304,7 @@ def merge_topk_host(idx1, key1, idx2, key2, count, k):
     2k rows). Returns docids ascending by (key, docid), -1 padded."""
     import numpy as np
 
-    invalid_key = np.int32(1) << 30
+    invalid_key = np.int32(INVALID_KEY)
     idx = np.concatenate([idx1, idx2])
     key = np.concatenate([key1, key2])
     keep = key < invalid_key
@@ -275,3 +315,66 @@ def merge_topk_host(idx1, key1, idx2, key2, count, k):
     out = np.full(k, -1, dtype=np.int32)
     out[: len(order)] = idx[order]
     return out
+
+
+def merge_topk_sort_host(
+    idx1, key1, idx2, key2, count, k, T, sort_key_rows, qsort_of
+):
+    """Exact ordered top-k for a SORT query (numpy). The kernel selected on
+    the above-sort key portion; the final order is (above-sort key bits,
+    sort criteria values, below-sort key bits, docid).
+
+    sort_key_rows: callback(candidate docids) -> list of key rows for the
+    sort criteria in rule order (executor._sort_field_rows semantics).
+    qsort_of: callback(candidate docids) -> quantized rank used on device
+    (for the truncation-ambiguity proof).
+
+    Returns (docids int32 array padded with -1, n_exact) where n_exact is
+    how many leading positions are PROVEN exact; a page extending past
+    n_exact must fall back to the host scorer."""
+    import numpy as np
+
+    sh_fd = _key_layout(T)[2]
+    low_mask = (1 << sh_fd) - 1
+    invalid_key = np.int32(INVALID_KEY)
+
+    idx = np.concatenate([idx1, idx2])
+    key = np.concatenate([key1, key2])
+    keep = key < invalid_key
+    idx, key = idx[keep], key[keep]
+    idx, uniq = np.unique(idx, return_index=True)
+    key = key[uniq]
+    if not len(idx):
+        return np.full(k, -1, dtype=np.int32), k
+
+    hi = key & ~np.int32(low_mask)
+    kth = int(hi.max())
+    # every doc with hi < kth is present (top_k guarantees); the kth
+    # bucket's membership comes from the second top_k, selected by
+    # (quantized rank, docid)
+    srows = sort_key_rows(idx)
+    lo = key & np.int32(low_mask)
+    order = np.lexsort([idx, lo] + list(reversed(srows)) + [hi])
+    idx_o, hi_o = idx[order], hi[order]
+
+    in_kth = hi_o == kth
+    n_kth_returned = int(np.count_nonzero(hi == kth))
+    # valid idx2 entries all belong to the kth bucket; if fewer than k came
+    # back the bucket is complete and everything is exact
+    truncated = int(np.count_nonzero(key2 < invalid_key)) >= k
+    if not truncated:
+        n_exact = min(int(count), k)
+    else:
+        q = qsort_of(idx_o)
+        qmax = q[in_kth].max() if n_kth_returned else 0
+        # kth-bucket members with quantized rank < qmax are ALL present
+        # (second top_k truncates at the (qmax, docid) frontier), so the
+        # exact prefix ends at the first returned member with rank == qmax
+        ambiguous = in_kth & (q >= qmax)
+        first_bad = int(np.argmax(ambiguous)) if ambiguous.any() else len(idx_o)
+        n_exact = first_bad
+
+    out = np.full(k, -1, dtype=np.int32)
+    n = min(len(idx_o), k, int(count))
+    out[:n] = idx_o[:n]
+    return out, n_exact

@@ -53,6 +53,10 @@ class SearchResult:
     details_by_docid: dict = dc_field(default_factory=dict)
     # device-batch path: exact match count (candidates holds only top-K)
     total_hits: Optional[int] = None
+    # device-batch path: full candidate set as a (D,) bool mask, fetched
+    # from the kernel's device-resident packed bitmap only when the query
+    # needs full-candidate semantics (facet distribution)
+    candidates_mask: Optional[np.ndarray] = None
 
 
 def merge_ranks(ranks: list[tuple[int, int]]) -> float:
@@ -81,6 +85,10 @@ class Search:
     compute_scores: bool = False
     compute_score_details: bool = False
     cutoff_ms: Optional[int] = None
+    # requested facet fields (perform layer); the host executor ignores
+    # this (facet distribution reads result.candidates), but the device
+    # batch uses it to fetch the full candidate bitmap for those queries
+    facets: Optional[list] = None
 
     # ------------------------------------------------------------------
 

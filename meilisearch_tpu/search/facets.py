@@ -79,20 +79,28 @@ def facet_distribution(
         counts: dict = {}
         min_n = max_n = None
         if fid is not None:
-            for value, docids in store.facet_number_docids.get(fid, {}).items():
-                n = counter.count(("fn", fid, value), docids)
+            # bulk strategy: ONE gather + reduceat over the concatenated
+            # per-value posting arrays counts every value at once
+            # (reference facet_distribution.rs iterate-tree arm, without
+            # the per-value loop)
+            from ..index.arrays import facet_concat
+
+            fc = facet_concat(store, fid)
+            nk, ncounts, sk, scounts = fc.counts(counter.mask)
+            for i, n in zip(nk, ncounts):
                 if n:
+                    value = fc.num_values[i]
                     key = int(value) if float(value).is_integer() else value
-                    counts[("n", value)] = (key, n)
+                    counts[("n", value)] = (key, int(n))
                     if min_n is None or value < min_n:
                         min_n = value
                     if max_n is None or value > max_n:
                         max_n = value
-            for norm, docids in store.facet_string_docids.get(fid, {}).items():
-                n = counter.count(("fs", fid, norm), docids)
+            for i, n in zip(sk, scounts):
                 if n:
+                    norm = fc.str_values[i]
                     orig = store.facet_string_original.get((fid, norm), norm)
-                    counts[("s", norm)] = (orig, n)
+                    counts[("s", norm)] = (orig, int(n))
 
         order = order_config.get(facet, order_config.get("*", "alpha"))
         items = list(counts.items())
@@ -196,23 +204,37 @@ def search_facet_values(
 
 
 class _Counter:
-    """Counts |value posting ∩ candidates| via a dense candidate-index map
-    over the per-generation cached posting arrays — O(|posting|) per value
-    instead of hashed set intersections."""
+    """Counts |value posting ∩ candidates| over the per-generation cached
+    posting arrays. `candidates` may be None (no restriction), a docid
+    set/array, or a (D,) bool mask (the device batch's full-candidate
+    bitmap, search/device_batch.py)."""
 
     def __init__(self, store, candidates):
         self.none = candidates is None
+        self.mask = None
         if self.none:
             return
         self.cache = ArrayCache(store)
+        if isinstance(candidates, np.ndarray) and candidates.dtype == bool:
+            self.mask = candidates
+            return
         arr = (
             candidates
             if isinstance(candidates, np.ndarray)
             else to_array(set(candidates))
         )
-        self.cidx = CandidateIndex(arr, store._next_docid)
+        size = max(store._next_docid, 1)
+        self.mask = np.zeros(
+            max(size, int(arr[-1]) + 1 if len(arr) else 1), dtype=bool
+        )
+        self.mask[arr] = True
 
     def count(self, key, docids_set) -> int:
         if self.none:
             return len(docids_set)
-        return self.cidx.count(self.cache.get(key, docids_set))
+        ids = self.cache.get(key, docids_set)
+        if not len(ids):
+            return 0
+        if int(ids[-1]) >= len(self.mask):
+            ids = ids[ids < len(self.mask)]
+        return int(np.count_nonzero(self.mask[ids]))

@@ -172,6 +172,7 @@ def _perform_search_locked(
         locales=query.get("locales"),
         compute_scores=scores_needed or hybrid is not None,
         compute_score_details=bool(query.get("showRankingScoreDetails")),
+        facets=query.get("facets") or None,
     )
 
     if _collect_search:
@@ -216,9 +217,14 @@ def _perform_search_locked(
 
     facets = query.get("facets")
     if facets:
-        dist, stats = facet_distribution(
-            store, facets, result.candidates
+        # the device batch returns the FULL candidate set as a bitmap
+        # (result.candidates holds only the ranked top-k there)
+        facet_candidates = (
+            result.candidates_mask
+            if result.candidates_mask is not None
+            else result.candidates
         )
+        dist, stats = facet_distribution(store, facets, facet_candidates)
         response["facetDistribution"] = dist
         response["facetStats"] = stats
 
@@ -255,6 +261,10 @@ _DEVICE_BATCH_SAFE_KEYS = {
     "attributesToRetrieve", "attributesToCrop", "cropLength",
     "attributesToHighlight", "highlightPreTag", "highlightPostTag",
     "cropMarker", "showMatchesPosition", "matchingStrategy", "locales",
+    # round 3: sort / facets / distinct ride the device path
+    # (search/device_batch.py), with per-query host fallback when the
+    # device cannot prove the page exact
+    "sort", "facets", "distinct",
 }
 
 

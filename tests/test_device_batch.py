@@ -39,11 +39,15 @@ def store():
         {"id": 401, "title": "databse rust serch", "points": 6},
         {"id": 402, "title": "quick brown fox", "points": 7},
     ]
+    for i, d in enumerate(docs):
+        if i % 7 != 0:  # some docs lack the facet fields entirely
+            d["category"] = ["red", "green", "blue", "cyan"][i % 4]
     s = IndexStore("diff", primary_key="id")
     s.settings.apply_json(
         {
             "searchableAttributes": ["title", "body"],
-            "filterableAttributes": ["points"],
+            "filterableAttributes": ["points", "category"],
+            "sortableAttributes": ["points", "category"],
         }
     )
     s.add_documents(docs)
@@ -89,8 +93,16 @@ def test_device_batch_used_for_chains(store, monkeypatch):
 
 
 def test_descriptor_rejections(store):
+    # round 3: plain-field sort rides the device path
     assert device_batch.build_descriptor(
         Search(store, query="quick", sort_criteria=["points:asc"])
+    ) is not None
+    # geo sort stays host-side
+    assert device_batch.build_descriptor(
+        Search(
+            store, query="quick",
+            sort_criteria=["_geoPoint(1.0, 2.0):asc"],
+        )
     ) is None
     assert device_batch.build_descriptor(
         Search(store, query="quick", terms_matching_strategy="all")
@@ -117,3 +129,126 @@ def test_highlighting_through_device_path(store):
     )[0]
     hit = res["hits"][0]
     assert "<em>" in hit["_formatted"]["title"]
+
+
+# -- round 3: sort / facets / distinct on the device path ---------------------
+
+WIDE_QUERIES = [
+    {"q": "quick", "sort": ["points:desc"]},
+    {"q": "quick", "sort": ["points:asc"]},
+    {"q": "quick brown", "sort": ["points:desc"], "limit": 50},
+    {"q": "fox", "sort": ["category:asc", "points:desc"], "limit": 30},
+    {"q": "databse rust", "sort": ["points:desc"]},
+    {"q": "fox", "sort": ["points:desc"], "filter": "points > 20"},
+    {"q": "quick", "sort": ["points:desc"], "offset": 5, "limit": 10},
+    {"q": "quick", "facets": ["points", "category"]},
+    {"q": "green salad", "facets": ["category"], "limit": 3},
+    {"q": "fox", "facets": ["category"], "filter": "points > 30"},
+    {"q": "quick", "distinct": "category"},
+    {"q": "quick brown fox", "distinct": "category", "limit": 50},
+    {"q": "quick", "distinct": "category", "sort": ["points:desc"]},
+    {"q": "quick", "sort": ["points:desc"], "facets": ["category"]},
+]
+
+
+def test_device_sort_facets_distinct_match_host(store):
+    serial = [perform_search(store, dict(q)) for q in WIDE_QUERIES]
+    batched = perform_search_many(store, [dict(q) for q in WIDE_QUERIES])
+    for q, s, b in zip(WIDE_QUERIES, serial, batched):
+        assert [h["id"] for h in s["hits"]] == [
+            h["id"] for h in b["hits"]
+        ], f"order mismatch for {q}"
+        for key in ("estimatedTotalHits", "totalHits", "facetDistribution",
+                    "facetStats"):
+            assert s.get(key) == b.get(key), f"{key} mismatch for {q}"
+
+
+def test_device_sort_descriptor_served_on_device(store, monkeypatch):
+    """The sort/facet queries must actually EXECUTE device-side (not fall
+    back), except where quantization legitimately cannot prove the page."""
+    served = []
+    orig = device_batch.execute_device_batch
+
+    def spy(st, descriptors):
+        res = orig(st, descriptors)
+        served.append([r is not None for r in res])
+        return res
+
+    monkeypatch.setattr(device_batch, "execute_device_batch", spy)
+    perform_search_many(
+        store,
+        [
+            {"q": "quick", "sort": ["points:desc"]},
+            {"q": "quick", "facets": ["category"]},
+            {"q": "quick", "distinct": "category"},
+        ],
+    )
+    assert served and all(all(flags) for flags in served), served
+
+
+def test_device_sort_tie_truncation_falls_back_exactly():
+    """>TOPK docs in one relevance+quantization bucket: the device cannot
+    prove the page; the fallback must still produce host-exact results."""
+    n = 1500
+    docs = [
+        {"id": i, "title": "zebra stripe", "points": i % 3}
+        for i in range(n)
+    ]
+    s = IndexStore("ties", primary_key="id")
+    s.settings.apply_json(
+        {
+            "searchableAttributes": ["title"],
+            "filterableAttributes": ["points"],
+            "sortableAttributes": ["points"],
+        }
+    )
+    s.add_documents(docs)
+    q = {"q": "zebra", "sort": ["points:desc"], "limit": 20}
+    host = perform_search(s, dict(q))
+    dev = perform_search_many(s, [dict(q)])[0]
+    assert [h["id"] for h in host["hits"]] == [h["id"] for h in dev["hits"]]
+    # maxTotalHits (default 1000) caps the estimate on both paths
+    assert host["estimatedTotalHits"] == dev["estimatedTotalHits"]
+
+
+def test_plane_encodings():
+    """Unit: the packed int8 plane encodings round-trip the kernel's
+    decode rules (ops/arena_scorer.py one())."""
+    from meilisearch_tpu.index.device_arena import (
+        pair_plane, sort_plane, term_plane,
+    )
+
+    D = 64
+    ids = np.array([3, 10, 40])
+    plane = term_plane(
+        D, ids, [(np.array([3, 10]), 2), (np.array([40]), 5)],
+        [(np.array([3]), 1), (np.array([10, 40]), 9)],
+        exact_ids=np.array([10]),
+    )
+    present = plane != -1
+    assert present[ids].all() and present.sum() == 3
+    fid = (plane.astype(np.int32) >> 4) & 7
+    pos = plane.astype(np.int32) & 15
+    assert fid[3] == 2 and fid[10] == 2 and fid[40] == 5
+    assert pos[3] == 1 and pos[10] == 9 and pos[40] == 9
+    exact = (plane < 0) & present
+    assert exact[10] and not exact[3] and not exact[40]
+
+    pp = pair_plane(
+        D,
+        [
+            [(np.array([1, 2]), 0)],
+            [(np.array([2]), 1), (np.array([3]), 2)],
+            [],
+        ],
+    )
+    c0 = pp.astype(np.int32) & 3
+    c1 = (pp.astype(np.int32) >> 2) & 3
+    c2 = (pp.astype(np.int32) >> 4) & 3
+    assert c0[1] == 0 and c0[2] == 0 and c0[5] == 3
+    assert c1[2] == 1 and c1[3] == 2 and c1[1] == 3
+    assert (c2 == 3).all()
+
+    sp = sort_plane(D, [np.array([5]), np.array([6]), np.array([7])])
+    q = sp.astype(np.int32) + 128
+    assert q[5] < q[6] < q[7] < q[0] == 254
