@@ -373,10 +373,11 @@ def sort_columns(store, fid: int) -> SortColumns:
 
 
 def docids_array(store) -> np.ndarray:
-    """Sorted array of all live internal docids, cached per generation."""
+    """Sorted array of all live internal docids, cached per generation
+    (maintained incrementally across minor writes by the store)."""
     cached = getattr(store, "_docids_array_cache", None)
     if cached is None or cached[0] != store.generation:
-        cached = (store.generation, to_array(store.documents_ids()))
+        cached = (store.generation, store.documents_ids_array())
         store._docids_array_cache = cached
     return cached[1]
 

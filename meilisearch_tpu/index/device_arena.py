@@ -146,7 +146,11 @@ class DeviceArena:
     def __init__(self, store, D: int):
         self.store = store
         self.D = D
-        self.generation = store.generation
+        # anchored to the BASE generation: minor writes (store._bump with
+        # delta_ids) keep every resident row valid — delta docids are
+        # excluded from the device live mask and served by the host
+        # overlay (search/device_batch.py score_delta)
+        self.generation = store.base_generation
         self.byte_cap = byte_capacity(D)
         self.byte_pool = None  # jnp (byte_cap, D) int8
         self.byte_used = 1  # row 0 reserved (all-(-1) sentinel)
@@ -159,8 +163,8 @@ class DeviceArena:
         self._staged_bytes = []
 
     def _reset_if_stale(self) -> None:
-        if self.generation != self.store.generation:
-            self.generation = self.store.generation
+        if self.generation != self.store.base_generation:
+            self.generation = self.store.base_generation
             self._reset_rows()
 
     def has_room(self, byte_rows_needed: int) -> bool:

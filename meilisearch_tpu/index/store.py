@@ -22,7 +22,9 @@ Databases mirrored here:
 
 from __future__ import annotations
 
+import itertools
 import math
+import os
 import threading
 import time
 from collections import defaultdict
@@ -160,6 +162,48 @@ def flatten_json(value: Any, prefix: str = "") -> dict[str, list[Any]]:
 _SCALAR_TYPES = frozenset((str, int, float, bool, type(None)))
 
 
+class VocabSnapshot:
+    """Base/delta vocabulary for incremental derivations (VERDICT r2 #2).
+
+    `base_words` is an immutable sorted list — the packed OSA codepoint
+    matrix and every cached base derivation align with its indices —
+    while `delta_words` collects vocabulary added by minor writes.
+    base ∪ delta always equals the CURRENT vocabulary, so derivations
+    computed as base-result ⊕ delta-result are exact (the per-class caps
+    re-cut over the merged lexicographic stream; a capped base list plus
+    the full delta list provably contains the true capped merge)."""
+
+    _ids = itertools.count(1)
+
+    def __init__(self, words: list):
+        self.base_words = list(words)
+        self.delta_words: list[str] = []
+        self._delta_set: set[str] = set()
+        self.version = 0
+        self.base_id = next(VocabSnapshot._ids)
+
+    def contains(self, w: str) -> bool:
+        if w in self._delta_set:
+            return True
+        from bisect import bisect_left
+
+        i = bisect_left(self.base_words, w)
+        return i < len(self.base_words) and self.base_words[i] == w
+
+    def add_delta_words(self, words) -> None:
+        self._delta_set.update(words)
+        self.delta_words = sorted(self._delta_set)
+        self.version += 1
+
+    def merged_words(self) -> list:
+        from bisect import insort
+
+        merged = list(self.base_words)
+        for w in self.delta_words:
+            insort(merged, w)
+        return merged
+
+
 class IndexStore:
     """One search index (the milli `Index` equivalent)."""
 
@@ -190,17 +234,20 @@ class IndexStore:
         self.word_pair_proximity_docids: dict[tuple[int, str, str], Posting] = defaultdict(Posting)
         self.field_id_word_count_docids: dict[tuple[int, int], Posting] = defaultdict(Posting)
 
-        # facets
-        self.facet_number_docids: dict[int, dict[float, set[int]]] = defaultdict(
-            lambda: defaultdict(set)
+        # facets — Posting-valued like the word tables (round 3): readers
+        # get O(1) amortized sorted arrays (only values a write touched
+        # recompact), and the packed loader attaches mmap'd segments
+        # zero-copy instead of materializing Python sets (VERDICT r2 #3)
+        self.facet_number_docids: dict[int, dict[float, Posting]] = defaultdict(
+            lambda: defaultdict(Posting)
         )
-        self.facet_string_docids: dict[int, dict[str, set[int]]] = defaultdict(
-            lambda: defaultdict(set)
+        self.facet_string_docids: dict[int, dict[str, Posting]] = defaultdict(
+            lambda: defaultdict(Posting)
         )
         self.facet_string_original: dict[tuple[int, str], str] = {}
-        self.facet_exists_docids: dict[int, set[int]] = defaultdict(set)
-        self.facet_is_null_docids: dict[int, set[int]] = defaultdict(set)
-        self.facet_is_empty_docids: dict[int, set[int]] = defaultdict(set)
+        self.facet_exists_docids: dict[int, Posting] = defaultdict(Posting)
+        self.facet_is_null_docids: dict[int, Posting] = defaultdict(Posting)
+        self.facet_is_empty_docids: dict[int, Posting] = defaultdict(Posting)
         self.docid_facet_numbers: dict[tuple[int, int], list[float]] = {}
         self.docid_facet_strings: dict[tuple[int, int], list[tuple[str, str]]] = {}
 
@@ -213,12 +260,25 @@ class IndexStore:
         self.geojson_shapes: dict[int, list] = {}
 
         self.generation = 0
+        # incremental generations (VERDICT r2 #2): the device snapshot and
+        # every expensive derived structure anchor to `base_generation`; a
+        # MINOR write only records its touched docids in `delta_docids`
+        # (served by the host overlay, search/device_batch.py) and its new
+        # vocabulary in the VocabSnapshot, instead of flushing the HBM
+        # arena + caches. The base promotes when the delta outgrows
+        # delta_cap() or on any structural write (settings, clear, ...).
+        # Reference delta design: update/new/words_prefix_docids.rs:346.
+        self.base_generation = 0
+        self.delta_docids: set[int] = set()
+        self._delta_version = 0
+        self._vocab_snapshot: Any = None
         self._lock = threading.RLock()
         self._snapshot_cache: Any = None
         self._snapshot_generation = -1
         # per-field caches (searchable weight, faceted flag), cleared on bump
         self._field_cache: dict[str, tuple] = {}
         self._docids_cache: Optional[frozenset] = None
+        self._docids_sorted_incr: Optional[np.ndarray] = None
         self._vocab_cache: Optional[list] = None
         # sharding topology (reference: index.rs:196 shard_docids DB +
         # sharding/enterprise_edition.rs rendezvous assignment). The
@@ -379,6 +439,13 @@ class IndexStore:
         with self._lock, span("indexing::documents", index=self.uid):
             received = 0
             applied: list[tuple[str, Optional[dict]]] = []
+            # minor-write tracking: touched docids + docs, abandoned the
+            # moment the batch outgrows the delta cap (bulk ingests must
+            # not pay per-doc bookkeeping)
+            delta_budget = self.delta_cap() - len(self.delta_docids)
+            touched: Optional[list[tuple[int, dict]]] = (
+                [] if delta_budget > 0 else None
+            )
             # fresh documents are token-indexed in native batches; updates
             # and replacements go through the per-document path (they need
             # the old content removed first)
@@ -446,6 +513,10 @@ class IndexStore:
                         self._remove_document_content(docid, old)
                         self.documents[docid] = doc
                         self._index_document_content(docid, doc)
+                        if touched is not None:
+                            touched.append((docid, doc))
+                            if len(touched) > delta_budget:
+                                touched = None
                     else:
                         applied.append((external_id, None))
                         docid = self._next_docid
@@ -460,11 +531,21 @@ class IndexStore:
                                 flush_pending()
                         else:
                             self._index_document_content(docid, doc)
+                        if touched is not None:
+                            touched.append((docid, doc))
+                            if len(touched) > delta_budget:
+                                touched = None
                 flush_pending()
             finally:
                 if gc_was_enabled:
                     gc.enable()
-            self._bump()
+            if touched is not None:
+                self._bump(
+                    delta_ids={d for d, _doc in touched},
+                    delta_docs=[doc for _d, doc in touched],
+                )
+            else:
+                self._bump()
             return received, received
 
     def _rollback_documents(self, applied: list) -> None:
@@ -488,6 +569,7 @@ class IndexStore:
     def delete_documents(self, external_ids: Iterable[str]) -> int:
         with self._lock:
             deleted = 0
+            removed: list[int] = []
             for ext in external_ids:
                 ext = str(ext)
                 docid = self.external_to_internal.get(ext)
@@ -497,8 +579,12 @@ class IndexStore:
                 del self.documents[docid]
                 del self.external_to_internal[ext]
                 del self.internal_to_external[docid]
+                # a deleted doc needs no host-overlay scoring: the device
+                # live mask already excludes it
+                self.delta_docids.discard(docid)
+                removed.append(docid)
                 deleted += 1
-            self._bump()
+            self._bump(delta_ids=set(), removed_ids=removed)
             return deleted
 
     def delete_all_documents(self) -> int:
@@ -554,12 +640,88 @@ class IndexStore:
             self.facet_is_empty_docids,
         ]
 
-    def _bump(self):
+    def delta_cap(self) -> int:
+        """Max delta size before the base promotes (and the device arena
+        re-anchors). Scales with the corpus so the host overlay's share of
+        scoring work stays bounded."""
+        env = os.environ.get("MEILI_TPU_DELTA_CAP")
+        if env:
+            return int(env)
+        return max(512, len(self.documents) // 128)
+
+    def _bump(self, delta_ids=None, delta_docs=None, removed_ids=None):
+        """Advance the generation.
+
+        delta_ids marks a MINOR write (the touched internal docids): the
+        base generation stays put, so the device arena rows, derivation
+        caches and packed vocabulary survive; queries exclude the delta
+        docids from the device live mask and score them host-side
+        (device_batch score_delta overlay), exactly. Without delta_ids the
+        write is MAJOR: the base promotes and base-anchored structures
+        rebuild on demand (the round-2 flush-everything behavior)."""
         self.generation += 1
         self.updated_at = time.time()
         self._field_cache.clear()
         self._docids_cache = None
-        self._vocab_cache = None
+        minor = (
+            delta_ids is not None
+            and os.environ.get("MEILI_TPU_INCREMENTAL", "1") == "1"
+            and len(self.delta_docids) + len(delta_ids) <= self.delta_cap()
+        )
+        if not minor:
+            self._vocab_cache = None
+            self._vocab_snapshot = None
+            self._docids_sorted_incr = None
+            self.base_generation = self.generation
+            self.delta_docids = set()
+            self._delta_version += 1
+            return
+        self.delta_docids.update(delta_ids)
+        # maintain the sorted all-docids array in place: a full rebuild
+        # from the 1M-key dict costs ~100 ms per write (arrays.docids_array
+        # reads this via documents_ids_array)
+        incr = self._docids_sorted_incr
+        if incr is not None:
+            from .arrays import difference as _diff, union_many as _union
+
+            if delta_ids:
+                fresh = np.fromiter(delta_ids, np.int64, len(delta_ids))
+                fresh.sort()
+                incr = _union([incr, fresh])
+            if removed_ids:
+                gone = np.fromiter(removed_ids, np.int64, len(removed_ids))
+                gone.sort()
+                incr = _diff(incr, gone)
+            self._docids_sorted_incr = incr
+        self._delta_version += 1
+        snap = self._vocab_snapshot
+        if snap is None:
+            # no snapshot tracking the vocabulary yet: the sorted list
+            # cannot be maintained incrementally, so it must rebuild
+            self._vocab_cache = None
+        if delta_docs and snap is not None:
+            new_words: set[str] = set()
+            for doc in delta_docs:
+                for toks in self._tokenize_document(doc).values():
+                    for w, _pos in toks:
+                        if not snap.contains(w):
+                            new_words.add(w)
+            if new_words:
+                snap.add_delta_words(new_words)
+                if self._vocab_cache is not None:
+                    # keep the merged sorted list current: C-level memmove
+                    # insort beats a 1M-word resort by orders of magnitude
+                    import bisect as _bisect
+
+                    for w in sorted(new_words):
+                        _bisect.insort(self._vocab_cache, w)
+
+    def vocab_snapshot(self):
+        """The base/delta vocabulary snapshot (created lazily at first
+        derivation; minor writes append to its delta, promotion drops it)."""
+        if self._vocab_snapshot is None:
+            self._vocab_snapshot = VocabSnapshot(self.all_words_sorted())
+        return self._vocab_snapshot
 
     # -- extraction ------------------------------------------------------
 
@@ -1113,6 +1275,16 @@ class IndexStore:
             self._docids_cache = frozenset(self.documents.keys())
         return self._docids_cache
 
+    def documents_ids_array(self) -> np.ndarray:
+        """Sorted all-docids array, maintained INCREMENTALLY across minor
+        writes (_bump applies the delta with two array merges instead of a
+        full dict-keys rebuild)."""
+        if self._docids_sorted_incr is None:
+            from .arrays import to_array
+
+            self._docids_sorted_incr = to_array(set(self.documents.keys()))
+        return self._docids_sorted_incr
+
     def contains_word(self, word: str) -> bool:
         return word in self.word_docids or word in self.exact_word_docids
 
@@ -1194,9 +1366,13 @@ class IndexStore:
         """Sorted vocabulary, cached per generation (VERDICT r1 Weak #4:
         O(V log V) per prefix term per query dominated at 1M-doc vocab)."""
         if self._vocab_cache is None:
-            self._vocab_cache = sorted(
-                set(self.word_docids) | set(self.exact_word_docids)
-            )
+            if self._vocab_snapshot is not None:
+                # minor writes maintain base+delta; merging beats resorting
+                self._vocab_cache = self._vocab_snapshot.merged_words()
+            else:
+                self._vocab_cache = sorted(
+                    set(self.word_docids) | set(self.exact_word_docids)
+                )
         return self._vocab_cache
 
     def stats(self) -> dict:

@@ -299,9 +299,66 @@ def planes_chain_topk(
     return out, cwords
 
 
-def merge_topk_host(idx1, key1, idx2, key2, count, k):
-    """Exact ordered top-k from the kernel's two candidate lists (numpy,
-    2k rows). Returns docids ascending by (key, docid), -1 padded."""
+def packed_chain_dp_np(present, fid_cost, pos_cost, pair_cost, exact_mask, T):
+    """Numpy mirror of _packed_chain_dp over (..., n) arrays — scores the
+    MINOR-write delta docids host-side with byte-identical keys to the
+    device kernel (search/device_batch.py score_delta overlay). Returns
+    (key (n,), BIG, sh_ea, sh_w)."""
+    import numpy as np
+
+    sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total = _key_layout(T)
+    BIG = np.int32(1 << total)
+    n = present.shape[-1]
+
+    states = [np.full(n, BIG, np.int32) for _ in range(3)]
+    states.append(np.zeros(n, np.int32))
+
+    for t in range(T):
+        exact_add = np.where(exact_mask[t], 0, 1).astype(np.int32)
+        new_states = []
+        visit_prevs = [3] if t == 0 else [0, 1, 2]
+        for cls in range(3):
+            base = (
+                (cls << sh_ty)
+                + (np.clip(fid_cost[t, cls], 0, 7).astype(np.int32) << sh_fd)
+                + (np.clip(pos_cost[t, cls], 0, 10).astype(np.int32) << sh_ps)
+                + exact_add
+            )
+            best = None
+            for prev in visit_prevs:
+                add = base
+                if t > 0:
+                    add = base + (
+                        pair_cost[t - 1, prev, cls].astype(np.int32) << sh_px
+                    )
+                cand = states[prev] + add
+                best = cand if best is None else np.minimum(best, cand)
+            best = np.where(present[t, cls], best, BIG)
+            new_states.append(np.minimum(best, BIG))
+        if t == 0:
+            best_skip = np.full(n, BIG, np.int32)
+        else:
+            best_skip = states[0]
+            for prev in range(1, 4):
+                best_skip = np.minimum(best_skip, states[prev])
+            best_skip = np.minimum(best_skip + np.int32(1 << sh_w), BIG)
+        new_states.append(best_skip)
+        states = new_states
+
+    key = np.minimum(
+        np.minimum(states[0], states[1]), np.minimum(states[2], states[3])
+    )
+    return key, BIG, sh_ea, sh_w
+
+
+def merge_topk_host(
+    idx1, key1, idx2, key2, count, k, delta_ids=None, delta_keys=None
+):
+    """Exact ordered top-k from the kernel's two candidate lists plus the
+    host-scored delta overlay (numpy). Returns (docids int32 padded with
+    -1, n_exact, total): docids ascend by (key, docid); positions past
+    n_exact are not proven (a truncated kth-tie class may be missing base
+    members that precede them)."""
     import numpy as np
 
     invalid_key = np.int32(INVALID_KEY)
@@ -311,27 +368,57 @@ def merge_topk_host(idx1, key1, idx2, key2, count, k):
     idx, key = idx[keep], key[keep]
     idx, uniq = np.unique(idx, return_index=True)
     key = key[uniq]
-    order = np.lexsort((idx, key))[: min(k, count)]
+    total = int(count)
+    is_delta = np.zeros(len(idx), dtype=bool)
+    if delta_ids is not None and len(delta_ids):
+        idx = np.concatenate([idx, delta_ids.astype(np.int32)])
+        key = np.concatenate([key, delta_keys])
+        is_delta = np.concatenate(
+            [is_delta, np.ones(len(delta_ids), dtype=bool)]
+        )
+        total += len(delta_ids)
+
+    order = np.lexsort((idx, key))
+    idx_o, key_o = idx[order], key[order]
+
+    n_exact = k
+    n_tie = int(np.count_nonzero(key2 < invalid_key))
+    if count > k and n_tie >= k:
+        # the kth-tie class was truncated at its k lowest docids; entries
+        # of that class past the included-docid frontier may be preceded
+        # by missing base members
+        kth = int(key1[k - 1]) if len(key1) >= k else None
+        if kth is not None and kth < invalid_key:
+            tie_dev = idx2[key2 < invalid_key]
+            frontier = int(tie_dev.max()) if len(tie_dev) else -1
+            ambiguous = (key_o == kth) & (idx_o > frontier)
+            if ambiguous.any():
+                n_exact = int(np.argmax(ambiguous))
+
     out = np.full(k, -1, dtype=np.int32)
-    out[: len(order)] = idx[order]
-    return out
+    n = min(len(idx_o), k, total)
+    out[:n] = idx_o[:n]
+    return out, n_exact, total
 
 
 def merge_topk_sort_host(
-    idx1, key1, idx2, key2, count, k, T, sort_key_rows, qsort_of
+    idx1, key1, idx2, key2, count, k, T, sort_key_rows, qsort_of,
+    delta_ids=None, delta_keys=None,
 ):
     """Exact ordered top-k for a SORT query (numpy). The kernel selected on
     the above-sort key portion; the final order is (above-sort key bits,
-    sort criteria values, below-sort key bits, docid).
+    sort criteria values, below-sort key bits, docid). Host-scored delta
+    docids merge in with true sort values (they are always complete; only
+    a truncated device kth-tie class limits the proven prefix).
 
     sort_key_rows: callback(candidate docids) -> list of key rows for the
     sort criteria in rule order (executor._sort_field_rows semantics).
     qsort_of: callback(candidate docids) -> quantized rank used on device
     (for the truncation-ambiguity proof).
 
-    Returns (docids int32 array padded with -1, n_exact) where n_exact is
-    how many leading positions are PROVEN exact; a page extending past
-    n_exact must fall back to the host scorer."""
+    Returns (docids int32 padded with -1, n_exact, total): positions past
+    n_exact are not proven; a page extending there must fall back to the
+    host scorer."""
     import numpy as np
 
     sh_fd = _key_layout(T)[2]
@@ -344,37 +431,46 @@ def merge_topk_sort_host(
     idx, key = idx[keep], key[keep]
     idx, uniq = np.unique(idx, return_index=True)
     key = key[uniq]
+    total = int(count)
+    if delta_ids is not None and len(delta_ids):
+        idx = np.concatenate([idx, delta_ids.astype(np.int32)])
+        key = np.concatenate([key, delta_keys])
+        total += len(delta_ids)
     if not len(idx):
-        return np.full(k, -1, dtype=np.int32), k
+        return np.full(k, -1, dtype=np.int32), k, total
 
     hi = key & ~np.int32(low_mask)
-    kth = int(hi.max())
-    # every doc with hi < kth is present (top_k guarantees); the kth
-    # bucket's membership comes from the second top_k, selected by
-    # (quantized rank, docid)
+    # the device selection threshold comes from the device lists alone
+    dev_hi = key1[key1 < invalid_key] & ~np.int32(low_mask)
+    kth = int(dev_hi.max()) if len(dev_hi) else None
+    # every base doc with hi < kth is present (top_k guarantees); the kth
+    # bucket's base membership comes from the second top_k, selected by
+    # (quantized rank, docid); delta docs are always complete
     srows = sort_key_rows(idx)
     lo = key & np.int32(low_mask)
     order = np.lexsort([idx, lo] + list(reversed(srows)) + [hi])
     idx_o, hi_o = idx[order], hi[order]
 
-    in_kth = hi_o == kth
-    n_kth_returned = int(np.count_nonzero(hi == kth))
     # valid idx2 entries all belong to the kth bucket; if fewer than k came
     # back the bucket is complete and everything is exact
     truncated = int(np.count_nonzero(key2 < invalid_key)) >= k
-    if not truncated:
-        n_exact = min(int(count), k)
+    if not truncated or count <= k or kth is None:
+        n_exact = k
     else:
+        in_kth = hi_o == kth
         q = qsort_of(idx_o)
-        qmax = q[in_kth].max() if n_kth_returned else 0
+        # the truncation frontier is the max quantized rank the DEVICE
+        # returned for the tie class (delta entries don't move it)
+        tie_dev = idx2[key2 < invalid_key]
+        qmax = int(qsort_of(tie_dev).max()) if len(tie_dev) else 0
         # kth-bucket members with quantized rank < qmax are ALL present
-        # (second top_k truncates at the (qmax, docid) frontier), so the
-        # exact prefix ends at the first returned member with rank == qmax
+        # base-side (second top_k truncates at the (qmax, docid)
+        # frontier), so the exact prefix ends at the first member —
+        # device or delta — with rank >= qmax
         ambiguous = in_kth & (q >= qmax)
-        first_bad = int(np.argmax(ambiguous)) if ambiguous.any() else len(idx_o)
-        n_exact = first_bad
+        n_exact = int(np.argmax(ambiguous)) if ambiguous.any() else k
 
     out = np.full(k, -1, dtype=np.int32)
-    n = min(len(idx_o), k, int(count))
+    n = min(len(idx_o), k, total)
     out[:n] = idx_o[:n]
-    return out, n_exact
+    return out, n_exact, total

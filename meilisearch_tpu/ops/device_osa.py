@@ -128,7 +128,7 @@ def osa_device(dict_mat, dict_lens, q, m, n: int, max_dist: int):
 
 
 class DeviceVocab:
-    """Per-(store, generation) resident vocabulary matrix + lens."""
+    """Per-(store, base vocabulary) resident matrix + lens."""
 
     def __init__(self, mat: np.ndarray, lens: np.ndarray):
         import jax.numpy as jnp
@@ -144,11 +144,15 @@ class DeviceVocab:
 
 
 def get_device_vocab(store, mat, lens) -> Optional["DeviceVocab"]:
+    # keyed by the packed matrix's identity (kept alive in the entry): the
+    # BASE vocabulary is stable across minor writes (store.VocabSnapshot),
+    # so the resident upload survives them; a promotion swaps the matrix
+    # object and re-uploads once
     cached = getattr(store, "_device_vocab", None)
-    if cached is not None and cached[0] == store.generation:
+    if cached is not None and cached[0] is mat:
         return cached[1]
     dv = DeviceVocab(mat, lens)
-    store._device_vocab = (store.generation, dv)
+    store._device_vocab = (mat, dv)
     return dv
 
 

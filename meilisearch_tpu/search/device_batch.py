@@ -94,6 +94,8 @@ def _pad_descriptor(d: "ChainDescriptor", T: int) -> "ChainDescriptor":
         search=d.search,
         want_mask=d.want_mask,
         universe_packed=d.universe_packed,
+        chain_info=d.chain_info,
+        graph=d.graph,
     )
 
 
@@ -127,6 +129,9 @@ class ChainDescriptor:
     search: Search
     want_mask: bool = False  # fetch the full candidate bitmap (facets)
     universe_packed: "Optional[np.ndarray]" = None  # memoized pack_bitmap
+    # host-overlay inputs (minor-write delta scoring, score_delta)
+    chain_info: list = dc_field(default_factory=list)  # [(term, start_pos)]
+    graph: object = None
 
 
 def _subset_words(resolver: Resolver, term, cls: int) -> list[str]:
@@ -186,12 +191,37 @@ def _universe_cache_put(store, filter_arr, D, universe, packed):
         lru.popitem(last=False)
 
 
+def _device_struct_cache(store) -> dict:
+    """Base-anchored cache for device-row source structures (the unions
+    behind the planes). Entries built at ANY point >= the base are valid
+    for base docids — delta docids are masked out of the kernel and
+    scored by the host overlay — so MINOR writes don't flush this (the
+    round-2 'first query after a write re-unions everything' stall)."""
+    c = getattr(store, "_device_struct_cache_v", None)
+    if c is None or c[0] != store.base_generation:
+        c = (store.base_generation, {})
+        store._device_struct_cache_v = c
+    return c[1]
+
+
+def _delta_struct_cache(store) -> dict:
+    """Per-generation cache for the host-overlay structures (delta docid
+    membership masks per term class / pair / ea). The delta set and the
+    tables are stable within a generation."""
+    c = getattr(store, "_delta_struct_cache_v", None)
+    if c is None or c[0] != store.generation:
+        c = (store.generation, {})
+        store._delta_struct_cache_v = c
+    return c[1]
+
+
 def _sort_plane_host(store, field: str, asc: bool) -> np.ndarray:
     """Host copy of the quantized sort-rank plane (shared with the device
-    row build; also used for the exactness proof in the sort merge)."""
-    from ..index.arrays import ArrayCache, facet_arrays
+    row build; also used for the exactness proof in the sort merge —
+    base-anchored so host proof and resident row always agree)."""
+    from ..index.arrays import facet_arrays
 
-    cache = ArrayCache(store).cache
+    cache = _device_struct_cache(store)
     key = ("sortplane", field, asc)
     plane = cache.get(key)
     if plane is None:
@@ -317,7 +347,7 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     if any(w > 7 for w in weight_map.values()):
         return None  # weights must fit the packed int32 rank key
 
-    gcache = resolver.arrays.cache
+    gcache = _device_struct_cache(store)
     tp = max(T - 1, 1)
     term_rows = np.zeros((T, 3), dtype=np.int32)
     pair_rows = np.zeros((tp, 3), dtype=np.int32)
@@ -515,6 +545,10 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         search=search,
         want_mask=bool(search.facets),
         universe_packed=universe_packed,
+        chain_info=[
+            (n.located.term, n.located.start_position) for n in chain
+        ],
+        graph=graph,
     )
 
 
@@ -534,6 +568,14 @@ def _live_mask(store: IndexStore, D: int):
         return cached[1]
     live = np.zeros(D, dtype=bool)
     live[docids_array(store)] = True
+    if store.delta_docids:
+        # delta docids are served by the host overlay (score_delta), not
+        # by the (stale-for-them) base-anchored device rows
+        live[
+            np.fromiter(
+                store.delta_docids, np.int64, len(store.delta_docids)
+            )
+        ] = False
     dev = jnp.asarray(live)
     store._device_live_cache = ((store.generation, D), dev)
     return dev
@@ -558,13 +600,199 @@ def _empty_descriptor(T: int, search: Search) -> ChainDescriptor:
     )
 
 
+def _delta_ids_array(store: IndexStore) -> np.ndarray:
+    """Sorted LIVE delta docids (cached per generation)."""
+    cache = _delta_struct_cache(store)
+    arr = cache.get("ids")
+    if arr is None:
+        from ..index.arrays import intersect
+
+        arr = intersect(
+            to_array(store.delta_docids), docids_array(store)
+        )
+        cache["ids"] = arr
+    return arr
+
+
+def score_delta(
+    store: IndexStore, d: ChainDescriptor, delta_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """The host overlay of incremental generations: exact packed rank keys
+    for the minor-write delta docids, byte-identical to the device kernel
+    (ops/arena_scorer.packed_chain_dp_np mirrors _packed_chain_dp; the
+    device live mask excludes these docids). Membership runs per posting
+    key over the CURRENT tables — O(|delta| log n) per key — and the
+    per-(term, class) masks cache per generation (_delta_struct_cache),
+    so warm post-write queries pay microseconds here."""
+    from ..index.arrays import member_mask
+    from ..ops.arena_scorer import packed_chain_dp_np
+
+    n = len(delta_ids)
+    T = MAX_T
+    tp = T - 1
+    resolver = Resolver(store, EMPTY, None)
+    weight_map = store.fid_weight_map()
+    cache = _delta_struct_cache(store)
+
+    def mm(arr):
+        return member_mask(delta_ids, arr)
+
+    def phrase_arr(p):
+        key = ("phrase", p)
+        arr = cache.get(key)
+        if arr is None:
+            arr = resolver.phrase_docids(p)
+            cache[key] = arr
+        return arr
+
+    present = np.zeros((T, 3, n), bool)
+    fid_c = np.zeros((T, 3, n), np.int16)
+    pos_c = np.zeros((T, 3, n), np.int16)
+    exact_m = np.zeros((T, n), bool)
+    pair_c = np.full((tp, 3, 3, n), 3, np.int16)
+
+    chain = d.chain_info
+    for t, (term, start_pos) in enumerate(chain):
+        tkey = (term.original, term.is_prefix, term.use_prefix_db)
+        if term.exact is not None:
+            key = ("dex", term.exact)
+            m = cache.get(key)
+            if m is None:
+                m = mm(resolver.word_docids(term.exact, original=True))
+                cache[key] = m
+            exact_m[t] = m
+        for cls in range(term.max_typo_cost() + 1):
+            key = ("dterm", tkey, cls, start_pos)
+            entry = cache.get(key)
+            if entry is None:
+                words = resolver.class_words(term, cls)
+                pres = np.zeros(n, bool)
+                for w, original in words:
+                    pres |= mm(resolver.word_docids(w, original))
+                for p in resolver.class_phrases(term, cls):
+                    pres |= mm(phrase_arr(p))
+                all_w = [w for w, _o in words]
+                if cls == 0 and term.use_prefix_db is not None:
+                    is_orig = term.ngram_words is None
+                    pw = resolver.prefix_words(term.use_prefix_db)
+                    for w in pw:
+                        pres |= mm(resolver.word_docids(w, is_orig))
+                    all_w = all_w + pw
+                INF16 = np.int16(0x7FFF // 2)
+                fmin = np.full(n, INF16, np.int16)
+                pmin = np.full(n, INF16, np.int16)
+                for w in all_w:
+                    for fid in resolver.fids_by_word.get(w, ()):
+                        weight = weight_map.get(fid)
+                        if weight is None:
+                            continue
+                        m = mm(resolver.word_fid_docids(w, fid))
+                        fmin = np.where(
+                            m, np.minimum(fmin, np.int16(weight)), fmin
+                        )
+                    for b in resolver.buckets_by_word.get(w, ()):
+                        m = mm(resolver.word_position_docids(w, b))
+                        cost = position_cost_from_distance(abs(b - start_pos))
+                        pmin = np.where(
+                            m, np.minimum(pmin, np.int16(cost)), pmin
+                        )
+                # absent fid/pos decode to 0 in the packed plane (the
+                # int8 row defaults its low bits to 0 for in-class docs)
+                fplane = np.where(fmin == INF16, 0, np.minimum(fmin, 7))
+                pplane = np.where(pmin == INF16, 0, np.minimum(pmin, 15))
+                entry = (pres, fplane.astype(np.int16), pplane.astype(np.int16))
+                cache[key] = entry
+            present[t, cls], fid_c[t, cls], pos_c[t, cls] = entry
+
+    for t in range(1, len(chain)):
+        if not d.adj[t - 1]:
+            pair_c[t - 1] = 0  # free term edge when not adjacent
+            continue
+        (lterm, _lp), (rterm, _rp) = chain[t - 1], chain[t]
+        pkey = (
+            lterm.original, lterm.is_prefix, lterm.use_prefix_db,
+            rterm.original, rterm.is_prefix, rterm.use_prefix_db,
+        )
+        for pc in range(lterm.max_typo_cost() + 1):
+            for c in range(rterm.max_typo_cost() + 1):
+                key = ("dpairm", pkey, pc, c)
+                row = cache.get(key)
+                if row is None:
+                    lwords = _subset_words(resolver, lterm, pc)
+                    rwords = _subset_words(resolver, rterm, c)
+                    rprefix = _prefix_words(resolver, rterm, c)
+                    row = np.full(n, 3, np.int16)
+                    for rel in (2, 1, 0):  # descending: lower rel wins
+                        fwd, bwd = rel + 1, rel
+                        m = np.zeros(n, bool)
+                        if rprefix:
+                            for lw in lwords:
+                                for w in rprefix:
+                                    m |= mm(
+                                        resolver.pair_proximity_docids(
+                                            fwd, lw, w
+                                        )
+                                    )
+                                if bwd >= 1:
+                                    m |= mm(
+                                        resolver.pair_proximity_docids(
+                                            bwd, rterm.use_prefix_db, lw
+                                        )
+                                    )
+                        for lw in lwords:
+                            for rw in rwords:
+                                m |= mm(
+                                    resolver.pair_proximity_docids(fwd, lw, rw)
+                                )
+                                if bwd >= 1:
+                                    m |= mm(
+                                        resolver.pair_proximity_docids(
+                                            bwd, rw, lw
+                                        )
+                                    )
+                        row = np.where(m, np.int16(rel), row)
+                    cache[key] = row
+                pair_c[t - 1, pc, c] = row
+
+    key_arr, BIG, sh_ea, sh_w = packed_chain_dp_np(
+        present, fid_c, pos_c, pair_c, exact_m, T
+    )
+    dead = key_arr >= BIG
+
+    # ExactAttribute rank by each doc's words level (kernel mirror)
+    Treal = len(chain)
+    ea_key_base = tuple(term.original for term, _sp in chain)
+    level = np.clip(T - (key_arr >> sh_w), 0, T)
+    ea = np.full(n, 2, np.int32)
+    for k in range(1, Treal + 1):
+        ckey = ("deam", ea_key_base, k)
+        entry = cache.get(ckey)
+        if entry is None:
+            rank0, rank1 = exact_attribute_rank_ids(
+                store, d.graph, k, delta_ids, resolver
+            )
+            entry = (mm(rank0), mm(rank1))
+            cache[ckey] = entry
+        m0, m1 = entry
+        sel = level == k
+        ea = np.where(sel & m0, 0, np.where(sel & m1, np.minimum(ea, 1), ea))
+    key_arr = key_arr | (ea << sh_ea)
+
+    valid = ~dead
+    if d.universe_ids is not None:
+        valid &= mm(d.universe_ids)
+    sel = np.flatnonzero(valid)
+    return delta_ids[sel], key_arr[sel]
+
+
 def _finish_device_result(
     store: IndexStore,
     d: ChainDescriptor,
     ranked: np.ndarray,
-    count: int,
+    total: int,
     n_exact: int,
     mask_row,
+    delta_matches=None,
 ) -> Optional[SearchResult]:
     """Build a SearchResult from the exact ranked candidate list, applying
     pagination + distinct through the host's _paginate (ONE place owns
@@ -576,21 +804,26 @@ def _finish_device_result(
         max_hits = store.settings.pagination.max_total_hits
 
     ranked = ranked[ranked >= 0]
-    needed = min(search.offset + search.limit, count, max_hits)
+    needed = min(search.offset + search.limit, total, max_hits)
     if n_exact < min(needed, len(ranked)):
         return None  # sort quantization could not prove the page exact
     if d.distinct_field is not None:
         # the first-per-value rule needs the FULL candidate list to be
         # exact (both for the page and for the adjusted total)
-        if count > len(ranked) or n_exact < len(ranked):
+        if total > len(ranked) or n_exact < len(ranked):
             return None
         res = search._paginate(ranked.astype(np.int64), ranked.astype(np.int64))
     else:
         res = search._paginate(ranked.astype(np.int64), ranked.astype(np.int64))
-        res.total_hits = int(min(count, max_hits))
+        res.total_hits = int(min(total, max_hits))
     res.query_terms = d.located_terms
     if mask_row is not None:
-        res.candidates_mask = unpack_bitmap(mask_row, len(mask_row) * 32)
+        mask = unpack_bitmap(mask_row, len(mask_row) * 32)
+        if delta_matches is not None and len(delta_matches):
+            # the kernel's bitmap covers base docids only; the host
+            # overlay's matches complete the candidate set
+            mask[delta_matches] = True
+        res.candidates_mask = mask
     return res
 
 
@@ -693,10 +926,16 @@ def execute_device_batch(
     idx2, key2 = out[:, 2 * k : 3 * k], out[:, 3 * k : 4 * k]
     counts = out[:, 4 * k]
 
+    delta_live = (
+        _delta_ids_array(store) if store.delta_docids else EMPTY
+    )
     results: list[Optional[SearchResult]] = []
     for i in range(n_real):
         d = real[i]
         count = int(counts[i])
+        d_ids, d_keys = EMPTY, None
+        if len(delta_live):
+            d_ids, d_keys = score_delta(store, d, delta_live)
         if d.sort_criteria:
             search = d.search
 
@@ -712,18 +951,20 @@ def execute_device_batch(
             def qsort_of(cand, plane=plane):
                 return plane[cand].astype(np.int32) + 128
 
-            ranked, n_exact = merge_topk_sort_host(
+            ranked, n_exact, total = merge_topk_sort_host(
                 idx1[i], key1[i], idx2[i], key2[i], count, TOPK, T,
                 sort_key_rows, qsort_of,
+                delta_ids=d_ids, delta_keys=d_keys,
             )
         else:
-            ranked = merge_topk_host(
-                idx1[i], key1[i], idx2[i], key2[i], count, TOPK
+            ranked, n_exact, total = merge_topk_host(
+                idx1[i], key1[i], idx2[i], key2[i], count, TOPK,
+                delta_ids=d_ids, delta_keys=d_keys,
             )
-            n_exact = TOPK
         results.append(
             _finish_device_result(
-                store, d, ranked, count, n_exact, mask_rows.get(i)
+                store, d, ranked, total, n_exact, mask_rows.get(i),
+                delta_matches=d_ids,
             )
         )
     if trace:

@@ -844,13 +844,13 @@ class Search:
                     if docid in excluded:
                         continue
                     for v in store.docid_facet_numbers.get((fid, docid), ()):
-                        excluded |= store.facet_number_docids.get(fid, {}).get(
-                            v, set()
-                        )
+                        p = store.facet_number_docids.get(fid, {}).get(v)
+                        if p is not None:
+                            excluded.update(p)
                     for v, _ in store.docid_facet_strings.get((fid, docid), ()):
-                        excluded |= store.facet_string_docids.get(fid, {}).get(
-                            v, set()
-                        )
+                        p = store.facet_string_docids.get(fid, {}).get(v)
+                        if p is not None:
+                            excluded.update(p)
                     kept.append(docid)
                 docids = kept
                 all_candidates = union_many(
