@@ -280,6 +280,7 @@ def main():
         if replayed:
             print(f"replayed {replayed} journaled task(s) from the WAL")
     app.scheduler.journal = journal
+    app.scheduler.indexes.db_dir = os.path.join(opt.db_path, "indexes")
 
     def persist():
         try:

@@ -74,7 +74,12 @@ def _kick_warm(stores) -> None:
 class IndexScheduler:
     def __init__(self, autobatching_enabled: bool = True) -> None:
         self.queue = TaskQueue()
-        self.indexes: dict[str, IndexStore] = {}
+        # memory-budgeted registry (reference IndexMapper): deferred loads
+        # + LRU eviction once a db path is attached (engine/index_map.py)
+        from .index_map import IndexMap
+
+        self.indexes = IndexMap()
+        self.indexes.on_load = self._setup_loaded_store
         # durable write-ahead journal; attached by the server when a db
         # path exists (engine/journal.py — the LMDB task-queue analogue)
         self.journal = None
@@ -192,6 +197,13 @@ class IndexScheduler:
             for uid in finished[:100_000]:
                 del self.queue.tasks[uid]
             return len(finished[:100_000])
+
+    def _setup_loaded_store(self, store) -> None:
+        """Per-store wiring applied after any (re)load from a packed
+        directory — deferred boot restore or post-eviction reload."""
+        store.dynamic_rules = self.dsr
+        if self.network.get("shards") and store.shard_topology is None:
+            store.set_shard_topology(sorted(self.network["shards"]))
 
     def index(self, uid: str) -> IndexStore:
         with self.lock:

@@ -43,6 +43,8 @@ class DocTable:
         "_path",
         "_lru",
         "_end",
+        "_packed",
+        "_packed_gone",
     )
 
     def __init__(self, spill_path: Optional[str] = None):
@@ -52,6 +54,10 @@ class DocTable:
         self._path: Optional[str] = None
         self._lru: OrderedDict[int, dict] = OrderedDict()
         self._end = 0
+        # packed base: (read-only fd, sorted docid array, offsets, lengths)
+        # over an immutable packed-snapshot docs.jsonl; mutations overlay
+        self._packed = None
+        self._packed_gone: set[int] = set()
         if spill_path is not None or spill_enabled():
             self.enable_spill(spill_path)
 
@@ -60,6 +66,56 @@ class DocTable:
     @property
     def spilled(self) -> bool:
         return self._fd is not None
+
+    # -- packed base (zero-copy boot restore, index/packed.py v2) ----------
+
+    def attach_packed(self, path, doc_ids, offsets, lengths) -> None:
+        """Serve documents straight from a packed snapshot's docs.jsonl:
+        RSS holds the three columns, not the corpus. Mutations overlay
+        into the usual RAM/spill table (the snapshot file stays
+        immutable); overlaid/deleted docids are masked out of the base."""
+        import numpy as np
+
+        fd = os.open(path, os.O_RDONLY)
+        self._packed = (
+            fd,
+            np.asarray(doc_ids),
+            np.asarray(offsets),
+            np.asarray(lengths),
+        )
+        self._packed_gone = set()
+
+    def _packed_find(self, docid: int) -> int:
+        import numpy as np
+
+        _fd, ids, _o, _l = self._packed
+        i = int(np.searchsorted(ids, docid))
+        if i < len(ids) and int(ids[i]) == docid:
+            return i
+        return -1
+
+    def _packed_read(self, i: int) -> dict:
+        fd, _ids, offs, lens = self._packed
+        import json as _json
+
+        line = os.pread(fd, int(lens[i]), int(offs[i]))
+        return _json.loads(line)[1]
+
+    def _packed_get(self, docid: int):
+        if self._packed is None or docid in self._packed_gone:
+            return None
+        doc = self._lru.get(docid)
+        if doc is not None:
+            self._lru.move_to_end(docid)
+            return doc
+        i = self._packed_find(docid)
+        if i < 0:
+            return None
+        doc = self._packed_read(i)
+        self._lru[docid] = doc
+        if len(self._lru) > _LRU_CAP:
+            self._lru.popitem(last=False)
+        return doc
 
     def enable_spill(self, path: Optional[str] = None) -> None:
         """Switch to the on-disk backend (migrates any existing docs)."""
@@ -100,18 +156,29 @@ class DocTable:
     # -- mapping protocol ---------------------------------------------------
 
     def __getitem__(self, docid: int) -> dict:
-        if self._ram is not None:
+        if self._ram is not None and docid in self._ram:
             return self._ram[docid]
-        return self._read(docid)
+        if self._ram is None and docid in self._offsets:
+            return self._read(docid)
+        doc = self._packed_get(docid)
+        if doc is None:
+            raise KeyError(docid)
+        return doc
 
     def get(self, docid: int, default: Any = None) -> Any:
-        if self._ram is not None:
-            return self._ram.get(docid, default)
-        if docid not in self._offsets:
-            return default
-        return self._read(docid)
+        if self._ram is not None and docid in self._ram:
+            return self._ram[docid]
+        if self._ram is None and docid in self._offsets:
+            return self._read(docid)
+        doc = self._packed_get(docid)
+        return doc if doc is not None else default
 
     def __setitem__(self, docid: int, doc: dict) -> None:
+        if self._packed is not None and docid not in self._packed_gone:
+            # mask the base copy only if one exists (the overlay shadows it)
+            if self._packed_find(docid) >= 0:
+                self._packed_gone.add(docid)
+            self._lru.pop(docid, None)
         if self._ram is not None:
             self._ram[docid] = doc
             return
@@ -119,42 +186,63 @@ class DocTable:
         self._lru.pop(docid, None)
 
     def __delitem__(self, docid: int) -> None:
-        if self._ram is not None:
+        present = False
+        if self._ram is not None and docid in self._ram:
             del self._ram[docid]
-            return
-        del self._offsets[docid]
-        self._lru.pop(docid, None)
+            present = True
+        elif self._ram is None and docid in self._offsets:
+            del self._offsets[docid]
+            self._lru.pop(docid, None)
+            present = True
+        if self._packed is not None and docid not in self._packed_gone:
+            if self._packed_find(docid) >= 0:
+                self._packed_gone.add(docid)
+                self._lru.pop(docid, None)
+                present = True
+        if not present:
+            raise KeyError(docid)
+
+    def _overlay_table(self) -> dict:
+        return self._ram if self._ram is not None else self._offsets
 
     def __contains__(self, docid: int) -> bool:
-        table = self._ram if self._ram is not None else self._offsets
-        return docid in table
+        if docid in self._overlay_table():
+            return True
+        return (
+            self._packed is not None
+            and docid not in self._packed_gone
+            and self._packed_find(docid) >= 0
+        )
 
     def __len__(self) -> int:
-        table = self._ram if self._ram is not None else self._offsets
-        return len(table)
+        n = len(self._overlay_table())
+        if self._packed is not None:
+            n += len(self._packed[1]) - len(self._packed_gone)
+        return n
 
     def __bool__(self) -> bool:
         return len(self) > 0
 
     def __iter__(self) -> Iterator[int]:
-        table = self._ram if self._ram is not None else self._offsets
-        return iter(table)
+        yield from self._overlay_table()
+        if self._packed is not None:
+            gone = self._packed_gone
+            for d in self._packed[1].tolist():
+                if d not in gone:
+                    yield d
 
     def keys(self):
-        table = self._ram if self._ram is not None else self._offsets
-        return table.keys()
+        return iter(self)
 
     def values(self):
-        if self._ram is not None:
-            return self._ram.values()
-        return (self._read(d) for d in list(self._offsets))
+        return (self[d] for d in list(self))
 
     def items(self):
-        if self._ram is not None:
-            return self._ram.items()
-        return ((d, self._read(d)) for d in list(self._offsets))
+        return ((d, self[d]) for d in list(self))
 
     def clear(self) -> None:
+        if self._packed is not None:
+            self._packed_gone.update(self._packed[1].tolist())
         if self._ram is not None:
             self._ram.clear()
             return
@@ -170,17 +258,21 @@ class DocTable:
         live bytes in spill mode, a 64-doc sample extrapolation in RAM
         mode (stringifying the whole table was O(corpus) per stats
         call)."""
+        packed_bytes = 0
+        if self._packed is not None:
+            _fd, ids, _o, lens = self._packed
+            packed_bytes = int(lens.sum()) if len(ids) else 0
         if self.spilled:
-            return self.live_bytes()
+            return self.live_bytes() + packed_bytes
         n = len(self._ram)
         if n == 0:
-            return 0
+            return packed_bytes
         sample = []
         for _, doc in self._ram.items():
             sample.append(len(json.dumps(doc, ensure_ascii=False)))
             if len(sample) >= 64:
                 break
-        return int(sum(sample) / len(sample) * n)
+        return packed_bytes + int(sum(sample) / len(sample) * n)
 
     def file_bytes(self) -> int:
         """On-disk segment size (including orphaned versions)."""
@@ -212,6 +304,12 @@ class DocTable:
         return before - new_end
 
     def close(self) -> None:
+        if self._packed is not None:
+            try:
+                os.close(self._packed[0])
+            except OSError:
+                pass
+            self._packed = None
         if self._fd is not None:
             try:
                 os.close(self._fd)

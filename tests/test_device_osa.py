@@ -67,7 +67,7 @@ def test_typo_derivations_identical_via_device(monkeypatch):
             ("quick", False), ("quick", True), ("machin", True),
             ("mchine", False), ("quickl", False),
         ):
-            t = ctx._term_from_word_uncached(word, 2, prefix, False)
+            t = ctx._base_term_uncached(word, 2, prefix, False)
             out[(word, prefix)] = (t.one_typo, t.two_typos)
         return out
 
