@@ -74,11 +74,52 @@ def perform_multi_search(app, req) -> dict:
     # (reference merges per-query candidates before FacetDistribution)
     candidates_by_index: dict[str, set] = {}
 
+    # shard-targeted queries: `federationOptions.shard` fans the query to
+    # the shard's owner remotes under the CURRENT topology and — during a
+    # resharding window (network.previousShards, set by PATCH /network
+    # until the networkTopologyChange task succeeds) — to every previous
+    # owner too. Each clone carries a `_shard = <name>` filter evaluated
+    # under the receiving instance's NEW topology, so documents that have
+    # not moved yet still surface on their old owner; the merged-hit
+    # dedup below collapses double-finds. Reference:
+    # federated/perform.rs + tasks/network.rs previousShards semantics.
+    network = app.scheduler.network
+    expanded: list[tuple[int, dict]] = []
+    for qi, query in enumerate(queries):
+        fed_opts = dict(query.get("federationOptions") or {})
+        shard_name = fed_opts.pop("shard", None)
+        if not shard_name:
+            expanded.append((qi, query))
+            continue
+        targets: set = set()
+        cur = (network.get("shards") or {}).get(shard_name) or {}
+        targets.update(cur.get("remotes") or [])
+        prev = network.get("previousShards")
+        if prev:
+            for ent in prev.values():
+                targets.update((ent or {}).get("remotes") or [])
+        if not targets:
+            targets = {network.get("self")}
+        shard_filter = "_shard = '{}'".format(shard_name.replace("'", "\\'"))
+        for rname in sorted(targets, key=str):
+            q = dict(query)
+            fo = dict(fed_opts)
+            if rname and rname != network.get("self"):
+                fo["remote"] = rname
+            else:
+                fo.pop("remote", None)
+            q["federationOptions"] = fo
+            orig_filter = query.get("filter")
+            q["filter"] = [shard_filter] + (
+                [orig_filter] if orig_filter is not None else []
+            )
+            expanded.append((qi, q))
+
     # partition queries by remote and proxy them over HTTP
     # (reference: federated/proxy.rs — header Meili-Proxy-Search: true)
     remote_queries: dict[str, list[tuple[int, dict]]] = {}
     local_queries: list[tuple[int, dict]] = []
-    for qi, query in enumerate(queries):
+    for qi, query in expanded:
         remote_name = (query.get("federationOptions") or {}).get("remote")
         if remote_name:
             remote_queries.setdefault(remote_name, []).append((qi, query))

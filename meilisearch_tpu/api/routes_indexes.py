@@ -240,6 +240,13 @@ def register_index_routes(app):
                     "primaryKey": req.query.get("primaryKey"),
                 },
             )
+            origin = req.headers.get("Meili-Task-Origin") or req.headers.get(
+                "meili-task-origin"
+            )
+            if origin:
+                # provenance of cross-instance document movement
+                # (reference: meilisearch-types/src/tasks/network.rs Origin)
+                task.network = {"origin": {"remote": origin}}
             return Response(202, json=task.summary())
 
         return handler

@@ -361,6 +361,14 @@ def register_misc_routes(app):
                     }
             changed = True
         previous_shards = None
+        reshard_task_uid = None
+        if body.get("previousShards", "__absent__") is None:
+            # explicit close of the resharding dual-query window — with a
+            # leader, the leader issues this once every instance's
+            # networkTopologyChange task has succeeded (reference: the
+            # leader publishes the post-reshard network version)
+            network.pop("previousShards", None)
+            changed = True
         if "shards" in body and body["shards"] is not None:
             import uuid as _uuid
 
@@ -387,6 +395,20 @@ def register_misc_routes(app):
             for store in app_.scheduler.list_indexes():
                 store.set_shard_topology(topo)
             changed = True
+            if previous_shards != network["shards"]:
+                # live resharding (reference enterprise_edition/network.rs
+                # NetworkTopologyChange): a task moves documents to their
+                # new owning remotes; until it succeeds, previousShards
+                # stays in the topology so federated queries dual-fan
+                from ..engine.tasks import TaskType
+
+                network["previousShards"] = previous_shards
+                task = app_.scheduler.register(
+                    TaskType.NETWORK_TOPOLOGY_CHANGE,
+                    None,
+                    content={"previousShards": previous_shards},
+                )
+                reshard_task_uid = task.uid
         if changed and network["leader"] is not None:
             known = set(network["remotes"]) | (
                 {network["self"]} if network["self"] else set()
@@ -400,6 +422,8 @@ def register_misc_routes(app):
         out = dict(network)
         if previous_shards is not None:
             out["previousShards"] = previous_shards
+        if reshard_task_uid is not None:
+            out["taskUid"] = reshard_task_uid
         return out
 
     app.add("PATCH", "/network", "network.update", patch_network)

@@ -384,6 +384,7 @@ class IndexScheduler:
             TaskType.DUMP_CREATION,
             TaskType.UPGRADE_DATABASE,
             TaskType.EXPORT,
+            TaskType.NETWORK_TOPOLOGY_CHANGE,
         ):
             matching = [t for t in enqueued if t.type == task_type]
             if matching:
@@ -444,6 +445,88 @@ class IndexScheduler:
                 break
             break
         return batch
+
+    def _process_network_topology_change(self, content) -> tuple[int, int]:
+        """Move documents to their new owning shard's remotes after a
+        topology change, then drop the local copies (reference:
+        scheduler/enterprise_edition/network.rs:680 NetworkTopologyChange;
+        exports carry an Origin header so receivers record provenance,
+        tasks/network.rs Origin). Documents export BEFORE local deletion:
+        a failed push fails the task and leaves the copy — the federated
+        dual-query window (previousShards) keeps them findable."""
+        import json as _json
+        import urllib.request
+
+        from ..parallel.rendezvous import rendezvous_shard
+        from ..utils.http_policy import guarded_urlopen
+
+        with self.lock:
+            net = self.network
+            shards = {k: dict(v) for k, v in (net.get("shards") or {}).items()}
+            remotes = {k: dict(v) for k, v in (net.get("remotes") or {}).items()}
+            self_name = net.get("self")
+            stores = list(self.indexes.values())
+        new_topo = sorted(shards)
+
+        def serves(shard_name) -> bool:
+            ent = shards.get(shard_name) or {}
+            r = ent.get("remotes") or []
+            return not r or self_name is None or self_name in r
+
+        moved = deleted = 0
+        for store in stores:
+            to_remote: dict[str, list] = {}
+            to_delete: list[str] = []
+            with store._lock:
+                items = list(store.external_to_internal.items())
+                for ext, docid in items:
+                    if not new_topo:
+                        continue
+                    new_shard = rendezvous_shard(ext, new_topo)
+                    if serves(new_shard):
+                        continue
+                    doc = store.documents.get(docid)
+                    if doc is None:
+                        continue
+                    for rname in (shards.get(new_shard) or {}).get(
+                        "remotes"
+                    ) or []:
+                        if rname == self_name:
+                            continue
+                        to_remote.setdefault(rname, []).append(doc)
+                    to_delete.append(ext)
+            for rname, docs in to_remote.items():
+                remote = remotes.get(rname)
+                if remote is None or not remote.get("url"):
+                    raise EngineError(
+                        ErrorCode.BAD_REQUEST,
+                        f"Cannot move documents to shard remote `{rname}`:"
+                        " remote is not registered with a URL.",
+                    )
+                url = remote["url"].rstrip("/")
+                api_key = remote.get("writeApiKey") or remote.get(
+                    "searchApiKey"
+                )
+                for i in range(0, len(docs), 1000):
+                    data = _json.dumps(docs[i : i + 1000]).encode("utf-8")
+                    push = urllib.request.Request(
+                        f"{url}/indexes/{store.uid}/documents",
+                        data=data,
+                        method="POST",
+                        headers={
+                            "Content-Type": "application/json",
+                            # reference tasks/network.rs Origin metadata
+                            "Meili-Task-Origin": self_name or "reshard",
+                        },
+                    )
+                    if api_key:
+                        push.add_header("Authorization", f"Bearer {api_key}")
+                    with guarded_urlopen(push, timeout=30):
+                        pass
+                moved += len(docs)
+            if to_delete:
+                deleted += store.delete_documents(to_delete)
+        return moved, deleted
 
     # ------------------------------------------------------------------
     # batch processing
@@ -755,6 +838,21 @@ class IndexScheduler:
 
                 key = upload_snapshot_to_s3(snap_path, self.s3_opts)
                 task.details = {"s3Object": key}
+        elif t == TaskType.NETWORK_TOPOLOGY_CHANGE:
+            moved, deleted = self._process_network_topology_change(content)
+            task.details = {
+                "movedDocuments": moved,
+                "deletedDocuments": deleted,
+            }
+            with self.lock:
+                # standalone (no leader): the local move IS the whole
+                # reshard, so the dual-query window closes on success. With
+                # a leader, the window closes when the leader confirms the
+                # cluster-wide completion (PATCH /network previousShards:
+                # null); a failed move keeps previousShards either way so
+                # federated queries still reach the yet-unmoved documents
+                if self.network.get("leader") is None:
+                    self.network.pop("previousShards", None)
         elif t == TaskType.EXPORT:
             # push settings + documents to a remote instance
             # (reference: scheduler/process_export.rs)

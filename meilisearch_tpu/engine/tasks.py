@@ -47,6 +47,7 @@ class TaskType(str, Enum):
     TASK_DELETION = "taskDeletion"
     UPGRADE_DATABASE = "upgradeDatabase"
     EXPORT = "export"
+    NETWORK_TOPOLOGY_CHANGE = "networkTopologyChange"
     DSR_UPDATE = "dynamicSearchRuleUpdate"
     DSR_DELETION = "dynamicSearchRuleDeletion"
     DSR_CLEAR = "dynamicSearchRuleClear"
@@ -96,6 +97,10 @@ class Task:
             "startedAt": self.started_at,
             "finishedAt": self.finished_at,
         }
+        if self.network is not None:
+            # cross-instance provenance (reference: TaskView network field,
+            # tasks/network.rs Origin)
+            out["network"] = self.network
         return out
 
     def summary(self) -> dict:
