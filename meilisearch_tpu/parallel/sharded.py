@@ -163,4 +163,69 @@ def sharded_store_topk(
     return np.asarray(docs)
 
 
+def sharded_facet_counts(mesh: Mesh, cand_mask, value_ids, n_values: int):
+    """Facet-value histogram over a sharded candidate axis: each shard
+    counts its local slice (one-hot compare-and-sum — no scatter, the
+    270 ns/element killer), one `psum` over ICI merges (SURVEY §2.6
+    shuffle/merge as collectives). value_ids: (N,) int32 per-doc facet
+    value index (-1 = none); cand_mask: (N,) bool."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def local_counts(mask, vids):
+        onehot = (vids[:, None] == jnp.arange(n_values, dtype=vids.dtype)[None, :])
+        local = jnp.sum(onehot & mask[:, None], axis=0, dtype=jnp.int32)
+        # every shard emits the identical psum'd copy; a per-shard output
+        # spec keeps replication trivially checkable (host slices [:V])
+        return jax.lax.psum(local, axis)
+
+    fn = shard_map(
+        local_counts,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    out = np.asarray(jax.jit(fn)(cand_mask, value_ids))
+    return out[:n_values]
+
+
+def sharded_vector_topk(mesh: Mesh, vectors, docids, query_vec, k: int = 10):
+    """Cosine top-k over a docid-sharded vector matrix: each shard runs
+    its local MXU matmul + top_k, then one `all_gather` of (score, docid)
+    pairs merges globally (ties broken by LOWER docid, matching the host
+    VectorSearcher's stable order)."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def local_step(vecs, ids, q):
+        qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
+        norms = jnp.maximum(jnp.linalg.norm(vecs, axis=1), 1e-30)
+        cos = (vecs @ qn) / norms
+        score, idx = jax.lax.top_k(cos, min(k, vecs.shape[0]))
+        top_ids = ids[idx]
+        all_scores = jax.lax.all_gather(score, axis).reshape(-1)
+        all_ids = jax.lax.all_gather(top_ids, axis).reshape(-1)
+        # sort by (-score, docid): num_keys=2 keeps cross-shard ties exact
+        s_neg, s_ids = jax.lax.sort((-all_scores, all_ids), num_keys=2)
+        return s_ids[:k], -s_neg[:k]
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), None),
+        out_specs=(P(axis), P(axis)),
+    )
+    ids, scores = jax.jit(fn)(vectors, docids, query_vec)
+    # every shard holds the same merged copy (all_gather + sort): slice one
+    return np.asarray(ids)[:k], np.asarray(scores)[:k]
+
+
 from .rendezvous import rendezvous_shard  # noqa: E402,F401 — re-export
