@@ -44,12 +44,23 @@ import numpy as np
 # the serving import chain must stay loadable when no backend exists.
 APPEND_ROWS = 64
 
-BYTE_POOL_BYTES = 3 << 30  # 3 GiB of cost rows
+# the pool is stored as (rows, D/4) int32 — four doc-bytes per element —
+# because the backend's compile time explodes on int8 operands past
+# ~2^28 ELEMENTS (ops/arena_scorer.py docstring; measured: a trivial
+# gather over a 512 MB int8 operand compiles >10 min, the same bytes as
+# int32 in <1 s). Element budget 2^28 = a 1 GiB pool.
+POOL_MAX_ELEMENTS = 1 << 28
 MAX_BYTE_ROWS = 8192
 
 
 def byte_capacity(D: int) -> int:
-    return int(min(MAX_BYTE_ROWS, max(192, BYTE_POOL_BYTES // D)))
+    return int(min(MAX_BYTE_ROWS, max(192, POOL_MAX_ELEMENTS // (D // 4))))
+
+
+def pack_plane(row: np.ndarray) -> np.ndarray:
+    """(D,) int8 byte plane -> (D/4,) int32, little lane order (the
+    kernel's _unpack_lanes inverse)."""
+    return row.astype(np.int8).view(np.int32)
 
 
 def pack_bitmap(ids: np.ndarray, D: int) -> np.ndarray:
@@ -152,7 +163,7 @@ class DeviceArena:
         # overlay (search/device_batch.py score_delta)
         self.generation = store.base_generation
         self.byte_cap = byte_capacity(D)
-        self.byte_pool = None  # jnp (byte_cap, D) int8
+        self.byte_pool = None  # jnp (byte_cap, D/4) int32 (packed bytes)
         self.byte_used = 1  # row 0 reserved (all-(-1) sentinel)
         self._byte_rows: dict = {}  # cache key -> row index
         self._staged_bytes: list[np.ndarray] = []
@@ -188,12 +199,13 @@ class DeviceArena:
     # -- row registration ---------------------------------------------------
 
     def byte_row(self, key, build) -> int:
-        """Row index for a plane; build() -> (D,) int8 row."""
+        """Row index for a plane; build() -> (D,) int8 row (packed to
+        int32 lanes at staging)."""
         self._reset_if_stale()
         row = self._byte_rows.get(key)
         if row is None:
             row = self.byte_used + len(self._staged_bytes)
-            self._staged_bytes.append(build())
+            self._staged_bytes.append(pack_plane(build()))
             self._byte_rows[key] = row
         return row
 
@@ -207,13 +219,14 @@ class DeviceArena:
         from ..ops.arena_scorer import append_rows
 
         self._reset_if_stale()
+        D4 = self.D // 4
         if self.byte_pool is None or self.byte_pool.shape[0] != self.byte_cap:
-            self.byte_pool = jnp.full((self.byte_cap, self.D), -1, jnp.int8)
+            self.byte_pool = jnp.full((self.byte_cap, D4), -1, jnp.int32)
             self.byte_used = 1
         staged = self._staged_bytes
         for start in range(0, len(staged), APPEND_ROWS):
             chunk = staged[start : start + APPEND_ROWS]
-            buf = np.full((APPEND_ROWS, self.D), -1, dtype=np.int8)
+            buf = np.full((APPEND_ROWS, D4), -1, dtype=np.int32)
             for i, row in enumerate(chunk):
                 buf[i] = row
             # padding rows land above the watermark and are overwritten by

@@ -11,12 +11,18 @@ raw numbers):
     planes built once on host per (generation, structure) and resident
     thereafter (index/device_arena.py);
   * the kernel is HBM-bandwidth bound at 1M docs, so round 3 packs the
-    per-(term, typo-class) structures into ONE int8 plane each
+    per-(term, typo-class) structures into ONE byte plane each
     (bit 7 exact-word flag on the class-0 plane, bits 4-6 min field
     weight, bits 0-3 min position cost, -1 = class absent) and the pair
-    proximities into ONE int8 plane per (term-edge, left-class) (2-bit
+    proximities into ONE byte plane per (term-edge, left-class) (2-bit
     cost per right-class, fill 0b111111) — ~41 MB of row reads per query
     at D=2^20 versus ~90 MB for the round-2 separate-plane layout;
+  * the pool is STORED as (NC, D/4) int32 with four doc-bytes per
+    element (little order), because this backend's compile time explodes
+    on int8 operands past ~2^28 elements (measured: a trivial gather
+    over a 512 MB int8 operand compiles for >10 minutes, the same bytes
+    as int32 compile in under a second); the kernel sign-extends the
+    lanes after the row gather — same HBM traffic, 4x fewer elements;
   * a full-axis sort costs 0.1-10 s, lax.top_k rides under the dispatch
     floor -> the rank key packs into one int32 and top_k picks the page,
     a second top_k resolving the kth-key tie class exactly;
@@ -55,8 +61,8 @@ Byte-plane value conventions (host side: index/device_arena.py):
   pair rows: 2-bit min proximity cost per right-class at bits 0-1/2-3/4-5
   ea rows:   ExactAttribute rank 0/1 per words level, fill 2 (-1 -> 2)
   sort rows: quantized sort rank - 128 (row 0 = constant -> docid order)
-Row 0 of the byte pool is all -1 and row 0 of the bit pool is all zero,
-so "structure absent" is just row index 0.
+Row 0 of the pool is all -1 (0xFFFFFFFF packed), so "structure absent"
+is just row index 0.
 """
 
 from __future__ import annotations
@@ -167,9 +173,18 @@ def append_rows(pool, fresh, used):
     return jax.lax.dynamic_update_slice(pool, fresh, (used, zero))
 
 
+def _unpack_lanes(words, D: int):
+    """(…, D/4) int32 -> (…, D) int32 of sign-extended bytes (little
+    lane order; host packing is index/device_arena.pack_plane)."""
+    shifts = jnp.arange(4, dtype=jnp.int32) * 8
+    b = (words[..., None] >> shifts) & 0xFF
+    b = (b ^ 0x80) - 0x80
+    return b.reshape(words.shape[:-1] + (D,))
+
+
 @functools.partial(jax.jit, static_argnames=("T", "D", "k"))
 def planes_chain_topk(
-    byte_pool,  # (NC, D) int8 — resident, NOT donated
+    byte_pool,  # (NC, D/4) int32 — packed byte planes, resident, NOT donated
     term_rows,  # (B, T, 3) int32 byte rows: packed (exact|fid|pos) per class
     pair_rows,  # (B, tp, 3) int32 byte rows: 2-bit cost per right-class
     ea_rows,  # (B, T+1) int32 byte rows
@@ -197,8 +212,8 @@ def planes_chain_topk(
 
     def one(args):
         trows, prows, earows, srow, us, urow, uv, aj = args
-        planes = byte_pool[trows]  # (T, 3, D) int8
-        present = planes != jnp.int8(-1)
+        planes = _unpack_lanes(byte_pool[trows], D)  # (T, 3, D) int32
+        present = planes != -1
         fid_cost = (planes >> 4) & 7  # arithmetic shift + mask: sign-safe
         pos_cost = planes & 15
         # exact flag: sign bit set but not the -1 absence sentinel; it is
@@ -206,8 +221,8 @@ def planes_chain_topk(
         # definition a zero-typo match)
         exact_mask = (planes[:, 0] < 0) & present[:, 0]
 
-        pair_b = byte_pool[prows]  # (tp, 3, D) int8
-        cls_shift = jnp.arange(3, dtype=jnp.int8)[None, None, :, None] * 2
+        pair_b = _unpack_lanes(byte_pool[prows], D)  # (tp, 3, D) int32
+        cls_shift = jnp.arange(3, dtype=jnp.int32)[None, None, :, None] * 2
         pair_cost = (pair_b[:, :, None, :] >> cls_shift) & 3  # (tp,3,3,D)
         # non-adjacent consecutive terms have the free term edge (cost 0)
         pair_cost = jnp.where(aj[:tp, None, None, None], pair_cost, 0)
@@ -221,8 +236,8 @@ def planes_chain_topk(
         # select-sum over the small level axis (a per-doc gather would be a
         # 270 ns/element random access on this hardware). The 2-bit gap at
         # sh_ea was left zero by the DP.
-        ea_b = byte_pool[earows]  # (T+1, D) int8
-        ea_rank = jnp.where(ea_b < 0, jnp.int8(2), ea_b).astype(jnp.int32)
+        ea_b = _unpack_lanes(byte_pool[earows], D)  # (T+1, D) int32
+        ea_rank = jnp.where(ea_b < 0, 2, ea_b)
         level = jnp.clip(T - (key >> sh_w), 0, T)
         levels = jnp.arange(T + 1, dtype=jnp.int32)[:, None]
         ea = jnp.sum(jnp.where(level[None, :] == levels, ea_rank, 0), axis=0)
@@ -259,7 +274,7 @@ def planes_chain_topk(
         negv, idx1 = jax.lax.top_k(-sel_key, k)
         key1 = key[idx1]
         kth = -negv[k - 1]
-        qsort = (byte_pool[srow].astype(jnp.int32) + 128) & 255  # 0..255
+        qsort = (_unpack_lanes(byte_pool[srow], D) + 128) & 255  # 0..255
         iota = jnp.arange(D, dtype=jnp.int32)
         tie_rank = jnp.where(
             sel_key == kth,

@@ -1059,11 +1059,13 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
 
             D32 = D // 32
             nc = byte_capacity(D)
-            byte_pool = jnp.full((nc, D), -1, jnp.int8)
+            byte_pool = jnp.full((nc, D // 4), -1, jnp.int32)
             B, T, tp = MAX_BATCH, MAX_T, MAX_T - 1
             z = np.zeros
             byte_pool = append_rows(
-                byte_pool, np.full((APPEND_ROWS, D), -1, np.int8), np.int32(1)
+                byte_pool,
+                np.full((APPEND_ROWS, D // 4), -1, np.int32),
+                np.int32(1),
             )
             out, _candw = planes_chain_topk(
                 byte_pool,
