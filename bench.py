@@ -326,6 +326,31 @@ def main():
         t.join()
     conc_qps = sum(done) / (time.perf_counter() - t0)
 
+    # post-write warm latency (VERDICT r2 #2): a MINOR write must not
+    # flush the device snapshot — queries right after an add should stay
+    # warm (base-anchored arena + host delta overlay). Measure the three
+    # searches following one single-document add.
+    post_write_ms = []
+    for i in range(3):
+        main_client.request(
+            "POST",
+            "/indexes/hackernews/documents",
+            [{
+                "id": 10_000_000 + i,
+                "title": "postwrite probe doc",
+                "url": "https://example.com/pw",
+                "author": "pwuser",
+                "points": 1,
+                "num_comments": 0,
+                "created_at": 1600000000,
+            }],
+        )
+        time.sleep(0.3)  # let the scheduler drain the write
+        t1 = time.perf_counter()
+        run_query(queries[i % len(queries)])
+        post_write_ms.append((time.perf_counter() - t1) * 1000)
+    post_write_ms.sort()
+
     # in-process device phase: perform_search_many straight against the
     # store (no HTTP, no client threads) — quantifies the HTTP+GIL tax on
     # the 1-core host (BASELINE.md documents the tunnel share separately)
@@ -371,6 +396,7 @@ def main():
         "corpus_gen_s": round(gen_s, 2),
         "kernel_warm_s": round(warm_s, 2),
         "inprocess_device_qps": round(inproc_qps, 2),
+        "post_write_warm_ms": round(post_write_ms[len(post_write_ms) // 2], 1),
     }
     if hybrid is not None:
         result["hybrid"] = hybrid
