@@ -112,10 +112,17 @@ def _key_layout(T: int):
     return sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total
 
 
-def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost, exact_mask, T, D):
+def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D):
     """`last`-strategy suffix DP over ONE packed int32 key per state —
     states [cls0, cls1, cls2, skip], a visit may only follow a visit (or
     START at t=0), the skip state absorbs all and never feeds back.
+
+    All per-(t, cls) inputs arrive as PYTHON lists of clean (D,) arrays
+    and pair costs come from pair_cost_fn(t, prev, cls) -> (D,): static
+    python indexing keeps every temp 1-D per example. (Indexing a
+    (tp,3,3,D) tensor inside the loop left strided-slice temps shaped
+    [chunk,1,1,1,D] whose TPU tile padding is 8x — measured 44 GB of HLO
+    temps at D=2^20.)
 
     fid/pos values are clamped to their per-step bounds (7 / 10): the host
     builder guarantees a doc inside a present class always has fid and
@@ -133,8 +140,8 @@ def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost, exact_mask, T, D):
         for cls in range(3):
             base = (
                 (cls << sh_ty)
-                + (jnp.clip(fid_cost[t, cls], 0, 7).astype(jnp.int32) << sh_fd)
-                + (jnp.clip(pos_cost[t, cls], 0, 10).astype(jnp.int32) << sh_ps)
+                + (jnp.clip(fid_cost[t][cls], 0, 7).astype(jnp.int32) << sh_fd)
+                + (jnp.clip(pos_cost[t][cls], 0, 10).astype(jnp.int32) << sh_ps)
                 + exact_add
             )
             best = None
@@ -142,11 +149,11 @@ def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost, exact_mask, T, D):
                 add = base
                 if t > 0:
                     add = base + (
-                        pair_cost[t - 1, prev, cls].astype(jnp.int32) << sh_px
+                        pair_cost_fn(t, prev, cls).astype(jnp.int32) << sh_px
                     )
                 cand = states[prev] + add
                 best = cand if best is None else jnp.minimum(best, cand)
-            best = jnp.where(present[t, cls], best, BIG)
+            best = jnp.where(present[t][cls], best, BIG)
             new_states.append(jnp.minimum(best, BIG))
         skip_add = jnp.int32(1 << sh_w)
         if t == 0:
@@ -212,23 +219,45 @@ def planes_chain_topk(
 
     def one(args):
         trows, prows, earows, srow, us, urow, uv, aj = args
-        planes = _unpack_lanes(byte_pool[trows], D)  # (T, 3, D) int32
-        present = planes != -1
-        fid_cost = (planes >> 4) & 7  # arithmetic shift + mask: sign-safe
-        pos_cost = planes & 15
+        # slice the PACKED words per (t, cls) FIRST, then unpack: every
+        # plane is a clean 1-D (D,) value per example. Unpacking the whole
+        # (T,3,D) block and slicing after left [chunk,1,1,D] strided temps
+        # whose TPU tile padding is 16x (measured 45 GB of HLO temps).
+        words_t = byte_pool[trows]  # (T, 3, D/4) int32
+
+        def plane(t, c):
+            return _unpack_lanes(words_t[t, c], D)
+
+        planes = [[plane(t, c) for c in range(3)] for t in range(T)]
+        present = [
+            [planes[t][c] != -1 for c in range(3)] for t in range(T)
+        ]
+        fid_cost = [
+            [(planes[t][c] >> 4) & 7 for c in range(3)] for t in range(T)
+        ]
+        pos_cost = [
+            [planes[t][c] & 15 for c in range(3)] for t in range(T)
+        ]
         # exact flag: sign bit set but not the -1 absence sentinel; it is
         # only encoded on the class-0 plane (an exact original word is by
         # definition a zero-typo match)
-        exact_mask = (planes[:, 0] < 0) & present[:, 0]
+        exact_mask = [
+            (planes[t][0] < 0) & present[t][0] for t in range(T)
+        ]
 
-        pair_b = _unpack_lanes(byte_pool[prows], D)  # (tp, 3, D) int32
-        cls_shift = jnp.arange(3, dtype=jnp.int32)[None, None, :, None] * 2
-        pair_cost = (pair_b[:, :, None, :] >> cls_shift) & 3  # (tp,3,3,D)
-        # non-adjacent consecutive terms have the free term edge (cost 0)
-        pair_cost = jnp.where(aj[:tp, None, None, None], pair_cost, 0)
+        pair_w = byte_pool[prows]  # (tp, 3, D/4) int32
+        pair_planes = [
+            [_unpack_lanes(pair_w[i, p], D) for p in range(3)]
+            for i in range(tp)
+        ]
+
+        def pair_cost_fn(t, prev, cls):
+            # non-adjacent consecutive terms have the free term edge
+            cost = (pair_planes[t - 1][prev] >> (2 * cls)) & 3
+            return jnp.where(aj[t - 1], cost, 0)
 
         key, BIG, sh_ea, sh_ps_, sh_w = _packed_chain_dp(
-            present, fid_cost, pos_cost, pair_cost, exact_mask, T, D
+            present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D
         )
         dead = key >= BIG  # no valid interpretation
 
@@ -236,11 +265,13 @@ def planes_chain_topk(
         # select-sum over the small level axis (a per-doc gather would be a
         # 270 ns/element random access on this hardware). The 2-bit gap at
         # sh_ea was left zero by the DP.
-        ea_b = _unpack_lanes(byte_pool[earows], D)  # (T+1, D) int32
-        ea_rank = jnp.where(ea_b < 0, 2, ea_b)
+        ea_w = byte_pool[earows]  # (T+1, D/4) int32
         level = jnp.clip(T - (key >> sh_w), 0, T)
-        levels = jnp.arange(T + 1, dtype=jnp.int32)[:, None]
-        ea = jnp.sum(jnp.where(level[None, :] == levels, ea_rank, 0), axis=0)
+        ea = jnp.zeros((D,), jnp.int32)
+        for lvl in range(T + 1):
+            rank_l = _unpack_lanes(ea_w[lvl], D)
+            rank_l = jnp.where(rank_l < 0, 2, rank_l)
+            ea = ea + jnp.where(level == lvl, rank_l, 0)
         key = key | (ea << sh_ea)
 
         valid = jnp.where(uv, unpack_words(urow) & live, live)
@@ -297,15 +328,22 @@ def planes_chain_topk(
 
     xs = (term_rows, pair_rows, ea_rows, sort_rows, use_sort, universe,
           use_valid, adj)
-    # chunked map bounds peak HBM: vmap over the full batch materializes
-    # (B, T, 3, D) temporaries. chunk=16 measured at D=2^20: compile
-    # 150 s, warm under 0.5 s/32 queries, peak fits HBM.
-    bs = int(os.environ.get("MEILI_TPU_BATCH_CHUNK", "16"))
-    if D <= (1 << 18) or bs >= term_rows.shape[0]:
+    # chunking bounds peak HBM: vmap over the full batch materializes
+    # (B, T, 3, D) int32 temporaries (~7 GB at D=2^20 for B=32). The
+    # chunks UNROLL as separate vmap segments inside the one program —
+    # a lax.map while-loop carried 8x-padded remat copies of every
+    # singleton-dim temp across iterations (measured OOM at D=2^20).
+    bs = int(os.environ.get("MEILI_TPU_BATCH_CHUNK", "8"))
+    B = term_rows.shape[0]
+    if D <= (1 << 18) or bs >= B:
         idx1, key1, idx2, key2, counts, cwords = jax.vmap(lambda *a: one(a))(*xs)
     else:
-        idx1, key1, idx2, key2, counts, cwords = jax.lax.map(
-            one, xs, batch_size=bs
+        parts = []
+        for s0 in range(0, B, bs):
+            sl = tuple(x[s0 : s0 + bs] for x in xs)
+            parts.append(jax.vmap(lambda *a: one(a))(*sl))
+        idx1, key1, idx2, key2, counts, cwords = (
+            jnp.concatenate(ps, axis=0) for ps in zip(*parts)
         )
     # ONE small output tensor: each host readback over the tunnel is a
     # ~27 ms round trip at ~25-70 MB/s, so the candidate lists and counts
