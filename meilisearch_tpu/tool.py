@@ -54,6 +54,20 @@ def main(argv=None):
     sub.add_parser("openapi", help="print the OpenAPI spec for the route tree")
 
     p = sub.add_parser(
+        "offline-upgrade",
+        help="upgrade a db path's packed checkpoint to the current engine"
+        " version without starting the server (meilitool OfflineUpgrade)",
+    )
+    p.add_argument("--db-path", required=True)
+
+    p = sub.add_parser(
+        "hair-dryer",
+        help="touch every packed column of a db path so the page cache is"
+        " warm before serving (meilitool hair-dryer, main.rs:160-175)",
+    )
+    p.add_argument("--db-path", required=True)
+
+    p = sub.add_parser(
         "explain-query",
         help="render the query graph + derivations (VisualSearchLogger)",
     )
@@ -101,6 +115,42 @@ def main(argv=None):
         scheduler = _load_instance(args.snapshot)
         print(json.dumps(scheduler.stats(), indent=2, default=str))
         scheduler.stop()
+    elif args.command == "offline-upgrade":
+        # load through the version gate/migration chain (engine/versioning
+        # check_and_migrate runs inside the loaders), then rewrite the
+        # checkpoint in the CURRENT formats — packed v2 columns, current
+        # snapshot version (reference: meilitool OfflineUpgrade)
+        from .engine.dumps import (
+            create_packed_checkpoint,
+            load_packed_checkpoint,
+        )
+        from .engine.scheduler import IndexScheduler
+
+        scheduler = IndexScheduler(autobatching_enabled=False)
+        if not load_packed_checkpoint(scheduler, args.db_path):
+            print("no packed checkpoint found at that db path")
+            return
+        # force every deferred index through the (possibly v1) loader so
+        # the rewrite below lands in the current packed format
+        for _uid, _store in scheduler.indexes.items():
+            pass
+        create_packed_checkpoint(scheduler, args.db_path)
+        print(f"{args.db_path} rewritten at the current engine formats")
+        scheduler.stop()
+    elif args.command == "hair-dryer":
+        import os
+
+        touched = 0
+        for root, _dirs, files in os.walk(args.db_path):
+            for name in files:
+                if not name.endswith((".npy", ".jsonl", ".json")):
+                    continue
+                path = os.path.join(root, name)
+                with open(path, "rb", buffering=1 << 20) as fh:
+                    while fh.read(1 << 22):
+                        pass
+                touched += 1
+        print(f"warmed {touched} files under {args.db_path}")
     elif args.command == "explain-query":
         scheduler = _load_instance(args.snapshot)
         from .search.logger import explain_query
