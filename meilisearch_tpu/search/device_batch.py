@@ -57,6 +57,19 @@ from .scorer import Resolver, position_cost_from_distance
 MAX_T = 6  # the packed int32 rank key needs T <= 6 (ops/arena_scorer.py)
 TOPK = 1024
 MAX_BATCH = 32
+# two compiled scoring programs per corpus bucket: most queries are 1-3
+# terms and the DP's per-op cost scales with T, so a T=3 variant nearly
+# halves their execute time; T=4..6 ride the full-width program. (The
+# round-2 single-variant rule predates the packed-int32 pool fix that
+# brought compiles down to ~1-5 min, persistently cached.)
+T_LADDER = (3, MAX_T)
+
+
+def _ladder_T(t: int) -> int:
+    for lt in T_LADDER:
+        if t <= lt:
+            return lt
+    return MAX_T
 MAX_PLANE_DOCS = 1 << 23  # beyond ~8M docs the dense planes go host-side
 
 
@@ -615,7 +628,10 @@ def _delta_ids_array(store: IndexStore) -> np.ndarray:
 
 
 def score_delta(
-    store: IndexStore, d: ChainDescriptor, delta_ids: np.ndarray
+    store: IndexStore,
+    d: ChainDescriptor,
+    delta_ids: np.ndarray,
+    T: int = MAX_T,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The host overlay of incremental generations: exact packed rank keys
     for the minor-write delta docids, byte-identical to the device kernel
@@ -628,7 +644,6 @@ def score_delta(
     from ..ops.arena_scorer import packed_chain_dp_np
 
     n = len(delta_ids)
-    T = MAX_T
     tp = T - 1
     resolver = Resolver(store, EMPTY, None)
     weight_map = store.fid_weight_map()
@@ -828,12 +843,12 @@ def _finish_device_result(
 
 
 def execute_device_batch(
-    store: IndexStore, descriptors: list[ChainDescriptor]
+    store: IndexStore, descriptors: list[ChainDescriptor], T: int = MAX_T
 ) -> list[Optional[SearchResult]]:
     """One device execute for a batch of descriptors. B is padded to
-    MAX_BATCH and T to MAX_T with match-nothing descriptors: exactly one
-    compiled scoring program per corpus-size bucket D. Entries come back
-    None when that query must re-run on the host scorer."""
+    MAX_BATCH and T to the ladder width with match-nothing descriptors:
+    one compiled scoring program per (corpus bucket D, ladder T). Entries
+    come back None when that query must re-run on the host scorer."""
     from ..ops.arena_scorer import (
         merge_topk_host,
         merge_topk_sort_host,
@@ -842,7 +857,6 @@ def execute_device_batch(
 
     D = _plane_docs(store)
     arena = get_arena(store, D)
-    T = MAX_T
     n_real = len(descriptors)
     real = descriptors
     descriptors = [_pad_descriptor(d, T) for d in descriptors]
@@ -935,7 +949,7 @@ def execute_device_batch(
         count = int(counts[i])
         d_ids, d_keys = EMPTY, None
         if len(delta_live):
-            d_ids, d_keys = score_delta(store, d, delta_live)
+            d_ids, d_keys = score_delta(store, d, delta_live, T)
         if d.sort_criteria:
             search = d.search
 
@@ -1016,7 +1030,7 @@ _WARM_LOCK = None
 
 
 def _warm_key(D: int):
-    return (D, MAX_T, TOPK)
+    return (D, T_LADDER, TOPK)
 
 
 def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
@@ -1060,29 +1074,31 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
             D32 = D // 32
             nc = byte_capacity(D)
             byte_pool = jnp.full((nc, D // 4), -1, jnp.int32)
-            B, T, tp = MAX_BATCH, MAX_T, MAX_T - 1
+            B = MAX_BATCH
             z = np.zeros
             byte_pool = append_rows(
                 byte_pool,
                 np.full((APPEND_ROWS, D // 4), -1, np.int32),
                 np.int32(1),
             )
-            out, _candw = planes_chain_topk(
-                byte_pool,
-                z((B, T, 3), np.int32),
-                z((B, tp, 3), np.int32),
-                z((B, T + 1), np.int32),
-                z(B, np.int32),
-                z(B, bool),
-                z((B, D32), np.int32),
-                z(B, bool),
-                z((B, tp), bool),
-                jnp.zeros(D, bool),
-                T=T,
-                D=D,
-                k=TOPK,
-            )
-            np.asarray(out)
+            for T in T_LADDER:
+                tp = max(T - 1, 1)
+                out, _candw = planes_chain_topk(
+                    byte_pool,
+                    z((B, T, 3), np.int32),
+                    z((B, tp, 3), np.int32),
+                    z((B, T + 1), np.int32),
+                    z(B, np.int32),
+                    z(B, bool),
+                    z((B, D32), np.int32),
+                    z(B, bool),
+                    z((B, tp), bool),
+                    jnp.zeros(D, bool),
+                    T=T,
+                    D=D,
+                    k=TOPK,
+                )
+                np.asarray(out)
             _WARM_STATE[key] = "ready"
         except Exception:
             _WARM_STATE.pop(key, None)  # retry on the next trigger
@@ -1145,11 +1161,13 @@ def search_many(
     the rest on the host scorer. Order-preserving."""
     results: list[Optional[SearchResult]] = [None] * len(searches)
 
-    def run_chunk(chunk: list[tuple[int, ChainDescriptor]]) -> None:
+    def run_chunk(chunk: list[tuple[int, ChainDescriptor]], T: int) -> None:
         if not chunk:
             return
         try:
-            batch_results = execute_device_batch(store, [d for _i, d in chunk])
+            batch_results = execute_device_batch(
+                store, [d for _i, d in chunk], T
+            )
         except Exception:
             if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
                 raise  # tests: a silent host fallback would hide bugs
@@ -1169,24 +1187,34 @@ def search_many(
         ]
         if eligible and _device_worthwhile(store, len(eligible), force_device):
             arena = get_arena(store, _plane_docs(store))
-            pending: list[tuple[int, ChainDescriptor]] = []
+            # one pending batch per ladder width (short chains ride the
+            # cheaper T=3 program)
+            pending: dict[int, list[tuple[int, ChainDescriptor]]] = {
+                lt: [] for lt in T_LADDER
+            }
+
+            def flush_all():
+                for lt, chunk in pending.items():
+                    run_chunk(chunk, lt)
+                    pending[lt] = []
+
             for i, s in eligible:
                 if not arena.has_room(_MAX_BYTE_ROWS_PER_QUERY):
                     # pool full: execute what we have (its row indices are
                     # still live), then flush and let rows re-register
-                    run_chunk(pending)
-                    pending = []
+                    flush_all()
                     arena.reset_rows()
                 try:
                     d = build_descriptor(s)
                 except Exception:
                     d = None
                 if d is not None:
-                    pending.append((i, d))
-                    if len(pending) == MAX_BATCH:
-                        run_chunk(pending)
-                        pending = []
-            run_chunk(pending)
+                    lt = _ladder_T(d.T)
+                    pending[lt].append((i, d))
+                    if len(pending[lt]) == MAX_BATCH:
+                        run_chunk(pending[lt], lt)
+                        pending[lt] = []
+            flush_all()
     for i, s in enumerate(searches):
         if results[i] is None:
             results[i] = s.execute()

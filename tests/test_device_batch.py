@@ -83,9 +83,9 @@ def test_device_batch_used_for_chains(store, monkeypatch):
     calls = []
     orig = device_batch.execute_device_batch
 
-    def spy(st, descs):
+    def spy(st, descs, T=6):
         calls.append(len(descs))
-        return orig(st, descs)
+        return orig(st, descs, T)
 
     monkeypatch.setattr(device_batch, "execute_device_batch", spy)
     perform_search_many(store, [{"q": "quick brown"}, {"q": "fox dog"}])
@@ -169,8 +169,8 @@ def test_device_sort_descriptor_served_on_device(store, monkeypatch):
     served = []
     orig = device_batch.execute_device_batch
 
-    def spy(st, descriptors):
-        res = orig(st, descriptors)
+    def spy(st, descriptors, T=6):
+        res = orig(st, descriptors, T)
         served.append([r is not None for r in res])
         return res
 
