@@ -58,26 +58,41 @@ def byte_capacity(D: int) -> int:
 
 
 def pack_plane(row: np.ndarray) -> np.ndarray:
-    """(D,) int8 byte plane -> (D/4,) int32, little lane order (the
-    kernel's _unpack_lanes inverse)."""
-    return row.astype(np.int8).view(np.int32)
+    """(D,) int8 byte plane -> (D/4,) int32, lane-BLOCKED: lane j of word
+    w holds doc j*D/4 + w (the kernel's _unpack_lanes inverse). Blocked
+    rather than interleaved because the device unpack then CONCATENATES
+    four (D/4,) lane arrays — an interleave needs a (..., D/4, 4) temp
+    whose trailing dim pads 32x on TPU tile layouts (measured: the
+    interleaved kernel moved 727 GB per batch at D=2^20)."""
+    q = len(row) // 4
+    blocked = np.ascontiguousarray(
+        row.astype(np.int8).reshape(4, q).T
+    )
+    return blocked.view(np.int32).reshape(q)
 
 
 def pack_bitmap(ids: np.ndarray, D: int) -> np.ndarray:
-    """Sorted docids -> (D/32,) int32 little-bit-order bitmap row (used for
-    the per-query filter-universe kernel inputs)."""
+    """Sorted docids -> (D/32,) int32 bit-BLOCKED bitmap row: bit j of
+    word w holds doc j*D/32 + w (used for the per-query filter-universe
+    kernel inputs; blocked for the same tile-padding reason as
+    pack_plane)."""
     mask = np.zeros(D, dtype=bool)
     if len(ids):
         mask[ids] = True
-    return np.packbits(mask, bitorder="little").view(np.uint32).astype(np.int32)
+    rows = mask.reshape(32, D // 32).astype(np.uint32)
+    return (
+        (rows << np.arange(32, dtype=np.uint32)[:, None])
+        .sum(axis=0, dtype=np.uint32)
+        .astype(np.int32)
+    )
 
 
 def unpack_bitmap(words: np.ndarray, D: int) -> np.ndarray:
     """(D/32,) int32 row -> (D,) bool mask (inverse of pack_bitmap and of
-    the kernel's candwords packing)."""
-    return np.unpackbits(
-        words.astype(np.int32).view(np.uint8), bitorder="little"
-    )[:D].astype(bool)
+    the kernel's candwords packing — bit-blocked order)."""
+    w = words.astype(np.int64) & 0xFFFFFFFF
+    bits = (w[None, :] >> np.arange(32, dtype=np.int64)[:, None]) & 1
+    return bits.reshape(D).astype(bool)
 
 
 def byte_plane(parts, D: int, fill: int) -> np.ndarray:

@@ -181,12 +181,15 @@ def append_rows(pool, fresh, used):
 
 
 def _unpack_lanes(words, D: int):
-    """(…, D/4) int32 -> (…, D) int32 of sign-extended bytes (little
-    lane order; host packing is index/device_arena.pack_plane)."""
-    shifts = jnp.arange(4, dtype=jnp.int32) * 8
-    b = (words[..., None] >> shifts) & 0xFF
-    b = (b ^ 0x80) - 0x80
-    return b.reshape(words.shape[:-1] + (D,))
+    """(…, D/4) int32 -> (…, D) int32 of sign-extended bytes, lane-BLOCKED
+    (index/device_arena.pack_plane): lane j covers docs [jD/4, (j+1)D/4).
+    Four (…, D/4) lane arrays concatenate along the major axis — clean
+    tile layouts; the interleaved form needed a (…, D/4, 4) temp whose
+    trailing dim pads 32x (measured 727 GB/batch of traffic)."""
+    lanes = [
+        ((((words >> (8 * j)) & 0xFF) ^ 0x80) - 0x80) for j in range(4)
+    ]
+    return jnp.concatenate(lanes, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "D", "k"))
@@ -213,9 +216,9 @@ def planes_chain_topk(
     _, _, sh_fd, _, _, _, _ = _key_layout(T)
     low_mask = jnp.int32((1 << sh_fd) - 1)
 
-    def unpack_words(words):  # (D/32,) int32 -> (D,) bool
-        bits = (words[:, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
-        return bits.reshape(D).astype(bool)
+    def unpack_words(words):  # (D/32,) int32 -> (D,) bool, bit-blocked
+        rows = [((words >> j) & 1).astype(bool) for j in range(32)]
+        return jnp.concatenate(rows, axis=-1)
 
     def one(args):
         trows, prows, earows, srow, us, urow, uv, aj = args
@@ -279,17 +282,16 @@ def planes_chain_topk(
         key = jnp.where(invalid, jnp.int32(INVALID_KEY), key)
 
         # the full candidate set as a packed bitmap (device-resident
-        # output; host fetches single rows only for facet/distinct needs)
-        cbits = (~invalid).reshape(D // 32, 4, 8)
-        cbytes = jnp.sum(
-            cbits.astype(jnp.int32) << jnp.arange(8, dtype=jnp.int32), axis=2
-        )
-        cwords = (
-            cbytes[:, 0]
-            | (cbytes[:, 1] << 8)
-            | (cbytes[:, 2] << 16)
-            | (cbytes[:, 3] << 24)
-        )
+        # output; host fetches single rows only for facet/distinct needs).
+        # Bit-BLOCKED like the universe rows: bit j of word w = doc
+        # j*D/32 + w — 64 clean (D/32,) ops, no small-dim reshape
+        cand = ~invalid
+        cwords = jnp.zeros((D // 32,), jnp.int32)
+        for j in range(32):
+            blk = jax.lax.dynamic_slice_in_dim(
+                cand, j * (D // 32), D // 32
+            ).astype(jnp.int32)
+            cwords = cwords | (blk << j)
 
         # sort queries select on the key with the below-sort rule bits
         # masked (exactness resolves AFTER the sort value, host-side);
