@@ -1187,34 +1187,34 @@ def search_many(
         ]
         if eligible and _device_worthwhile(store, len(eligible), force_device):
             arena = get_arena(store, _plane_docs(store))
-            # one pending batch per ladder width (short chains ride the
-            # cheaper T=3 program)
-            pending: dict[int, list[tuple[int, ChainDescriptor]]] = {
-                lt: [] for lt in T_LADDER
-            }
+            # ONE execute per drain at the widest ladder the drain needs:
+            # short-only drains ride the cheap T=3 program, and a single
+            # long query widens the whole drain instead of paying a
+            # second sequential execute
+            pending: list[tuple[int, ChainDescriptor]] = []
 
-            def flush_all():
-                for lt, chunk in pending.items():
-                    run_chunk(chunk, lt)
-                    pending[lt] = []
+            def flush():
+                nonlocal pending
+                if pending:
+                    lt = _ladder_T(max(d.T for _i, d in pending))
+                    run_chunk(pending, lt)
+                    pending = []
 
             for i, s in eligible:
                 if not arena.has_room(_MAX_BYTE_ROWS_PER_QUERY):
                     # pool full: execute what we have (its row indices are
                     # still live), then flush and let rows re-register
-                    flush_all()
+                    flush()
                     arena.reset_rows()
                 try:
                     d = build_descriptor(s)
                 except Exception:
                     d = None
                 if d is not None:
-                    lt = _ladder_T(d.T)
-                    pending[lt].append((i, d))
-                    if len(pending[lt]) == MAX_BATCH:
-                        run_chunk(pending[lt], lt)
-                        pending[lt] = []
-            flush_all()
+                    pending.append((i, d))
+                    if len(pending) == MAX_BATCH:
+                        flush()
+            flush()
     for i, s in enumerate(searches):
         if results[i] is None:
             results[i] = s.execute()
