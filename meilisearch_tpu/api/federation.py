@@ -304,28 +304,30 @@ class _RemoteAvailability:
     """Exponential unavailability windows per remote, 30s doubling to 5min
     (reference: meilisearch-types/src/network.rs:8-9,44-80). While a remote
     is inside its window, proxy calls fail fast instead of blocking the
-    whole federated request on a dead host."""
+    whole federated request on a dead host. Keyed by the remote's URL —
+    the physical endpoint the failures came from — so reconfiguring a
+    name to point elsewhere starts fresh."""
 
     BASE_S = 30.0
     MAX_S = 300.0
 
     def __init__(self):
-        self._state: dict[str, tuple[float, float]] = {}  # name -> (until, backoff)
+        self._state: dict[str, tuple[float, float]] = {}  # url -> (until, backoff)
 
-    def check(self, name: str) -> None:
-        until, _ = self._state.get(name, (0.0, 0.0))
+    def check(self, name: str, url: str) -> None:
+        until, _ = self._state.get(url, (0.0, 0.0))
         if time.monotonic() < until:
             raise ConnectionError(
                 f"remote `{name}` is marked unavailable (backoff window)"
             )
 
-    def record_failure(self, name: str) -> None:
-        _, backoff = self._state.get(name, (0.0, 0.0))
+    def record_failure(self, url: str) -> None:
+        _, backoff = self._state.get(url, (0.0, 0.0))
         backoff = min(backoff * 2 if backoff else self.BASE_S, self.MAX_S)
-        self._state[name] = (time.monotonic() + backoff, backoff)
+        self._state[url] = (time.monotonic() + backoff, backoff)
 
-    def record_success(self, name: str) -> None:
-        self._state.pop(name, None)
+    def record_success(self, url: str) -> None:
+        self._state.pop(url, None)
 
 
 REMOTE_AVAILABILITY = _RemoteAvailability()
@@ -340,8 +342,9 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
 
     from ..utils.http_policy import check_url_policy, guarded_urlopen
 
-    REMOTE_AVAILABILITY.check(remote_name)
-    url = remote["url"].rstrip("/") + "/multi-search"
+    base_url = remote["url"].rstrip("/")
+    REMOTE_AVAILABILITY.check(remote_name, base_url)
+    url = base_url + "/multi-search"
     check_url_policy(url)
     sub_queries = []
     for _qi, query in entries:
@@ -380,14 +383,14 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
         try:
             with guarded_urlopen(req, timeout=30) as resp:
                 data = json.loads(resp.read().decode("utf-8"))
-            REMOTE_AVAILABILITY.record_success(remote_name)
+            REMOTE_AVAILABILITY.record_success(base_url)
             break
         except urllib.error.HTTPError:
             # an HTTP status means the remote answered: no retry, no backoff
             raise
         except Exception:
             if attempt == 1:
-                REMOTE_AVAILABILITY.record_failure(remote_name)
+                REMOTE_AVAILABILITY.record_failure(base_url)
                 raise
     out = []
     qi_base = entries[0][0]
