@@ -192,8 +192,121 @@ def _unpack_lanes(words, D: int):
     return jnp.concatenate(lanes, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "D", "k"))
 def planes_chain_topk(
+    byte_pool,
+    term_rows,
+    pair_rows,
+    ea_rows,
+    sort_rows,
+    use_sort,
+    universe,
+    use_valid,
+    adj,
+    live_packed,
+    T: int,
+    D: int,
+    k: int,
+):
+    """Routing wrapper: the fused Pallas scorer on real TPUs (VMEM-tiled
+    DP, ~100x less HBM traffic than the XLA elementwise graph), the XLA
+    reference path on CPU (pallas interpret mode is orders slower) and
+    for sub-2^14 corpus buckets. Both produce identical outputs
+    (tests/test_pallas_scorer.py pins key-for-key equality)."""
+    from .pallas_scorer import pallas_supported
+
+    use_pallas = (
+        os.environ.get("MEILI_TPU_PALLAS", "0") == "1"
+        and pallas_supported(D)
+        and jax.default_backend() != "cpu"
+    )
+    if use_pallas:
+        return _planes_chain_topk_fused(
+            byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
+            universe, use_valid, adj, live_packed, T=T, D=D, k=k,
+        )
+    return _planes_chain_topk_xla(
+        byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
+        universe, use_valid, adj, live_packed, T=T, D=D, k=k,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("T", "D", "k", "interpret"))
+def _planes_chain_topk_fused(
+    byte_pool,
+    term_rows,
+    pair_rows,
+    ea_rows,
+    sort_rows,
+    use_sort,
+    universe,
+    use_valid,
+    adj,
+    live_packed,
+    T: int,
+    D: int,
+    k: int,
+    interpret: bool = False,
+):
+    """Pallas DP -> (B, D) keys -> XLA top_k selection + kth-tie pass.
+    Same output contract as the XLA path."""
+    from .pallas_scorer import pallas_chain_keys
+
+    B = term_rows.shape[0]
+    tp = max(T - 1, 1)
+    _, _, sh_fd, _, _, _, _ = _key_layout(T)
+    low_mask = jnp.int32((1 << sh_fd) - 1)
+
+    rows = jnp.concatenate(
+        [
+            term_rows.reshape(B, T * 3),
+            pair_rows.reshape(B, tp * 3),
+            ea_rows.reshape(B, T + 1),
+        ],
+        axis=1,
+    )
+    keys, candw = pallas_chain_keys(
+        byte_pool,
+        rows,
+        adj.astype(jnp.int32),
+        use_valid.astype(jnp.int32),
+        universe,
+        live_packed,
+        T=T,
+        D=D,
+        interpret=interpret,
+    )
+
+    sel_key = jnp.where(use_sort[:, None], keys & ~low_mask, keys)
+    negv, idx1 = jax.lax.top_k(-sel_key, k)
+    key1 = jnp.take_along_axis(keys, idx1, axis=1)
+    kth = -negv[:, k - 1]
+    qsort = (_unpack_lanes(byte_pool[sort_rows], D) + 128) & 255  # (B, D)
+    iota = jnp.arange(D, dtype=jnp.int32)[None, :]
+    tie_rank = jnp.where(
+        sel_key == kth[:, None],
+        -((qsort << 23) | iota),
+        jnp.int32(-(2**31) + 1),
+    )
+    tr2, idx2 = jax.lax.top_k(tie_rank, k)
+    key2 = jnp.where(
+        tr2 > jnp.int32(-(2**31) + 1),
+        jnp.take_along_axis(keys, idx2, axis=1),
+        jnp.int32(INVALID_KEY),
+    )
+    # count = candidate-bitmap popcount (the bitmap is exactly ~invalid)
+    counts = jnp.sum(
+        jax.lax.population_count(candw), axis=1, dtype=jnp.int32
+    )
+    out = jnp.concatenate(
+        [idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2,
+         counts[:, None]],
+        axis=1,
+    )
+    return out, candw
+
+
+@functools.partial(jax.jit, static_argnames=("T", "D", "k"))
+def _planes_chain_topk_xla(
     byte_pool,  # (NC, D/4) int32 — packed byte planes, resident, NOT donated
     term_rows,  # (B, T, 3) int32 byte rows: packed (exact|fid|pos) per class
     pair_rows,  # (B, tp, 3) int32 byte rows: 2-bit cost per right-class
@@ -203,7 +316,7 @@ def planes_chain_topk(
     universe,  # (B, D/32) int32 packed filter universes
     use_valid,  # (B,) bool — True: intersect with `universe` row
     adj,  # (B, tp) bool
-    live,  # (D,) bool
+    live_packed,  # (D/32,) int32 packed live bitmap (bit-blocked)
     T: int,
     D: int,
     k: int,
@@ -219,6 +332,8 @@ def planes_chain_topk(
     def unpack_words(words):  # (D/32,) int32 -> (D,) bool, bit-blocked
         rows = [((words >> j) & 1).astype(bool) for j in range(32)]
         return jnp.concatenate(rows, axis=-1)
+
+    live = unpack_words(live_packed)
 
     def one(args):
         trows, prows, earows, srow, us, urow, uv, aj = args

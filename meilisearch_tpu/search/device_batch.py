@@ -574,6 +574,8 @@ def _plane_docs(store: IndexStore) -> int:
 
 
 def _live_mask(store: IndexStore, D: int):
+    """Packed (D/32,) int32 bit-blocked live bitmap, device-resident
+    (pack_bitmap layout — the kernel input form for both scorer paths)."""
     import jax.numpy as jnp
 
     cached = getattr(store, "_device_live_cache", None)
@@ -589,7 +591,13 @@ def _live_mask(store: IndexStore, D: int):
                 store.delta_docids, np.int64, len(store.delta_docids)
             )
         ] = False
-    dev = jnp.asarray(live)
+    rows = live.reshape(32, D // 32).astype(np.uint32)
+    packed = (
+        (rows << np.arange(32, dtype=np.uint32)[:, None])
+        .sum(axis=0, dtype=np.uint32)
+        .astype(np.int32)
+    )
+    dev = jnp.asarray(packed)
     store._device_live_cache = ((store.generation, D), dev)
     return dev
 
@@ -885,6 +893,7 @@ def execute_device_batch(
     t_kernel = _time.perf_counter()
     try:
         byte_pool = arena.prepare_batch()
+        t_prep = _time.perf_counter()
         out, candw = planes_chain_topk(
             byte_pool,
             np.stack([d.term_rows for d in descriptors]),
@@ -985,9 +994,11 @@ def execute_device_batch(
         import sys as _sys
 
         print(
-            f"device batch B={len(descriptors)} T={T} D={D}:"
-            f" kernel+read {t_read - t_kernel:.3f}s"
-            f" finish {_time.perf_counter() - t_read:.3f}s",
+            f"device batch B={n_real} T={T} D={D}:"
+            f" prep {t_prep - t_kernel:.3f}s"
+            f" dispatch+read {t_read - t_prep:.3f}s"
+            f" finish {_time.perf_counter() - t_read:.3f}s"
+            f" [{_time.monotonic():.2f}]",
             file=_sys.stderr,
             flush=True,
         )
@@ -1093,7 +1104,7 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
                     z((B, D32), np.int32),
                     z(B, bool),
                     z((B, tp), bool),
-                    jnp.zeros(D, bool),
+                    jnp.zeros(D32, jnp.int32),
                     T=T,
                     D=D,
                     k=TOPK,

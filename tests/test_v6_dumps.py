@@ -109,15 +109,17 @@ def test_import_reference_v6_dump(tmp_path):
 
 
 def test_unsupported_version_rejected(tmp_path):
-    dump_path = tmp_path / "old.dump"
+    # V1-V5 now import through the legacy compat readers (reference
+    # dump/src/reader compat chain); only unknown/future versions reject
+    dump_path = tmp_path / "future.dump"
     with tarfile.open(dump_path, "w:gz") as tar:
-        data = json.dumps({"dumpVersion": "V5"}).encode()
+        data = json.dumps({"dumpVersion": "V99"}).encode()
         info = tarfile.TarInfo("metadata.json")
         info.size = len(data)
         tar.addfile(info, io.BytesIO(data))
     with pytest.raises(ValueError) as err:
         load_dump(IndexScheduler(), str(dump_path))
-    assert "V6" in str(err.value)
+    assert "V99" in str(err.value)
 
 
 def test_round_trip_own_dump(tmp_path):
