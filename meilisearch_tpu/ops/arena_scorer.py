@@ -215,7 +215,7 @@ def planes_chain_topk(
     from .pallas_scorer import pallas_supported
 
     use_pallas = (
-        os.environ.get("MEILI_TPU_PALLAS", "0") == "1"
+        os.environ.get("MEILI_TPU_PALLAS", "1") == "1"
         and pallas_supported(D)
         and jax.default_backend() != "cpu"
     )

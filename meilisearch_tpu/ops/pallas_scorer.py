@@ -204,11 +204,9 @@ def _kernel_body(T, D, WBLK, refs):
     invalid = (~valid) | dead
     key = jnp.where(invalid, jnp.int32(INVALID_KEY), key)
     for l in range(4):
-        # per-lane writes avoid a sublane-splitting reshape (Mosaic
-        # handles (WR, LANE) slabs directly)
-        keys_ref[0, l] = jax.lax.dynamic_slice_in_dim(
-            key, l * WR, WR, axis=0
-        )
+        # per-lane writes avoid a sublane-splitting reshape; static
+        # slices only (Mosaic has no dynamic_slice on values)
+        keys_ref[0, l] = key[l * WR : (l + 1) * WR]
 
     # -- candidate bitmap (bit-blocked, accumulated per query) -------------
     @pl.when(d == 0)
@@ -219,7 +217,7 @@ def _kernel_body(T, D, WBLK, refs):
     if WBLK <= w32:
         bits = jnp.zeros((WR, LANE), jnp.int32)
         for l in range(4):
-            blk = jax.lax.dynamic_slice_in_dim(cand, l * WR, WR, axis=0)
+            blk = cand[l * WR : (l + 1) * WR]
             bits = bits | (blk << (jb + 8 * l))
         cur = candw_ref[0, pl.ds(win, WR), :]
         candw_ref[0, pl.ds(win, WR), :] = cur | bits
@@ -230,7 +228,7 @@ def _kernel_body(T, D, WBLK, refs):
             l, rr = r // WR, r % WR
             jb_r = 8 * l + d * planes_per_blk + (rr * LANE) // w32
             wrow = ((rr * LANE) % w32) // LANE
-            row = jax.lax.dynamic_slice_in_dim(cand, r, 1, axis=0)
+            row = cand[r : r + 1]
             acc[wrow] = acc[wrow] | (row << jb_r)
         for wrow in range(W32R_OF(D)):
             cur = candw_ref[0, pl.ds(wrow, 1), :]

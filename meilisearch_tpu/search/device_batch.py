@@ -57,12 +57,21 @@ from .scorer import Resolver, position_cost_from_distance
 MAX_T = 6  # the packed int32 rank key needs T <= 6 (ops/arena_scorer.py)
 TOPK = 1024
 MAX_BATCH = 32
-# two compiled scoring programs per corpus bucket: most queries are 1-3
-# terms and the DP's per-op cost scales with T, so a T=3 variant nearly
-# halves their execute time; T=4..6 ride the full-width program. (The
-# round-2 single-variant rule predates the packed-int32 pool fix that
-# brought compiles down to ~1-5 min, persistently cached.)
-T_LADDER = (3, MAX_T)
+# compiled scoring-program ladder per corpus bucket: the Pallas scorer
+# compiles in ~10 s per variant (vs 100-400 s for the round-2 XLA
+# monolith, which forced a two-variant discipline), so the ladder now
+# matches the query distribution — most queries are 1-3 terms and the
+# DP cost scales with T, and light drains ride a narrow batch instead
+# of padding to MAX_BATCH
+T_LADDER = (1, 2, 3, MAX_T)
+B_LADDER = (8, MAX_BATCH)
+
+
+def _ladder_B(n: int) -> int:
+    for lb in B_LADDER:
+        if n <= lb:
+            return lb
+    return MAX_BATCH
 
 
 def _ladder_T(t: int) -> int:
@@ -867,17 +876,18 @@ def execute_device_batch(
     arena = get_arena(store, D)
     n_real = len(descriptors)
     real = descriptors
+    B = _ladder_B(n_real)
     descriptors = [_pad_descriptor(d, T) for d in descriptors]
     descriptors = descriptors + [
         _empty_descriptor(T, descriptors[0].search)
-        for _ in range(MAX_BATCH - n_real)
+        for _ in range(B - n_real)
     ]
 
     # filter universes ride as a packed (B, D/32) input, not as pool rows
     # (per-batch transient rows were a recompile source)
     D32 = D // 32
-    universe = np.zeros((MAX_BATCH, D32), dtype=np.int32)
-    use_valid = np.zeros(MAX_BATCH, dtype=bool)
+    universe = np.zeros((B, D32), dtype=np.int32)
+    use_valid = np.zeros(B, dtype=bool)
     for i, d in enumerate(descriptors):
         if d.universe_ids is not None:
             universe[i] = (
@@ -1041,7 +1051,7 @@ _WARM_LOCK = None
 
 
 def _warm_key(D: int):
-    return (D, T_LADDER, TOPK)
+    return (D, T_LADDER, B_LADDER, TOPK)
 
 
 def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
@@ -1085,7 +1095,6 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
             D32 = D // 32
             nc = byte_capacity(D)
             byte_pool = jnp.full((nc, D // 4), -1, jnp.int32)
-            B = MAX_BATCH
             z = np.zeros
             byte_pool = append_rows(
                 byte_pool,
@@ -1094,22 +1103,23 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
             )
             for T in T_LADDER:
                 tp = max(T - 1, 1)
-                out, _candw = planes_chain_topk(
-                    byte_pool,
-                    z((B, T, 3), np.int32),
-                    z((B, tp, 3), np.int32),
-                    z((B, T + 1), np.int32),
-                    z(B, np.int32),
-                    z(B, bool),
-                    z((B, D32), np.int32),
-                    z(B, bool),
-                    z((B, tp), bool),
-                    jnp.zeros(D32, jnp.int32),
-                    T=T,
-                    D=D,
-                    k=TOPK,
-                )
-                np.asarray(out)
+                for B in B_LADDER:
+                    out, _candw = planes_chain_topk(
+                        byte_pool,
+                        z((B, T, 3), np.int32),
+                        z((B, tp, 3), np.int32),
+                        z((B, T + 1), np.int32),
+                        z(B, np.int32),
+                        z(B, bool),
+                        z((B, D32), np.int32),
+                        z(B, bool),
+                        z((B, tp), bool),
+                        jnp.zeros(D32, jnp.int32),
+                        T=T,
+                        D=D,
+                        k=TOPK,
+                    )
+                    np.asarray(out)
             _WARM_STATE[key] = "ready"
         except Exception:
             _WARM_STATE.pop(key, None)  # retry on the next trigger
