@@ -72,6 +72,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .jax_setup import configure_jax
 
@@ -80,6 +81,8 @@ configure_jax()
 INF32 = jnp.int32(1 << 24)
 INVALID_KEY = 1 << 30
 TOPK = 1024
+# fixed candidate-bitmap output slots per batch (facet/distinct queries)
+MASK_SLOTS = 4
 
 
 def _key_layout(T: int):
@@ -206,14 +209,24 @@ def planes_chain_topk(
     T: int,
     D: int,
     k: int,
+    mask_sel=None,
 ):
     """Routing wrapper: the fused Pallas scorer on real TPUs (VMEM-tiled
     DP, ~100x less HBM traffic than the XLA elementwise graph), the XLA
     reference path on CPU (pallas interpret mode is orders slower) and
     for sub-2^14 corpus buckets. Both produce identical outputs
-    (tests/test_pallas_scorer.py pins key-for-key equality)."""
+    (tests/test_pallas_scorer.py pins key-for-key equality).
+
+    Returns (out, candw, masks): `masks` is candw gathered at the
+    MASK_SLOTS batch rows named by `mask_sel` — the facet/distinct
+    queries' candidate bitmaps as one SMALL fixed-shape output (reading
+    the whole (B, D/32) candw costs a ~4 MB tunnel transfer; reading rows
+    one by one costs a ~27 ms round trip EACH, measured 1.7 s for a
+    32-facet-query drain)."""
     from .pallas_scorer import pallas_supported
 
+    if mask_sel is None:
+        mask_sel = np.zeros(MASK_SLOTS, np.int32)
     use_pallas = (
         os.environ.get("MEILI_TPU_PALLAS", "1") == "1"
         and pallas_supported(D)
@@ -222,11 +235,11 @@ def planes_chain_topk(
     if use_pallas:
         return _planes_chain_topk_fused(
             byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
-            universe, use_valid, adj, live_packed, T=T, D=D, k=k,
+            universe, use_valid, adj, live_packed, mask_sel, T=T, D=D, k=k,
         )
     return _planes_chain_topk_xla(
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
-        universe, use_valid, adj, live_packed, T=T, D=D, k=k,
+        universe, use_valid, adj, live_packed, mask_sel, T=T, D=D, k=k,
     )
 
 
@@ -242,6 +255,7 @@ def _planes_chain_topk_fused(
     use_valid,
     adj,
     live_packed,
+    mask_sel,
     T: int,
     D: int,
     k: int,
@@ -302,7 +316,7 @@ def _planes_chain_topk_fused(
          counts[:, None]],
         axis=1,
     )
-    return out, candw
+    return out, candw, jnp.take(candw, mask_sel, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "D", "k"))
@@ -317,6 +331,7 @@ def _planes_chain_topk_xla(
     use_valid,  # (B,) bool — True: intersect with `universe` row
     adj,  # (B, tp) bool
     live_packed,  # (D/32,) int32 packed live bitmap (bit-blocked)
+    mask_sel,  # (MASK_SLOTS,) int32 batch rows whose candw rides back small
     T: int,
     D: int,
     k: int,
@@ -466,7 +481,7 @@ def _planes_chain_topk_xla(
     # ~27 ms round trip at ~25-70 MB/s, so the candidate lists and counts
     # ride together and the (B, D/32) bitmap stays on device
     out = jnp.concatenate([idx1, key1, idx2, key2, counts[:, None]], axis=1)
-    return out, cwords
+    return out, cwords, jnp.take(cwords, mask_sel, axis=0)
 
 
 def packed_chain_dp_np(present, fid_cost, pos_cost, pair_cost, exact_mask, T):

@@ -899,12 +899,22 @@ def execute_device_batch(
 
     import time as _time
 
+    from ..ops.arena_scorer import MASK_SLOTS
+
+    # facet/distinct bitmaps ride back through the program's fixed
+    # MASK_SLOTS output rows (one small transfer); drains with more mask
+    # queries than slots fall back to reading the whole candw
+    want = [i for i in range(n_real) if descriptors[i].want_mask]
+    mask_sel = np.zeros(MASK_SLOTS, np.int32)
+    for slot, i in enumerate(want[:MASK_SLOTS]):
+        mask_sel[slot] = i
+
     trace = os.environ.get("MEILI_TPU_DEVICE_TRACE") == "1"
     t_kernel = _time.perf_counter()
     try:
         byte_pool = arena.prepare_batch()
         t_prep = _time.perf_counter()
-        out, candw = planes_chain_topk(
+        out, candw, masks = planes_chain_topk(
             byte_pool,
             np.stack([d.term_rows for d in descriptors]),
             np.stack([d.pair_rows for d in descriptors]),
@@ -918,6 +928,7 @@ def execute_device_batch(
             T=T,
             D=D,
             k=TOPK,
+            mask_sel=mask_sel,
         )
     except Exception:
         # a failed append may have donated a pool away — drop the arena so
@@ -947,9 +958,19 @@ def execute_device_batch(
     try:
         out = np.asarray(out)
         mask_rows: dict[int, np.ndarray] = {}
-        for i in range(n_real):
-            if descriptors[i].want_mask:
-                mask_rows[i] = np.asarray(candw[i])
+        if want:
+            # ONE readback per drain: the program's MASK_SLOTS output when
+            # the wanted rows fit, else the whole (B, D/32) bitmap.
+            # Per-row np.asarray calls each pay the ~27 ms tunnel round
+            # trip (measured 1.7 s for a 32-facet-query drain)
+            if len(want) <= MASK_SLOTS:
+                rows = np.asarray(masks)
+                for slot, i in enumerate(want):
+                    mask_rows[i] = rows[slot]
+            else:
+                rows = np.asarray(candw)
+                for i in want:
+                    mask_rows[i] = rows[i]
     finally:
         if released:
             lock.acquire()
@@ -1104,7 +1125,7 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
             for T in T_LADDER:
                 tp = max(T - 1, 1)
                 for B in B_LADDER:
-                    out, _candw = planes_chain_topk(
+                    out, _candw, _masks = planes_chain_topk(
                         byte_pool,
                         z((B, T, 3), np.int32),
                         z((B, tp, 3), np.int32),

@@ -76,41 +76,52 @@ def facet_distribution(
     stats: dict = {}
     for facet in expanded:
         fid = store.fields_ids_map.id(facet)
-        counts: dict = {}
+        out: dict = {}
         min_n = max_n = None
         if fid is not None:
             # bulk strategy: ONE gather + reduceat over the concatenated
             # per-value posting arrays counts every value at once
             # (reference facet_distribution.rs iterate-tree arm, without
-            # the per-value loop)
+            # the per-value loop); value selection stays in numpy — only
+            # the <= max_values survivors touch Python (a per-distinct-
+            # value dict loop cost ~1 s/drain on 100k-author facets)
             from ..index.arrays import facet_concat
 
             fc = facet_concat(store, fid)
             nk, ncounts, sk, scounts = fc.counts(counter.mask)
-            for i, n in zip(nk, ncounts):
-                if n:
-                    value = fc.num_values[i]
-                    key = int(value) if float(value).is_integer() else value
-                    counts[("n", value)] = (key, int(n))
-                    if min_n is None or value < min_n:
-                        min_n = value
-                    if max_n is None or value > max_n:
-                        max_n = value
-            for i, n in zip(sk, scounts):
-                if n:
-                    norm = fc.str_values[i]
-                    orig = store.facet_string_original.get((fid, norm), norm)
-                    counts[("s", norm)] = (orig, int(n))
+            nnz = np.nonzero(ncounts)[0]
+            snz = np.nonzero(scounts)[0]
+            if len(nnz):
+                # num_values is sorted ascending: stats come straight off
+                # the nonzero frontier (num_values is a plain list)
+                min_n = float(fc.num_values[int(nk[nnz[0]])])
+                max_n = float(fc.num_values[int(nk[nnz[-1]])])
+            order = order_config.get(facet, order_config.get("*", "alpha"))
+            if order == "count":
+                # (-count, kind, value-rank): values are pre-sorted inside
+                # each kind, and numbers order before strings on ties
+                cnt = np.concatenate([ncounts[nnz], scounts[snz]])
+                kind = np.concatenate(
+                    [np.zeros(len(nnz), np.int8), np.ones(len(snz), np.int8)]
+                )
+                rank = np.concatenate([nnz, snz])
+                sel = np.lexsort((rank, kind, -cnt))[:max_values]
+                picks = [
+                    (int(kind[j]), int(rank[j]), int(cnt[j])) for j in sel
+                ]
+            else:
+                picks = [(0, int(j), int(ncounts[j])) for j in nnz[:max_values]]
+                room = max_values - len(picks)
+                picks += [(1, int(j), int(scounts[j])) for j in snz[:room]]
+            for knd, j, n in picks:
+                if knd == 0:
+                    value = float(fc.num_values[nk[j]])
+                    key = int(value) if value.is_integer() else value
+                else:
+                    norm = fc.str_values[sk[j]]
+                    key = store.facet_string_original.get((fid, norm), norm)
+                out[str(key)] = n
 
-        order = order_config.get(facet, order_config.get("*", "alpha"))
-        items = list(counts.items())
-        if order == "count":
-            items.sort(key=lambda kv: (-kv[1][1], kv[0]))
-        else:
-            items.sort(key=lambda kv: kv[0])
-        out = {}
-        for (_kind, _key), (display, n) in items[:max_values]:
-            out[str(display)] = n
         distribution[facet] = out
         if min_n is not None:
             stats[facet] = {"min": min_n, "max": max_n}

@@ -65,6 +65,10 @@ QUERIES = [
     {"q": "quick -brown"},
     {"q": '"quick brown" fox'},  # phrase -> host fallback
     {"q": "rust", "page": 1, "hitsPerPage": 5},
+    # offset+limit > K_LADDER[0]: widens the drain to the deep-k program
+    {"q": "quick", "offset": 120, "limit": 30},
+    # distinct needs the full candidate list -> deep-k program
+    {"q": "fox", "distinct": "category"},
 ]
 
 

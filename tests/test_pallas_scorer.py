@@ -76,14 +76,23 @@ def _random_inputs(T, seed):
 @pytest.mark.parametrize("T,seed", [(3, 7), (6, 11)])
 def test_fused_matches_xla_reference(T, seed):
     args = _random_inputs(T, seed)
-    out_ref, candw_ref = _planes_chain_topk_xla(*args, T=T, D=D, k=K)
-    out_fused, candw_fused = _planes_chain_topk_fused(
-        *args, T=T, D=D, k=K, interpret=True
+    mask_sel = np.array([1, 0, 2, 0], np.int32)
+    out_ref, candw_ref, masks_ref = _planes_chain_topk_xla(
+        *args, mask_sel, T=T, D=D, k=K
+    )
+    out_fused, candw_fused, masks_fused = _planes_chain_topk_fused(
+        *args, mask_sel, T=T, D=D, k=K, interpret=True
     )
     out_ref = np.asarray(out_ref)
     out_fused = np.asarray(out_fused)
     np.testing.assert_array_equal(
         np.asarray(candw_fused), np.asarray(candw_ref)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masks_fused), np.asarray(masks_ref)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masks_ref), np.asarray(candw_ref)[mask_sel]
     )
     k = K
     # counts identical
@@ -113,9 +122,10 @@ def test_fused_key_oracle():
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows,
         use_sort, universe, use_valid, adj, live,
     ) = _random_inputs(T, seed)
-    out_fused, _ = _planes_chain_topk_fused(
+    out_fused, _, _ = _planes_chain_topk_fused(
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows,
         use_sort, universe, use_valid, adj, live,
+        np.zeros(4, np.int32),
         T=T, D=D, k=K, interpret=True,
     )
     out_fused = np.asarray(out_fused)
