@@ -210,14 +210,41 @@ class FacetArrays:
         numbers = store.facet_number_docids.get(fid, {})
         strings = store.facet_string_docids.get(fid, {})
         cache = ArrayCache(store)
-        self.num_values = sorted(numbers)
-        self.num_arrays = [
-            cache.get(("fn", fid, v), numbers[v]) for v in self.num_values
-        ]
-        self.str_values = sorted(strings)
-        self.str_arrays = [
-            cache.get(("fs", fid, s), strings[s]) for s in self.str_values
-        ]
+
+        def build(table, cache_tag):
+            bulk = getattr(table, "bulk_base", None)
+            if bulk is None:
+                values = sorted(table)
+                return values, [
+                    cache.get((cache_tag, fid, v), table[v]) for v in values
+                ]
+            # packed-v3 lazy facet table: the base slice comes out
+            # vectorized (values already ascending); overlay keys patch in
+            # afterwards — per-key binary searches over 100k+ values made
+            # the first facet query O(n log n)
+            values, ids, offsets = bulk()
+            offs = np.asarray(offsets).tolist()
+            arrays = [
+                np.asarray(ids[offs[i] : offs[i + 1]])
+                for i in range(len(values))
+            ]
+            loaded, new, deleted = table.overlay_parts()
+            if loaded or new or deleted:
+                merged = dict(zip(values, arrays))
+                for k in deleted:
+                    merged.pop(k, None)
+                for k, p in {**loaded, **new}.items():
+                    arr = p.ids_array()
+                    if len(arr):
+                        merged[k] = arr
+                    else:
+                        merged.pop(k, None)
+                values = sorted(merged)
+                arrays = [merged[v] for v in values]
+            return values, arrays
+
+        self.num_values, self.num_arrays = build(numbers, "fn")
+        self.str_values, self.str_arrays = build(strings, "fs")
 
     def number_eq(self, value: float) -> np.ndarray:
         i = self._bisect.bisect_left(self.num_values, value)

@@ -45,6 +45,7 @@ class DocTable:
         "_end",
         "_packed",
         "_packed_gone",
+        "_packed_path",
     )
 
     def __init__(self, spill_path: Optional[str] = None):
@@ -58,6 +59,7 @@ class DocTable:
         # over an immutable packed-snapshot docs.jsonl; mutations overlay
         self._packed = None
         self._packed_gone: set[int] = set()
+        self._packed_path: Optional[str] = None
         if spill_path is not None or spill_enabled():
             self.enable_spill(spill_path)
 
@@ -84,6 +86,19 @@ class DocTable:
             np.asarray(lengths),
         )
         self._packed_gone = set()
+        self._packed_path = path
+
+    def packed_clean_source(self):
+        """(source docs.jsonl path, doc_ids, offsets, lens) when this
+        table is an UNMODIFIED packed base — the saver then copies the
+        file instead of re-parsing and re-serializing every document
+        (measured ~15 min of the 1M-doc save)."""
+        if self._packed is None or self._packed_gone:
+            return None
+        if self._overlay_table():
+            return None
+        _fd, ids, offs, lens = self._packed
+        return self._packed_path, ids, offs, lens
 
     def _packed_find(self, docid: int) -> int:
         import numpy as np

@@ -29,20 +29,37 @@ from .arrays import Posting
 
 
 class _StrCol:
-    """Columnar string list: blob + start offsets, decode-on-demand."""
+    """Columnar string list: blob + start offsets, decode-on-demand.
+    Constructed from a START-offsets column (packed v3 stores it, so
+    opening is O(1)); `from_lens` cumsums a v1/v2 lengths column."""
 
     __slots__ = ("blob", "starts", "n")
 
-    def __init__(self, blob: np.ndarray, lens: np.ndarray):
+    def __init__(self, blob: np.ndarray, starts: np.ndarray):
         self.blob = blob  # uint8 mmap view
-        self.starts = np.concatenate(
+        self.starts = starts
+        self.n = len(starts) - 1
+
+    @classmethod
+    def from_lens(cls, blob: np.ndarray, lens: np.ndarray) -> "_StrCol":
+        starts = np.concatenate(
             [np.zeros(1, np.int64), np.cumsum(lens, dtype=np.int64)]
         )
-        self.n = len(lens)
+        return cls(blob, starts)
 
     def at(self, i: int) -> str:
         s, e = int(self.starts[i]), int(self.starts[i + 1])
         return bytes(self.blob[s:e]).decode("utf-8")
+
+    def decode_range(self, lo: int, hi: int) -> list[str]:
+        """Bulk-decode [lo, hi) in one pass (no per-call mmap scalars)."""
+        starts = self.starts[lo : hi + 1].tolist()
+        blob = bytes(self.blob[starts[0] : starts[-1]])
+        base = starts[0]
+        return [
+            blob[starts[i] - base : starts[i + 1] - base].decode("utf-8")
+            for i in range(hi - lo)
+        ]
 
 
 class LazyPostingTable:
@@ -169,12 +186,34 @@ class LazyPostingTable:
         return iter(self)
 
     def items(self):
-        for k in self:
-            yield k, self[k]
+        # index-ordered base walk: a `self[k]` per key would re-find each
+        # key by binary search (O(n log n) over a full iteration).
+        # Untouched base keys yield TRANSIENT views (not cached into
+        # _loaded — a full iteration would otherwise materialize the
+        # whole table); in-place mutation of a yielded base Posting is a
+        # no-op on already-merged packed columns, and every writer goes
+        # through __getitem__, which caches.
+        for i in range(self._n):
+            k = self._key_at(i)
+            if k in self._deleted:
+                continue
+            p = self._loaded.get(k)
+            if p is None:
+                p = self._new.get(k)
+            if p is None:
+                p = Posting()
+                o0, o1 = int(self._offsets[i]), int(self._offsets[i + 1])
+                p.segs.append(np.asarray(self._ids[o0:o1]))
+            yield k, p
+        for k, p in list(self._new.items()):
+            # _new keys overlap the base only when tombstoned + recreated
+            # (the base walk skipped those)
+            if k in self._deleted or self._find(k) < 0:
+                yield k, p
 
     def values(self):
-        for k in self:
-            yield self[k]
+        for _k, p in self.items():
+            yield p
 
     def __len__(self) -> int:
         return self._n - len(self._deleted) + len(self._new)
@@ -195,6 +234,132 @@ class LazyPostingTable:
                 yield k
 
 
+class LazyFacetTable(LazyPostingTable):
+    """value -> Posting for ONE facet fid: a contiguous [lo, hi) slice of
+    the packed (fid, value)-sorted columns (v3). Number tables key by
+    float, string tables by normalized str. `bulk_base()` hands
+    FacetArrays the whole slice vectorized — per-key binary searches over
+    100k+ distinct values would make the first facet query O(n log n)."""
+
+    __slots__ = ("_values_bulk",)
+
+    def __init__(self, key_at, ids, offsets, values_bulk):
+        super().__init__(
+            len(offsets) - 1 if len(offsets) else 0, key_at, ids, offsets
+        )
+        self._values_bulk = values_bulk
+
+    def bulk_base(self):
+        """(values list ASCENDING, ids column, local offsets int list)."""
+        return self._values_bulk(), self._ids, self._offsets
+
+    def overlay_parts(self):
+        """(loaded, new, deleted) — empty means bulk_base() is exact."""
+        return self._loaded, self._new, self._deleted
+
+
+class LazyPairStrMap:
+    """(fid, norm) -> original-form string over the (fid, norm)-sorted
+    packed facet-string columns (v3) — the facet_string_original map
+    without O(distinct values) boot work."""
+
+    __slots__ = ("_fids", "_norm_col", "_orig_col", "_overlay", "_deleted")
+
+    def __init__(self, fids: np.ndarray, norm_col: _StrCol, orig_col: _StrCol):
+        self._fids = fids
+        self._norm_col = norm_col
+        self._orig_col = orig_col
+        self._overlay: dict = {}
+        self._deleted: set = set()
+
+    def _find(self, fid: int, norm: str) -> int:
+        lo = int(np.searchsorted(self._fids, fid, side="left"))
+        hi = int(np.searchsorted(self._fids, fid, side="right"))
+        while lo < hi:
+            mid = (lo + hi) // 2
+            k = self._norm_col.at(mid)
+            if k < norm:
+                lo = mid + 1
+            elif k > norm:
+                hi = mid
+            else:
+                return mid
+        return -1
+
+    def get(self, key, default=None):
+        if key in self._overlay:
+            return self._overlay[key]
+        if key in self._deleted:
+            return default
+        i = self._find(int(key[0]), key[1])
+        return self._orig_col.at(i) if i >= 0 else default
+
+    def __getitem__(self, key):
+        v = self.get(key)
+        if v is None:
+            raise KeyError(key)
+        return v
+
+    def __setitem__(self, key, value) -> None:
+        self._deleted.discard(key)
+        self._overlay[key] = value
+
+    def setdefault(self, key, value):
+        v = self.get(key)
+        if v is not None:
+            return v
+        self._overlay[key] = value
+        return value
+
+    def pop(self, key, *default):
+        v = self.get(key)
+        if v is None:
+            if default:
+                return default[0]
+            raise KeyError(key)
+        self._overlay.pop(key, None)
+        if self._find(int(key[0]), key[1]) >= 0:
+            self._deleted.add(key)
+        return v
+
+    def __contains__(self, key) -> bool:
+        return self.get(key) is not None
+
+    def __iter__(self):
+        for i in range(len(self._fids)):
+            key = (int(self._fids[i]), self._norm_col.at(i))
+            if key not in self._deleted and key not in self._overlay:
+                yield key
+        yield from self._overlay
+
+    def keys(self):
+        return iter(self)
+
+    def items(self):
+        for i in range(len(self._fids)):
+            key = (int(self._fids[i]), self._norm_col.at(i))
+            if key not in self._deleted and key not in self._overlay:
+                yield key, self._orig_col.at(i)
+        yield from self._overlay.items()
+
+    def __eq__(self, other):
+        try:
+            return dict(self.items()) == dict(
+                other.items() if hasattr(other, "items") else other
+            )
+        except Exception:
+            return NotImplemented
+
+    __hash__ = None
+
+    def clear(self) -> None:
+        self._deleted.update(
+            (int(self._fids[i]), self._norm_col.at(i))
+            for i in range(len(self._fids))
+        )
+        self._overlay.clear()
+
+
 class LazyExternalIds:
     """external id (str) -> internal docid, lazily decoded.
 
@@ -202,12 +367,15 @@ class LazyExternalIds:
     aligned docid column; the reverse map shares the storage through an
     argsort-by-docid permutation."""
 
-    def __init__(self, col: _StrCol, docids: np.ndarray):
+    def __init__(
+        self, col: _StrCol, docids: np.ndarray, order=None
+    ):
         self._col = col
         self._docids = docids
         self._overlay: dict[str, int] = {}
         self._deleted: set[str] = set()
-        order = np.argsort(docids, kind="stable")
+        if order is None:  # v3 saves the permutation; v2 computes it
+            order = np.argsort(docids, kind="stable")
         self._by_docid = docids[order]
         self._order = order
 

@@ -29,20 +29,27 @@ import numpy as np
 # lazy binary-searched views (index/lazy_tables.py) instead of
 # materializing O(corpus) Python dict entries. v1 directories still load
 # through the eager path.
-PACKED_FORMAT_VERSION = 2
+# v3 (round 3): facet columns are sorted by (fid, value) and load as lazy
+# per-fid tables (the v2 loader's per-value Posting loop cost ~15 s at 1M
+# docs), string columns store precomputed START offsets (the lens cumsum
+# cost seconds on the page-fault-slow serving VMs), and the external-id
+# by-docid permutation is saved (was an argsort at every boot). v1/v2
+# directories still load through their original paths.
+PACKED_FORMAT_VERSION = 3
 
 
 def _pack_postings(table, key_cols):
     """table: key -> Posting/set. Returns (columns dict, offsets, ids).
-    Keys are written in sorted order (the v2 lazy loader binary-searches
-    them)."""
-    keys = sorted(table.keys())
+    Keys are written in sorted order (the v2+ lazy loader binary-searches
+    them). Iterates via items() — a `table[k]` per sorted key re-found
+    every key by binary search on lazy tables (O(n log n) string decodes,
+    minutes at a 1M-doc vocabulary)."""
+    pairs = sorted(table.items(), key=lambda kv: kv[0])
     ids_parts = []
-    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    offsets = np.zeros(len(pairs) + 1, dtype=np.int64)
     kept_keys = []
     total = 0
-    for k in keys:
-        p = table[k]
+    for k, p in pairs:
         arr = p.ids_array() if hasattr(p, "ids_array") else None
         if arr is None:
             arr = np.fromiter(sorted(p), dtype=np.int64, count=len(p))
@@ -61,36 +68,74 @@ def _pack_postings(table, key_cols):
 
 
 def _str_col(strings):
-    """Columnar string list: one joined blob + lengths (newline-free
-    encoding via lengths, so any character is safe)."""
+    """Columnar string list: one joined blob + START offsets (n+1;
+    newline-free encoding via offsets, so any character is safe)."""
     blob = "".join(strings).encode("utf-8")
-    lens = np.fromiter(
-        (len(s.encode("utf-8")) for s in strings), np.int64, len(strings)
+    starts = np.zeros(len(strings) + 1, np.int64)
+    np.cumsum(
+        np.fromiter(
+            (len(s.encode("utf-8")) for s in strings),
+            np.int64,
+            len(strings),
+        ),
+        out=starts[1:],
     )
-    return blob, lens
+    return blob, starts
 
 
-def _str_col_load(blob: bytes, lens: np.ndarray) -> list[str]:
-    out = []
-    pos = 0
-    for ln in lens.tolist():
-        out.append(blob[pos : pos + ln].decode("utf-8"))
-        pos += ln
-    return out
+def _str_col_load(blob: bytes, starts: np.ndarray) -> list[str]:
+    s = starts.tolist()
+    return [
+        blob[s[i] : s[i + 1]].decode("utf-8") for i in range(len(s) - 1)
+    ]
 
 
 def save_index(store, directory: str) -> None:
-    """Write one index as a packed directory (atomic via tmp+rename)."""
+    """Write one index as a packed directory (atomic via tmp+rename).
+
+    Fast path: a store whose generation is UNCHANGED since load_index is
+    byte-identical to its source directory (every write bumps the
+    generation — the invariant all query caches rely on), so the save is
+    a hardlink clone (or a no-op onto the same path) instead of an
+    O(corpus) re-pack (~7 min at 1M docs)."""
     from .store import RESERVED_GEOJSON_FIELD
+
+    src = getattr(store, "_packed_source", None)
+    if (
+        src is not None
+        and src[1] == store.generation
+        and src[2] == PACKED_FORMAT_VERSION
+        and os.path.isdir(src[0])
+    ):
+        src_dir = src[0]
+        if os.path.abspath(directory) == src_dir:
+            return  # saving an unchanged store onto its own source
+        tmp = directory + ".tmp"
+        if os.path.exists(tmp):
+            import shutil as _sh
+
+            _sh.rmtree(tmp)
+        os.makedirs(tmp)
+        for name in os.listdir(src_dir):
+            s = os.path.join(src_dir, name)
+            d = os.path.join(tmp, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                import shutil as _sh
+
+                _sh.copyfile(s, d)
+        _swap_packed_dir(tmp, directory)
+        return
 
     tmp = directory + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     arrays: dict[str, np.ndarray] = {}
 
     def add_str_col(name, strings):
-        blob, lens = _str_col(strings)
+        blob, starts = _str_col(strings)
         arrays[name + "_blob"] = np.frombuffer(blob, dtype=np.uint8)
-        arrays[name + "_lens"] = lens
+        arrays[name + "_starts"] = starts
 
     # 1. word-keyed posting tables
     for name in ("word_docids", "exact_word_docids"):
@@ -139,16 +184,24 @@ def save_index(store, directory: str) -> None:
     arrays["fwc_cnt"] = cols["cnt"]
     arrays["fwc_offsets"] = offsets
     arrays["fwc_ids"] = ids
-    # 5. facet numbers: (fid, value) -> docids
+    def posting_array(s):
+        arr = s.ids_array() if hasattr(s, "ids_array") else None
+        if arr is None:
+            arr = np.fromiter(sorted(s), np.int64, len(s))
+        return arr
+
+    # 5. facet numbers: (fid, value) -> docids, sorted by (fid, value) so
+    # the v3 loader serves them through lazy binary-searched views
     fn_fid, fn_val, fn_parts = [], [], []
     fn_offsets = [0]
-    for fid, sub in store.facet_number_docids.items():
-        for val, s in sub.items():
+    for fid in sorted(store.facet_number_docids.keys()):
+        sub = store.facet_number_docids[fid]
+        for val, s in sorted(sub.items()):
             if not s:
                 continue
             fn_fid.append(fid)
             fn_val.append(val)
-            arr = np.fromiter(sorted(s), np.int64, len(s))
+            arr = posting_array(s)
             fn_parts.append(arr)
             fn_offsets.append(fn_offsets[-1] + len(arr))
     arrays["fn_fid"] = np.array(fn_fid, np.int64)
@@ -157,11 +210,13 @@ def save_index(store, directory: str) -> None:
     arrays["fn_ids"] = (
         np.concatenate(fn_parts) if fn_parts else np.empty(0, np.int64)
     )
-    # 6. facet strings: (fid, norm) -> docids (+ original)
+    # 6. facet strings: (fid, norm) -> docids (+ original), sorted by
+    # (fid, norm)
     fs_fid, fs_norm, fs_orig, fs_parts = [], [], [], []
     fs_offsets = [0]
-    for fid, sub in store.facet_string_docids.items():
-        for norm, s in sub.items():
+    for fid in sorted(store.facet_string_docids.keys()):
+        sub = store.facet_string_docids[fid]
+        for norm, s in sorted(sub.items()):
             if not s:
                 continue
             fs_fid.append(fid)
@@ -169,7 +224,7 @@ def save_index(store, directory: str) -> None:
             fs_orig.append(
                 store.facet_string_original.get((fid, norm), norm)
             )
-            arr = np.fromiter(sorted(s), np.int64, len(s))
+            arr = posting_array(s)
             fs_parts.append(arr)
             fs_offsets.append(fs_offsets[-1] + len(arr))
     arrays["fs_fid"] = np.array(fs_fid, np.int64)
@@ -220,12 +275,15 @@ def save_index(store, directory: str) -> None:
     arrays["ds_counts"] = np.array(ds_counts, np.int64)
     add_str_col("ds_norm", ds_norms)
     add_str_col("ds_orig", ds_origs)
-    # 9. external ids, sorted by external id (lazy binary search)
+    # 9. external ids, sorted by external id (lazy binary search); the
+    # by-docid permutation is precomputed so boot skips the argsort
     ext_ids = sorted(store.external_to_internal.keys())
     add_str_col("ext", ext_ids)
-    arrays["ext_docid"] = np.array(
+    ext_docid = np.array(
         [store.external_to_internal[e] for e in ext_ids], np.int64
     )
+    arrays["ext_docid"] = ext_docid
+    arrays["ext_order"] = np.argsort(ext_docid, kind="stable")
     # 10. vectors + regenerate flags
     vec_meta = {}
     for emb, per_doc in store.vectors.items():
@@ -259,22 +317,41 @@ def save_index(store, directory: str) -> None:
     for name, arr in arrays.items():
         np.save(os.path.join(tmp, name + ".npy"), arr)
 
-    doc_ids_sorted = sorted(store.documents.keys())
-    doc_offs, doc_lens = [], []
-    pos = 0
-    with open(os.path.join(tmp, "docs.jsonl"), "wb") as fh:
-        for docid in doc_ids_sorted:
-            line = json.dumps(
-                [docid, store.documents[docid]], ensure_ascii=False
-            ).encode("utf-8")
-            fh.write(line)
-            fh.write(b"\n")
-            doc_offs.append(pos)
-            doc_lens.append(len(line))
-            pos += len(line) + 1
-    arrays["doc_ids"] = np.array(doc_ids_sorted, np.int64)
-    arrays["doc_offsets"] = np.array(doc_offs, np.int64)
-    arrays["doc_lens"] = np.array(doc_lens, np.int64)
+    clean = getattr(store.documents, "packed_clean_source", lambda: None)()
+    if clean is not None:
+        # unmodified packed base: link/copy the immutable docs.jsonl and
+        # reuse its columns — re-parsing + re-serializing 1M documents
+        # cost ~15 min of the save
+        src_path, ids_col, offs_col, lens_col = clean
+        dst = os.path.join(tmp, "docs.jsonl")
+        if os.path.exists(dst):
+            os.remove(dst)
+        try:
+            os.link(src_path, dst)
+        except OSError:
+            import shutil as _sh
+
+            _sh.copyfile(src_path, dst)
+        arrays["doc_ids"] = np.asarray(ids_col)
+        arrays["doc_offsets"] = np.asarray(offs_col)
+        arrays["doc_lens"] = np.asarray(lens_col)
+    else:
+        doc_ids_sorted = sorted(store.documents.keys())
+        doc_offs, doc_lens = [], []
+        pos = 0
+        with open(os.path.join(tmp, "docs.jsonl"), "wb") as fh:
+            for docid in doc_ids_sorted:
+                line = json.dumps(
+                    [docid, store.documents[docid]], ensure_ascii=False
+                ).encode("utf-8")
+                fh.write(line)
+                fh.write(b"\n")
+                doc_offs.append(pos)
+                doc_lens.append(len(line))
+                pos += len(line) + 1
+        arrays["doc_ids"] = np.array(doc_ids_sorted, np.int64)
+        arrays["doc_offsets"] = np.array(doc_offs, np.int64)
+        arrays["doc_lens"] = np.array(doc_lens, np.int64)
 
     # arrays were collected before docs: write the doc columns too
     for name in ("doc_ids", "doc_offsets", "doc_lens"):
@@ -299,10 +376,21 @@ def save_index(store, directory: str) -> None:
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump(meta, fh)
 
-    # atomic-ish swap that never leaves zero copies on disk: demote the
-    # current directory to .old, promote tmp, then drop .old. A crash
-    # between the renames leaves either the old copy (as .old, recovered
-    # by load_index) or the new one — never neither (VERDICT r2 weak #3).
+    _swap_packed_dir(tmp, directory)
+    # the just-written directory becomes this store's byte-identical
+    # source: an unchanged store re-saves as a hardlink clone
+    store._packed_source = (
+        os.path.abspath(directory),
+        store.generation,
+        PACKED_FORMAT_VERSION,
+    )
+
+
+def _swap_packed_dir(tmp: str, directory: str) -> None:
+    """Atomic-ish swap that never leaves zero copies on disk: demote the
+    current directory to .old, promote tmp, then drop .old. A crash
+    between the renames leaves either the old copy (as .old, recovered
+    by load_index) or the new one — never neither (VERDICT r2 weak #3)."""
     import shutil
 
     old = directory + ".old"
@@ -355,11 +443,18 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
         store.shard_topology = meta["shardTopology"]
 
     lazy = meta["formatVersion"] >= 2
+    v3 = meta["formatVersion"] >= 3
+
+    from .lazy_tables import _StrCol
+
+    def scol(name) -> _StrCol:
+        if v3:
+            return _StrCol(z[name + "_blob"], z[name + "_starts"])
+        return _StrCol.from_lens(z[name + "_blob"], z[name + "_lens"])
 
     def strs(name):
-        return _str_col_load(
-            z[name + "_blob"].tobytes(), z[name + "_lens"]
-        )
+        c = scol(name)
+        return _str_col_load(bytes(np.asarray(c.blob)), np.asarray(c.starts))
 
     def seg(ids, offsets, i):
         p = Posting()
@@ -370,10 +465,10 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
         # v2: keys are sorted in the packed columns — posting tables serve
         # through binary-searched lazy views (boot is O(1) per table,
         # VERDICT r2 #3)
-        from .lazy_tables import LazyPostingTable, _StrCol
+        from .lazy_tables import LazyPostingTable
 
         for name in ("word_docids", "exact_word_docids"):
-            col = _StrCol(z[name + "_words_blob"], z[name + "_words_lens"])
+            col = scol(name + "_words")
             setattr(
                 store,
                 name,
@@ -382,7 +477,7 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
                 ),
             )
         for name in ("word_fid_docids", "word_position_docids"):
-            col = _StrCol(z[name + "_words_blob"], z[name + "_words_lens"])
+            col = scol(name + "_words")
             nums = z[name + "_nums"]
             setattr(
                 store,
@@ -394,8 +489,8 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
                     z[name + "_offsets"],
                 ),
             )
-        w1c = _StrCol(z["wpp_w1_blob"], z["wpp_w1_lens"])
-        w2c = _StrCol(z["wpp_w2_blob"], z["wpp_w2_lens"])
+        w1c = scol("wpp_w1")
+        w2c = scol("wpp_w2")
         prox = z["wpp_prox"]
         store.word_pair_proximity_docids = LazyPostingTable(
             w1c.n,
@@ -437,22 +532,57 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
             store.field_id_word_count_docids[
                 (int(fid[i]), int(cnt[i]))
             ] = seg(ids, offsets, i)
-    # facet tables attach as zero-copy Posting segments into the mmap'd
-    # columns — no Python set materialization (VERDICT r2 weak #3: the
-    # round-2 loader's eager set() loops made restore O(corpus))
-    fn_fid, fn_val = z["fn_fid"], z["fn_val"]
-    ids, offsets = z["fn_ids"], z["fn_offsets"]
-    for i in range(len(fn_fid)):
-        store.facet_number_docids[int(fn_fid[i])][float(fn_val[i])] = seg(
-            ids, offsets, i
+    if v3:
+        # v3: facet columns are (fid, value)-sorted — one lazy table per
+        # fid, opened O(#fids) (the v2 per-value Posting loop cost ~15 s
+        # at 1M docs / 100k-author facets)
+        from .lazy_tables import LazyFacetTable, LazyPairStrMap
+
+        fn_fid = np.asarray(z["fn_fid"])
+        fn_val, fn_ids, fn_offsets = z["fn_val"], z["fn_ids"], z["fn_offsets"]
+        for f in np.unique(fn_fid).tolist():
+            lo = int(np.searchsorted(fn_fid, f, side="left"))
+            hi = int(np.searchsorted(fn_fid, f, side="right"))
+            store.facet_number_docids[int(f)] = LazyFacetTable(
+                lambda i, lo=lo: float(fn_val[lo + i]),
+                fn_ids,
+                fn_offsets[lo : hi + 1],
+                lambda lo=lo, hi=hi: np.asarray(fn_val[lo:hi]).tolist(),
+            )
+        fs_fid = np.asarray(z["fs_fid"])
+        fs_norm_col = scol("fs_norm")
+        fs_orig_col = scol("fs_orig")
+        fs_ids, fs_offsets = z["fs_ids"], z["fs_offsets"]
+        for f in np.unique(fs_fid).tolist():
+            lo = int(np.searchsorted(fs_fid, f, side="left"))
+            hi = int(np.searchsorted(fs_fid, f, side="right"))
+            store.facet_string_docids[int(f)] = LazyFacetTable(
+                lambda i, lo=lo: fs_norm_col.at(lo + i),
+                fs_ids,
+                fs_offsets[lo : hi + 1],
+                lambda lo=lo, hi=hi: fs_norm_col.decode_range(lo, hi),
+            )
+        store.facet_string_original = LazyPairStrMap(
+            fs_fid, fs_norm_col, fs_orig_col
         )
-    fs_fid = z["fs_fid"]
-    fs_norm, fs_orig = strs("fs_norm"), strs("fs_orig")
-    ids, offsets = z["fs_ids"], z["fs_offsets"]
-    for i in range(len(fs_fid)):
-        f = int(fs_fid[i])
-        store.facet_string_docids[f][fs_norm[i]] = seg(ids, offsets, i)
-        store.facet_string_original[(f, fs_norm[i])] = fs_orig[i]
+    else:
+        # facet tables attach as zero-copy Posting segments into the
+        # mmap'd columns — no Python set materialization (VERDICT r2 weak
+        # #3: the round-2 loader's eager set() loops made restore
+        # O(corpus))
+        fn_fid, fn_val = z["fn_fid"], z["fn_val"]
+        ids, offsets = z["fn_ids"], z["fn_offsets"]
+        for i in range(len(fn_fid)):
+            store.facet_number_docids[int(fn_fid[i])][float(fn_val[i])] = seg(
+                ids, offsets, i
+            )
+        fs_fid = z["fs_fid"]
+        fs_norm, fs_orig = strs("fs_norm"), strs("fs_orig")
+        ids, offsets = z["fs_ids"], z["fs_offsets"]
+        for i in range(len(fs_fid)):
+            f = int(fs_fid[i])
+            store.facet_string_docids[f][fs_norm[i]] = seg(ids, offsets, i)
+            store.facet_string_original[(f, fs_norm[i])] = fs_orig[i]
     for name in (
         "facet_exists_docids",
         "facet_is_null_docids",
@@ -468,7 +598,6 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
             LazyDocFacets,
             LazyExternalIds,
             LazyInternalToExternal,
-            _StrCol,
         )
 
         dn_offsets, dn_vals = z["dn_offsets"], z["dn_vals"]
@@ -481,8 +610,8 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
         ds_starts = np.concatenate(
             [np.zeros(1, np.int64), np.cumsum(ds_counts, dtype=np.int64)]
         )
-        ds_norm_col = _StrCol(z["ds_norm_blob"], z["ds_norm_lens"])
-        ds_orig_col = _StrCol(z["ds_orig_blob"], z["ds_orig_lens"])
+        ds_norm_col = scol("ds_norm")
+        ds_orig_col = scol("ds_orig")
 
         def ds_value_at(i):
             s, e = int(ds_starts[i]), int(ds_starts[i + 1])
@@ -493,8 +622,12 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
         store.docid_facet_strings = LazyDocFacets(
             z["ds_fid"], z["ds_doc"], ds_value_at
         )
-        ext_col = _StrCol(z["ext_blob"], z["ext_lens"])
-        fwd = LazyExternalIds(ext_col, np.asarray(z["ext_docid"]))
+        ext_col = scol("ext")
+        fwd = LazyExternalIds(
+            ext_col,
+            np.asarray(z["ext_docid"]),
+            order=np.asarray(z["ext_order"]) if v3 else None,
+        )
         store.external_to_internal = fwd
         store.internal_to_external = LazyInternalToExternal(fwd)
     else:
@@ -572,4 +705,11 @@ def load_index(directory: str, spill_docs: Optional[bool] = None):
                     # geojson shape objects are derived, not serialized
                     store._index_geo(docid, doc)
     store._bump()
+    # generation-unchanged stores re-save as a hardlink clone of this
+    # directory (see save_index fast path); recorded AFTER the final bump
+    store._packed_source = (
+        os.path.abspath(directory),
+        store.generation,
+        meta["formatVersion"],
+    )
     return store

@@ -152,8 +152,14 @@ def search_facet_values(
     fid = store.fields_ids_map.id(facet_name)
     if fid is None:
         return []
-    table = store.facet_string_docids.get(fid, {})
-    values = sorted(table.keys())
+    # per-generation sorted value arrays (bulk-built from the packed
+    # columns when lazy): per-value `table[norm]` lookups would binary
+    # search a 100k-value lazy table once per value
+    from ..index.arrays import facet_arrays
+
+    fa = facet_arrays(store, fid)
+    values = fa.str_values
+    table = dict(zip(values, fa.str_arrays))
 
     order = settings.faceting.sort_facet_values_by.get(
         facet_name, settings.faceting.sort_facet_values_by.get("*", "alpha")
