@@ -227,10 +227,12 @@ def planes_chain_topk(
 
     if mask_sel is None:
         mask_sel = np.zeros(MASK_SLOTS, np.int32)
+    from .backend_probe import backend_kind
+
     use_pallas = (
         os.environ.get("MEILI_TPU_PALLAS", "1") == "1"
         and pallas_supported(D)
-        and jax.default_backend() != "cpu"
+        and backend_kind() not in ("", "cpu")
     )
     if use_pallas:
         return _planes_chain_topk_fused(

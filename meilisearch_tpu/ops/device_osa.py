@@ -202,12 +202,13 @@ def device_osa_available(store, n_words: int) -> bool:
         return False
     if n_words < MIN_DEVICE_VOCAB and not strict:
         return False
-    try:
-        import jax
+    from .backend_probe import backend_kind
 
-        if jax.default_backend() == "cpu" and not strict:
-            return False
-    except Exception:
+    kind = backend_kind()
+    if kind in ("", "cpu") and not strict:
+        # no device, or a backend whose init hung (dead tunnel) — the
+        # probe is fail-fast so a broken accelerator degrades to the
+        # host pass instead of wedging every typo query
         return False
     if strict:
         return True  # tests: compile on demand (CPU compiles fast)

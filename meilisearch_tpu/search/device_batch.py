@@ -1045,12 +1045,12 @@ def _backend_available() -> bool:
     subprocess can inherit a JAX_PLATFORMS naming a plugin it can't load."""
     global _BACKEND_OK
     if _BACKEND_OK is None:
-        try:
-            import jax
+        from ..ops.backend_probe import backend_kind
 
-            _BACKEND_OK = len(jax.devices()) > 0
-        except Exception:
-            _BACKEND_OK = False
+        # fail-fast probe: a dead accelerator transport hangs jax's
+        # backend init forever — that must degrade to the host path,
+        # never wedge the serving process
+        _BACKEND_OK = backend_kind() != ""
     return _BACKEND_OK
 
 
@@ -1090,15 +1090,12 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
     D = _plane_docs(store)
     if D > MAX_PLANE_DOCS:
         return False
-    try:
-        import jax
+    from ..ops.backend_probe import backend_kind
 
-        if jax.default_backend() == "cpu":
-            # CPU is the host path's job; compiling the batch kernels there
-            # wastes cycles (STRICT-mode tests bypass this routing and
-            # compile on demand)
-            return False
-    except Exception:
+    if backend_kind() in ("", "cpu"):
+        # CPU is the host path's job; compiling the batch kernels there
+        # wastes cycles (STRICT-mode tests bypass this routing and
+        # compile on demand). "" = backend init hung (dead transport).
         return False
     key = _warm_key(D)
     with _WARM_LOCK:
