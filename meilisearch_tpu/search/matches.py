@@ -4,8 +4,16 @@ Reference: milli/src/search/new/matches/ —
   - MatchingWords (matching_words.rs): token vs derivation matching; prefix
     terms highlight only the typed prefix length (original_char_count);
     phrases/split-words/synonyms match runs of consecutive tokens
-  - Matcher (mod.rs): `_formatted` highlight tags, crop around the best
-    match interval, `_matchesPosition` byte ranges
+    (PartialMatch)
+  - Match (match.rs): one match is a word OR a whole phrase run, carrying
+    (word_positions, token_positions) so a phrase highlights as ONE tag
+  - best_match_interval.rs: the crop window centers on the interval of
+    matches maximizing (unique term ids, -distance, ordered count) within
+    crop_size words
+  - Matcher (mod.rs): crop grows token-by-token around the interval with
+    separator-kind arbitration; `_matchesPosition` byte ranges
+
+Golden suite: tests/golden/test_matches_format.py (port of mod_test.rs).
 """
 
 from __future__ import annotations
@@ -13,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
-from ..analysis.tokenizer import Token, Tokenizer
+from ..analysis.tokenizer import SeparatorKind, Token, TokenKind, Tokenizer
 from .query_terms import LocatedQueryTerm
 
 
@@ -28,7 +36,7 @@ class WordMatcher:
 
 @dataclass
 class PhraseMatcher:
-    words: tuple  # Optional[str] sequence
+    words: tuple  # Optional[str] sequence (None = stop word slot)
     term_id_start: int
     term_id_end: int
 
@@ -37,14 +45,25 @@ class MatchingWords:
     def __init__(self, located_terms: list[LocatedQueryTerm]):
         self.word_matchers: list[WordMatcher] = []
         self.phrase_matchers: list[PhraseMatcher] = []
+        # word-id space for interval scoring: one id per TYPED word, so a
+        # quoted phrase counts one id per word (the reference's
+        # located_term.positions, matching_words.rs:48 — the scorer's
+        # term-id space assigns one id per TERM and must not leak here:
+        # best_match_interval ranks intervals by unique WORD coverage)
+        next_id = 0
         for lt in located_terms:
             term = lt.term
+            width = (
+                sum(1 for _w in term.phrase) if term.phrase is not None else 1
+            )
+            id_start, id_end = next_id, next_id + width - 1
+            next_id += width
             words: set[str] = set()
             for cls in (0, 1, 2):
                 words.update(term.words_for_class(cls))
                 for p in term.phrases_for_class(cls):
                     self.phrase_matchers.append(
-                        PhraseMatcher(tuple(p), lt.start_term_id, lt.end_term_id)
+                        PhraseMatcher(tuple(p), id_start, id_end)
                     )
             if term.use_prefix_db:
                 words.add(term.use_prefix_db)
@@ -54,8 +73,8 @@ class MatchingWords:
                         words,
                         term.is_prefix,
                         len(term.original),
-                        lt.start_term_id,
-                        lt.end_term_id,
+                        id_start,
+                        id_end,
                     )
                 )
         # prefixes at the bottom, prioritizing exact matches
@@ -77,14 +96,107 @@ class MatchingWords:
         return None
 
 
+def _phrase_slot_matches(slot: Optional[str], token: Token) -> bool:
+    # a None slot is a stop word (matching_words.rs PartialMatch)
+    if slot is None:
+        return token.kind is TokenKind.STOP_WORD
+    return token.lemma == slot
+
+
 @dataclass
-class TokenMatch:
-    token_index: int  # index in the word-token list
-    char_start: int  # char offsets in the original text
-    char_end: int
-    highlight_chars: int  # how many chars of the token to highlight
+class Match:
+    """One match: a single word token or a whole phrase run
+    (reference match.rs MatchPosition::{Word, Phrase})."""
+
+    char_count: int  # chars to highlight from the match's first char
     id_start: int
     id_end: int
+    is_phrase: bool
+    word_positions: tuple[int, int]  # (first, last) word positions
+    token_positions: tuple[int, int]  # (first, last) indices into tokens
+
+    @property
+    def first_word_pos(self) -> int:
+        return self.word_positions[0]
+
+    @property
+    def last_word_pos(self) -> int:
+        return self.word_positions[1]
+
+    @property
+    def first_token_pos(self) -> int:
+        return self.token_positions[0]
+
+    @property
+    def last_token_pos(self) -> int:
+        return self.token_positions[1]
+
+    @property
+    def word_count(self) -> int:
+        return self.word_positions[1] - self.word_positions[0] + 1
+
+
+def _interval_score(matches: list[Match]) -> tuple[int, int, int]:
+    """(unique ids, distance score, order score) — best_match_interval.rs
+    get_interval_score, compared lexicographically."""
+    ids: set[int] = set()
+    order_score = 0
+    distance_score = 0
+    for i, m in enumerate(matches):
+        if i + 1 < len(matches):
+            nxt = matches[i + 1]
+            if nxt.id_start > m.id_start:
+                order_score += 1
+            if m.is_phrase:
+                span = m.last_word_pos - m.first_word_pos
+                order_score += span
+                distance_score -= span
+            distance_score -= min(nxt.first_word_pos - m.last_word_pos, 7)
+        elif m.is_phrase:
+            span = m.last_word_pos - m.first_word_pos
+            order_score += span
+            distance_score -= span
+        ids.update(range(m.id_start, m.id_end + 1))
+    return (len(ids), distance_score, order_score)
+
+
+def find_best_match_interval(
+    matches: list[Match], crop_size: int
+) -> tuple[Match, Match]:
+    """Sliding-window interval search (best_match_interval.rs:63)."""
+    best: Optional[tuple[tuple[int, int, int], int, int]] = None
+
+    def save(first: int, last: int) -> None:
+        nonlocal best
+        score = _interval_score(matches[first : last + 1])
+        if best is None or score > best[0]:
+            best = (score, first, last)
+
+    interval_first = 0
+    first_wp = matches[0].first_word_pos
+    for index, nxt in enumerate(matches):
+        nlwp = nxt.last_word_pos
+        if nlwp - first_wp >= crop_size:
+            if index != 0:
+                save(interval_first, index - 1)
+            # advance the window start until the next match fits
+            while True:
+                interval_first += 1
+                if interval_first == len(matches):
+                    interval_first -= 1
+                    break
+                first_wp = matches[interval_first].first_word_pos
+                if first_wp > nlwp or nlwp - first_wp < crop_size:
+                    break
+    interval_last = len(matches) - 1
+    if (
+        interval_first != interval_last
+        or matches[interval_first].word_count < crop_size
+    ):
+        save(interval_first, interval_last)
+    if best is None:
+        return matches[0], matches[0]
+    return matches[best[1]], matches[best[2]]
 
 
 class Matcher:
@@ -97,124 +209,159 @@ class Matcher:
         self.text = text
         self.mw = matching_words
         self.tokens = tokenizer.tokenize(text)
-        self.word_tokens = [
-            (i, t) for i, t in enumerate(self.tokens) if t.is_word()
-        ]
         self.matches = self._compute_matches()
 
-    def _compute_matches(self) -> list[TokenMatch]:
-        out: list[TokenMatch] = []
-        wt = self.word_tokens
-        consumed_until = -1
-        for wi, (ti, token) in enumerate(wt):
-            # phrases first (reference MatchesIter order)
-            matched_phrase = False
+    def _compute_matches(self) -> list[Match]:
+        """mod.rs compute_matches: phrases first (consuming their run),
+        then unique words."""
+        tokens = self.tokens
+        wp: list[tuple[int, int, Token]] = []  # (token_pos, word_pos, token)
+        word_pos = 0
+        for token_pos, tok in enumerate(tokens):
+            if not tok.is_separator():
+                wp.append((token_pos, word_pos, tok))
+                word_pos += 1
+
+        matches: list[Match] = []
+        i = 0
+        while i < len(wp):
+            tpos, wpos, tok = wp[i]
+            consumed_to: Optional[int] = None
             for pm in self.mw.phrase_matchers:
-                pwords = [w for w in pm.words]
-                if not pwords:
+                slots = pm.words
+                if not slots or not _phrase_slot_matches(slots[0], tok):
                     continue
-                # try matching the phrase starting at wi
-                ok = True
-                offsets = []
-                for j, pw in enumerate(pwords):
-                    if wi + j >= len(wt):
-                        ok = False
+                if len(slots) == 1:
+                    # a one-word phrase resolves as a word match
+                    matches.append(
+                        Match(
+                            tok.char_end - tok.char_start,
+                            pm.term_id_start,
+                            pm.term_id_end,
+                            False,
+                            (wpos, wpos),
+                            (tpos, tpos),
+                        )
+                    )
+                    consumed_to = i
+                    break
+                j = i + 1
+                k = 1
+                while j < len(wp):
+                    t2 = wp[j][2]
+                    if not _phrase_slot_matches(slots[k], t2):
                         break
-                    if pw is None:
-                        offsets.append(wi + j)
-                        continue
-                    if wt[wi + j][1].lemma != pw:
-                        ok = False
-                        break
-                    offsets.append(wi + j)
-                if ok and offsets:
-                    for j in offsets:
-                        tok = wt[j][1]
-                        out.append(
-                            TokenMatch(
-                                j,
-                                tok.char_start,
-                                tok.char_end,
-                                tok.char_end - tok.char_start,
+                    k += 1
+                    if k == len(slots):
+                        matches.append(
+                            Match(
+                                t2.char_end - tok.char_start,
                                 pm.term_id_start,
                                 pm.term_id_end,
+                                True,
+                                (wpos, wp[j][1]),
+                                (tpos, wp[j][0]),
                             )
                         )
-                    consumed_until = offsets[-1]
-                    matched_phrase = True
+                        consumed_to = j
+                        break
+                    j += 1
+                if consumed_to is not None:
                     break
-            if matched_phrase or wi <= consumed_until:
+            if consumed_to is not None:
+                i = consumed_to + 1
                 continue
-            m = self.mw.match_word_token(token)
+            m = self.mw.match_word_token(tok)
             if m is not None:
                 hl, ids, ide = m
-                out.append(
-                    TokenMatch(
-                        wi, token.char_start, token.char_end, hl, ids, ide
-                    )
+                matches.append(
+                    Match(hl, ids, ide, False, (wpos, wpos), (tpos, tpos))
                 )
-        return out
+            i += 1
+        return matches
 
-    # -- crop & format --------------------------------------------------------
-
-    def _best_interval(self, crop_size: int) -> tuple[int, int]:
-        """Find the window of matches to crop around (reference
-        best_match_interval.rs: maximize distinct query word ids within a
-        crop_size-words window)."""
-        matches = self.matches
-        if not matches:
-            return (0, 0)
-        best = (0, 0)
-        best_score = -1
-        for i in range(len(matches)):
-            ids = set()
-            last = i
-            for j in range(i, len(matches)):
-                if matches[j].token_index - matches[i].token_index >= crop_size:
-                    break
-                ids.update(range(matches[j].id_start, matches[j].id_end + 1))
-                last = j
-            score = len(ids)
-            if score > best_score:
-                best_score = score
-                best = (i, last)
-        return best
+    # -- crop ----------------------------------------------------------------
 
     def _crop_bounds(self, crop_size: int) -> tuple[int, int]:
-        """Returns (char_start, char_end) of the crop window.
+        """(char_start, char_end) of the crop window — mod.rs crop_bounds:
+        two cursors grow outward from the best match interval, arbitrating
+        word vs separator-kind at each step."""
+        tokens = self.tokens
+        matches = self.matches
+        if matches:
+            mf, ml = find_best_match_interval(matches, crop_size)
+            matches_size = ml.last_word_pos - mf.first_word_pos + 1
+            gte = crop_size >= matches_size
+            forward = matches_size == 0 or gte
+            remaining = (
+                crop_size - matches_size if gte else matches_size - crop_size
+            )
+            after_start = (
+                0
+                if matches_size == 0
+                else min(ml.last_token_pos + 1, len(tokens))
+            )
+            before_start = mf.first_token_pos if forward else 0
+        else:
+            remaining, forward = crop_size, True
+            before_start, after_start = 0, 0
 
-        Reference matches/mod.rs:crop_bounds — the window covers crop_size
-        words, with the remaining budget split around the best match interval.
-        """
-        wt = self.word_tokens
-        n_words = len(wt)
-        if n_words == 0:
-            return (0, min(len(self.text), crop_size))
-        if not self.matches:
-            # crop the beginning
-            last = min(crop_size, n_words) - 1
-            end_tok = wt[last][1]
-            return (0, end_tok.char_end)
-        fi, li = self._best_interval(crop_size)
-        first = self.matches[fi].token_index
-        last = self.matches[li].token_index
-        interval_len = last - first + 1
-        budget = max(crop_size - interval_len, 0)
-        # the extra word of an odd budget goes before the match
-        # (reference matches/mod.rs crop_bounds: "…Petit <em>Prince</em>")
-        after = budget // 2
-        before = budget - after
-        start = first - before
-        end = last + after
-        if start < 0:
-            end = min(end - start, n_words - 1)
-            start = 0
-        if end > n_words - 1:
-            start = max(0, start - (end - (n_words - 1)))
-            end = n_words - 1
-        start_char = wt[start][1].char_start
-        end_char = wt[end][1].char_end
+        bi = before_start - 1  # next "before" token (walking backwards)
+        if forward:
+            ai = after_start
+            a_step = 1
+        else:
+            # over-long single match: walk the end cursor BACKWARDS to trim
+            ai = min(after_start, len(tokens) - 1)
+            a_step = -1
+
+        def a_valid(ix: int) -> bool:
+            return 0 <= ix < len(tokens)
+
+        while remaining > 0:
+            b = tokens[bi] if bi >= 0 else None
+            a = tokens[ai] if a_valid(ai) else None
+            if b is not None and a is not None:
+                bk = b.separator_kind
+                ak = a.separator_kind
+                if bk is not None and ak is not None:
+                    if bk == ak:
+                        bi -= 1
+                        # avoid an ending separator before the crop marker
+                        if remaining > 1:
+                            ai += a_step
+                    elif bk is SeparatorKind.HARD:
+                        ai += a_step
+                    else:
+                        bi -= 1
+                elif bk is None and ak is not None:
+                    bi -= 1
+                    remaining -= 1
+                elif bk is not None and ak is None:
+                    ai += a_step
+                    remaining -= 1
+                else:
+                    bi -= 1
+                    remaining -= 1
+                    if remaining > 0:
+                        ai += a_step
+                        remaining -= 1
+            elif b is not None:
+                bi -= 1
+                if b.separator_kind is None:
+                    remaining -= 1
+            elif a is not None:
+                ai += a_step
+                if a.separator_kind is None:
+                    remaining -= 1
+            else:
+                break
+
+        start_char = tokens[bi].char_end if bi >= 0 else 0
+        end_char = tokens[ai].char_start if a_valid(ai) else len(self.text)
         return (start_char, end_char)
+
+    # -- format ----------------------------------------------------------------
 
     def format(
         self,
@@ -225,39 +372,47 @@ class Matcher:
         crop_marker: str = "…",
     ) -> str:
         text = self.text
+        tokens = self.tokens
         start_char, end_char = 0, len(text)
         if crop is not None and crop > 0:
             start_char, end_char = self._crop_bounds(crop)
         parts: list[str] = []
-        if start_char > 0:
+        if start_char > 0 and crop_marker:
             parts.append(crop_marker)
         cursor = start_char
         if highlight:
             for m in self.matches:
-                if m.char_end <= start_char or m.char_start >= end_char:
+                ftp, ltp = m.token_positions
+                m_start = tokens[ftp].char_start
+                m_end = tokens[ltp].char_end
+                # skip matches out of the crop window
+                if m_end < start_char or m_start > end_char:
                     continue
-                ms = max(m.char_start, start_char)
-                if ms > cursor:
+                ms = max(m_start, start_char)
+                me = min(m_end, end_char)
+                if cursor < ms:
                     parts.append(text[cursor:ms])
-                # highlight only highlight_chars characters of the token
-                hl_end = min(m.char_start + m.highlight_chars, end_char, m.char_end)
+                # highlight char_count chars from the match start (a
+                # prefix match tags only the typed prefix)
+                hl_end = min(m_start + m.char_count, me)
                 if hl_end > ms:
                     parts.append(pre_tag + text[ms:hl_end] + post_tag)
-                tail_end = min(m.char_end, end_char)
-                if tail_end > hl_end:
-                    parts.append(text[hl_end:tail_end])
-                cursor = max(cursor, tail_end)
+                if me > hl_end:
+                    parts.append(text[hl_end:me])
+                cursor = max(cursor, me)
         if cursor < end_char:
             parts.append(text[cursor:end_char])
-        if end_char < len(text):
+        if end_char < len(text) and crop_marker:
             parts.append(crop_marker)
         return "".join(parts)
 
     def matches_position(self) -> list[dict]:
         """_matchesPosition entries: byte offsets into the original text."""
         out = []
+        text = self.text
         for m in self.matches:
-            prefix = self.text[: m.char_start].encode("utf-8")
-            matched = self.text[m.char_start : m.char_start + m.highlight_chars].encode("utf-8")
+            cs = self.tokens[m.first_token_pos].char_start
+            prefix = text[:cs].encode("utf-8")
+            matched = text[cs : cs + m.char_count].encode("utf-8")
             out.append({"start": len(prefix), "length": len(matched)})
         return out
