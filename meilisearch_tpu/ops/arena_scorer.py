@@ -229,10 +229,12 @@ def planes_chain_topk(
         mask_sel = np.zeros(MASK_SLOTS, np.int32)
     from .backend_probe import backend_kind
 
+    # by the time a device batch executes, routing has already resolved
+    # the backend; a short wait covers direct callers (tests, dryrun)
     use_pallas = (
         os.environ.get("MEILI_TPU_PALLAS", "1") == "1"
         and pallas_supported(D)
-        and backend_kind() not in ("", "cpu")
+        and backend_kind(wait_s=30.0) not in (None, "", "cpu")
     )
     if use_pallas:
         return _planes_chain_topk_fused(

@@ -205,10 +205,10 @@ def device_osa_available(store, n_words: int) -> bool:
     from .backend_probe import backend_kind
 
     kind = backend_kind()
-    if kind in ("", "cpu") and not strict:
-        # no device, or a backend whose init hung (dead tunnel) — the
-        # probe is fail-fast so a broken accelerator degrades to the
-        # host pass instead of wedging every typo query
+    if kind in (None, "", "cpu") and not strict:
+        # no device, a pending probe, or a backend whose init hung (dead
+        # tunnel) — fail-fast/non-blocking so a broken accelerator
+        # degrades to the host pass instead of wedging every typo query
         return False
     if strict:
         return True  # tests: compile on demand (CPU compiles fast)

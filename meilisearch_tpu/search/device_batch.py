@@ -1049,8 +1049,12 @@ def _backend_available() -> bool:
 
         # fail-fast probe: a dead accelerator transport hangs jax's
         # backend init forever — that must degrade to the host path,
-        # never wedge the serving process
-        _BACKEND_OK = backend_kind() != ""
+        # never wedge or stall the serving process. While the probe is
+        # pending (None) route to the host WITHOUT caching.
+        kind = backend_kind()
+        if kind is None:
+            return False
+        _BACKEND_OK = kind != ""
     return _BACKEND_OK
 
 
@@ -1092,7 +1096,9 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
         return False
     from ..ops.backend_probe import backend_kind
 
-    if backend_kind() in ("", "cpu"):
+    # warm-up may wait out the backend init (it runs on daemon threads /
+    # the bench's explicit warm phase, never a serving request)
+    if backend_kind(wait_s=90.0) in (None, "", "cpu"):
         # CPU is the host path's job; compiling the batch kernels there
         # wastes cycles (STRICT-mode tests bypass this routing and
         # compile on demand). "" = backend init hung (dead transport).
