@@ -1226,8 +1226,16 @@ class IndexStore:
             self.facet_string_original.setdefault(key, orig)
         for fid, (dcol, vcol) in num_cols.items():
             table = self.facet_number_docids[fid]
-            for v, d in zip(vcol, dcol):
-                table[v].add(d)
+            # group docids per distinct value: one Posting.update per
+            # value instead of one .add per (doc, value) pair
+            varr = np.asarray(vcol)
+            darr = np.asarray(dcol, dtype=np.int64)
+            order = np.argsort(varr, kind="stable")
+            varr, darr = varr[order], darr[order]
+            uniq, starts = np.unique(varr, return_index=True)
+            bounds = np.append(starts[1:], len(varr))
+            for i, v in enumerate(uniq.tolist()):
+                table[v].update(darr[starts[i] : bounds[i]].tolist())
 
     def _index_vectors(self, docid: int, doc: dict) -> None:
         vectors = doc.get(RESERVED_VECTORS_FIELD)
