@@ -360,6 +360,15 @@ def register_misc_routes(app):
                         "writeApiKey": remote.get("writeApiKey"),
                     }
             changed = True
+        if body.get("sharding") is True and "shards" not in body:
+            # reference network API shorthand (routes/network/mod.rs
+            # `sharding: true`): derive one shard per remote — the
+            # rendezvous topology over every configured instance
+            names = set(network["remotes"]) | (
+                {network["self"]} if network.get("self") else set()
+            )
+            body = dict(body)
+            body["shards"] = {n: {"remotes": [n]} for n in sorted(names)}
         previous_shards = None
         reshard_task_uid = None
         if body.get("previousShards", "__absent__") is None:
