@@ -60,6 +60,10 @@ def serialize_instance(scheduler) -> dict:
         "tasks": tasks,
         "network": scheduler.network,
         "features": scheduler.runtime_features,
+        # reference persists both in the scheduler env (features.rs,
+        # routes/webhooks.rs; DSR rules in milli dynamic_search_rules.rs)
+        "dynamicSearchRules": dict(scheduler.dsr.rules),
+        "webhooks": dict(scheduler.webhooks),
     }
 
 
@@ -428,16 +432,21 @@ def import_instance(scheduler, data: dict) -> None:
     from ..index.store import IndexStore
 
     with scheduler.lock:
+        # cross-cutting state first: _setup_loaded_store wires each
+        # store's dynamic-rules pointer and shard topology from it
+        scheduler.network = data.get("network", scheduler.network)
+        for k, v in (data.get("features") or {}).items():
+            if k in scheduler.runtime_features:
+                scheduler.runtime_features[k] = v
+        scheduler.dsr.rules.update(data.get("dynamicSearchRules") or {})
+        scheduler.webhooks.update(data.get("webhooks") or {})
         for uid, idx in data.get("indexes", {}).items():
             store = IndexStore(uid, primary_key=idx.get("primaryKey"))
             store.settings.apply_json(idx.get("settings", {}))
             if idx.get("documents"):
                 store.add_documents(idx["documents"])
             scheduler.indexes[uid] = store
-        scheduler.network = data.get("network", scheduler.network)
-        for k, v in (data.get("features") or {}).items():
-            if k in scheduler.runtime_features:
-                scheduler.runtime_features[k] = v
+            scheduler._setup_loaded_store(store)
         # restore the task history. Only terminal tasks: their effects are
         # already in the serialized index state (single writer), and the
         # journal replay rule keys off exactly this — anything non-terminal
@@ -529,6 +538,8 @@ def create_packed_checkpoint(scheduler, db_path: str) -> None:
             "tasks": tasks_snapshot,
             "network": scheduler.network,
             "features": scheduler.runtime_features,
+            "dynamicSearchRules": dict(scheduler.dsr.rules),
+            "webhooks": dict(scheduler.webhooks),
         }
     live = set()
     for uid, store in loaded.items():
@@ -570,10 +581,9 @@ def load_packed_checkpoint(scheduler, db_path: str) -> bool:
                 scheduler._setup_loaded_store(store)
     # tasks/network/features restore through the shared logical importer
     payload = {"indexes": {}, "tasks": data.get("tasks", [])}
-    if data.get("network"):
-        payload["network"] = data["network"]
-    if data.get("features"):
-        payload["features"] = data["features"]
+    for key in ("network", "features", "dynamicSearchRules", "webhooks"):
+        if data.get(key):
+            payload[key] = data[key]
     import_instance(scheduler, payload)
     return True
 

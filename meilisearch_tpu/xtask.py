@@ -88,6 +88,8 @@ def _subset_match(expected, actual, path="$"):
             raise WorkloadError(f"{path}: expected object, got {actual!r}")
         for k, v in expected.items():
             if k not in actual:
+                if v == "[ignore]":
+                    continue  # ignored values may also be absent
                 raise WorkloadError(f"{path}.{k}: missing in response")
             _subset_match(v, actual[k], f"{path}.{k}")
         return
