@@ -179,6 +179,39 @@ def register_misc_routes(app):
 
     app.add("DELETE", "/tasks", "tasks.delete", delete_tasks)
 
+    def compact_tasks(app_, req):
+        """Task-queue compaction (reference POST /tasks/compact behind the
+        `taskQueueCompactionRoute` experimental feature): drop terminal
+        tasks beyond the retention window and rotate the journal so the
+        on-disk queue shrinks — the LMDB copy-compact analogue."""
+        _check_feature(app_, "taskQueueCompactionRoute")
+        sched = app_.scheduler
+        from ..engine.tasks import TaskStatus
+
+        with sched.lock:
+            before = len(sched.queue.tasks)
+            finished = sorted(
+                uid
+                for uid, t in sched.queue.tasks.items()
+                if t.status
+                in (
+                    TaskStatus.SUCCEEDED,
+                    TaskStatus.FAILED,
+                    TaskStatus.CANCELED,
+                )
+            )
+            # keep the most recent 1k terminal tasks for the /tasks views
+            for uid in finished[:-1000] if len(finished) > 1000 else []:
+                del sched.queue.tasks[uid]
+            after = len(sched.queue.tasks)
+        try:
+            sched.checkpoint()  # rotate the journal: reclaim disk
+        except Exception:
+            pass
+        return {"previousTasks": before, "remainingTasks": after}
+
+    app.add("POST", "/tasks/compact", "tasks.compact", compact_tasks)
+
     # -- batches ------------------------------------------------------------
 
     def list_batches(app_, req):

@@ -122,6 +122,7 @@ class IndexScheduler:
             "compositeEmbedders": False,
             "chatCompletions": False,
             "multimodal": False,
+            "taskQueueCompactionRoute": False,
         }
         # reference shape: meilisearch-types/src/network.rs:13-24 —
         # {self, remotes, shards, leader, version}
