@@ -409,6 +409,34 @@ def docids_array(store) -> np.ndarray:
     return cached[1]
 
 
+def filtered_universe(store, filter_docids) -> np.ndarray:
+    """live ∩ filter, memoized per (generation, filter array): the filter
+    result is itself cached per generation (search/filters.py), so hot
+    filters pay the ~10-15 ms live-intersection at 1M docs once instead
+    of per query. The entry keeps a reference to the filter array, which
+    guarantees its id() stays unique while cached."""
+    live = docids_array(store)
+    arr = filter_docids
+    if not isinstance(arr, np.ndarray):
+        return intersect(live, to_array(arr))
+    from collections import OrderedDict
+
+    cache = getattr(store, "_universe_arr_lru", None)
+    if cache is None or cache[0] != store.generation:
+        cache = (store.generation, OrderedDict())
+        store._universe_arr_lru = cache
+    lru = cache[1]
+    ent = lru.get(id(arr))
+    if ent is not None and ent[0] is arr:
+        lru.move_to_end(id(arr))
+        return ent[1]
+    res = intersect(live, arr)
+    lru[id(arr)] = (arr, res)
+    if len(lru) > 128:
+        lru.popitem(last=False)
+    return res
+
+
 def facet_arrays(store, fid: int) -> FacetArrays:
     cache = getattr(store, "_facet_arrays_cache", None)
     if cache is None or cache[0] != store.generation:

@@ -27,6 +27,7 @@ from ..index.arrays import (
     EMPTY,
     difference,
     docids_array as _docids_array,
+    filtered_universe,
     intersect,
     to_array,
     union_many,
@@ -115,7 +116,7 @@ class Search:
         with span("search::universe"):
             universe = _docids_array(store)
             if self.filter_docids is not None:
-                universe = intersect(universe, to_array(self.filter_docids))
+                universe = filtered_universe(store, self.filter_docids)
 
         restricted_fids = self._restricted_fids()
 

@@ -12,7 +12,13 @@ from typing import Optional
 
 import numpy as np
 
-from ..index.arrays import docids_array, intersect, to_array, union_many
+from ..index.arrays import (
+    docids_array,
+    filtered_universe,
+    intersect,
+    to_array,
+    union_many,
+)
 from ..types.errors import EngineError, ErrorCode
 from .executor import Search, SearchResult
 
@@ -89,7 +95,7 @@ def execute_hybrid(
 
     universe = docids_array(store)
     if keyword_search.filter_docids is not None:
-        universe = intersect(universe, to_array(keyword_search.filter_docids))
+        universe = filtered_universe(store, keyword_search.filter_docids)
     searcher = VectorSearcher(store, embedder_name)
     wanted = offset + limit
     semantic_hits = searcher.search(query_vector, wanted, universe)
