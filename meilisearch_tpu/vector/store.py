@@ -166,6 +166,12 @@ class VectorSearcher:
 
     def _cosine_rows(self, rows_idx, q: np.ndarray, use_device: bool):
         """Cosine of the unit query against rows (None = all rows)."""
+        if use_device:
+            from ..ops.backend_probe import backend_kind
+
+            # non-blocking: a pending or dead accelerator transport
+            # routes to the numpy matmul instead of hanging on init
+            use_device = backend_kind() not in (None, "", "cpu")
         m = self.matrix if rows_idx is None else self.matrix[rows_idx]
         if self.quantized:
             qbits = _pack_signs(q[None, :])[0]
