@@ -171,7 +171,9 @@ class VectorSearcher:
 
             # non-blocking: a pending or dead accelerator transport
             # routes to the numpy matmul instead of hanging on init
-            use_device = backend_kind() not in (None, "", "cpu")
+            # (an initialized CPU backend still runs the jit path —
+            # XLA's matmul beats numpy's on large resident matrices)
+            use_device = backend_kind() not in (None, "")
         m = self.matrix if rows_idx is None else self.matrix[rows_idx]
         if self.quantized:
             qbits = _pack_signs(q[None, :])[0]
