@@ -240,6 +240,7 @@ def planes_chain_topk(
         return _planes_chain_topk_fused(
             byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
             universe, use_valid, adj, live_packed, mask_sel, T=T, D=D, k=k,
+            select=os.environ.get("MEILI_TPU_SELECT", "topk2"),
         )
     return _planes_chain_topk_xla(
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
@@ -247,7 +248,9 @@ def planes_chain_topk(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("T", "D", "k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("T", "D", "k", "interpret", "select")
+)
 def _planes_chain_topk_fused(
     byte_pool,
     term_rows,
@@ -264,9 +267,10 @@ def _planes_chain_topk_fused(
     D: int,
     k: int,
     interpret: bool = False,
+    select: str = "topk2",
 ):
-    """Pallas DP -> (B, D) keys -> XLA top_k selection + kth-tie pass.
-    Same output contract as the XLA path."""
+    """Pallas DP -> (B, D) keys -> selection (`select`: two top_k passes,
+    or one variadic sort). Same output contract as the XLA path."""
     from .pallas_scorer import pallas_chain_keys
 
     B = term_rows.shape[0]
@@ -295,22 +299,54 @@ def _planes_chain_topk_fused(
     )
 
     sel_key = jnp.where(use_sort[:, None], keys & ~low_mask, keys)
-    negv, idx1 = jax.lax.top_k(-sel_key, k)
-    key1 = jnp.take_along_axis(keys, idx1, axis=1)
-    kth = -negv[:, k - 1]
     qsort = (_unpack_lanes(byte_pool[sort_rows], D) + 128) & 255  # (B, D)
-    iota = jnp.arange(D, dtype=jnp.int32)[None, :]
-    tie_rank = jnp.where(
-        sel_key == kth[:, None],
-        -((qsort << 23) | iota),
-        jnp.int32(-(2**31) + 1),
-    )
-    tr2, idx2 = jax.lax.top_k(tie_rank, k)
-    key2 = jnp.where(
-        tr2 > jnp.int32(-(2**31) + 1),
-        jnp.take_along_axis(keys, idx2, axis=1),
-        jnp.int32(INVALID_KEY),
-    )
+    if select == "sort":
+        # ONE variadic sort replaces both top_k passes: the ascending
+        # (sel_key, qsort, docid) order IS the exact selection plus the
+        # kth-tie ordering — the tie class is a contiguous run whose
+        # first k members slice out at searchsorted(kth)
+        iota = jnp.broadcast_to(
+            jnp.arange(D, dtype=jnp.int32)[None, :], sel_key.shape
+        )
+        tie = (qsort << 23) | iota
+        sk, _st, sidx = jax.lax.sort(
+            (sel_key, tie, iota), dimension=1, num_keys=2
+        )
+        idx1 = sidx[:, :k]
+        key1 = jnp.take_along_axis(keys, idx1, axis=1)
+        kth = sk[:, k - 1]
+
+        def row_slice(sk_row, sidx_row, kth_row):
+            s = jnp.minimum(
+                jnp.searchsorted(sk_row, kth_row).astype(jnp.int32), D - k
+            )
+            return (
+                jax.lax.dynamic_slice(sk_row, (s,), (k,)),
+                jax.lax.dynamic_slice(sidx_row, (s,), (k,)),
+            )
+
+        vals2, idx2 = jax.vmap(row_slice)(sk, sidx, kth)
+        key2 = jnp.where(
+            vals2 == kth[:, None],
+            jnp.take_along_axis(keys, idx2, axis=1),
+            jnp.int32(INVALID_KEY),
+        )
+    else:
+        negv, idx1 = jax.lax.top_k(-sel_key, k)
+        key1 = jnp.take_along_axis(keys, idx1, axis=1)
+        kth = -negv[:, k - 1]
+        iota = jnp.arange(D, dtype=jnp.int32)[None, :]
+        tie_rank = jnp.where(
+            sel_key == kth[:, None],
+            -((qsort << 23) | iota),
+            jnp.int32(-(2**31) + 1),
+        )
+        tr2, idx2 = jax.lax.top_k(tie_rank, k)
+        key2 = jnp.where(
+            tr2 > jnp.int32(-(2**31) + 1),
+            jnp.take_along_axis(keys, idx2, axis=1),
+            jnp.int32(INVALID_KEY),
+        )
     # count = candidate-bitmap popcount (the bitmap is exactly ~invalid)
     counts = jnp.sum(
         jax.lax.population_count(candw), axis=1, dtype=jnp.int32

@@ -111,6 +111,53 @@ def test_fused_matches_xla_reference(T, seed):
             assert ref_pairs == fus_pairs, (b, lo)
 
 
+@pytest.mark.parametrize("T,seed", [(3, 7)])
+def test_sort_selection_matches_xla_reference(T, seed):
+    """The single-variadic-sort selection (MEILI_TPU_SELECT=sort) must
+    produce the same exact top-k multiset and the same kth-tie class
+    ordering as the two-top_k reference."""
+    args = _random_inputs(T, seed)
+    mask_sel = np.zeros(4, np.int32)
+    out_ref, _, _ = _planes_chain_topk_xla(*args, mask_sel, T=T, D=D, k=K)
+    out_s, _, _ = _planes_chain_topk_fused(
+        *args, mask_sel, T=T, D=D, k=K, interpret=True, select="sort"
+    )
+    out_ref = np.asarray(out_ref)
+    out_s = np.asarray(out_s)
+    k = K
+    np.testing.assert_array_equal(out_s[:, 4 * k], out_ref[:, 4 * k])
+    for b in range(B):
+        # selection: identical (key, idx) multisets
+        ref_pairs = sorted(
+            zip(out_ref[b, k : 2 * k].tolist(), out_ref[b, :k].tolist())
+        )
+        s_pairs = sorted(
+            zip(out_s[b, k : 2 * k].tolist(), out_s[b, :k].tolist())
+        )
+        assert ref_pairs == s_pairs, b
+        # kth-tie pass: same VALID members in the same (qsort, docid)
+        # order (entries at INVALID_KEY are padding the merge discards)
+        from meilisearch_tpu.ops.arena_scorer import INVALID_KEY
+
+        ref2 = [
+            (kk, ii)
+            for kk, ii in zip(
+                out_ref[b, 3 * k : 4 * k].tolist(),
+                out_ref[b, 2 * k : 3 * k].tolist(),
+            )
+            if kk < INVALID_KEY
+        ]
+        s2 = [
+            (kk, ii)
+            for kk, ii in zip(
+                out_s[b, 3 * k : 4 * k].tolist(),
+                out_s[b, 2 * k : 3 * k].tolist(),
+            )
+            if kk < INVALID_KEY
+        ]
+        assert ref2 == s2, b
+
+
 def test_fused_key_oracle():
     """Independent oracle: the numpy DP mirror (the delta-overlay scorer)
     recomputes every candidate's key from the raw planes; the fused
