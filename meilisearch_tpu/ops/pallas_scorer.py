@@ -68,8 +68,14 @@ def pallas_supported(D: int) -> bool:
 
 
 def _unpack4(words, j):
-    """(R, 512) packed int32 words -> lane j bytes, sign-extended."""
-    return (((words >> (8 * j)) & 0xFF) ^ 0x80) - 0x80
+    """(R, 512) packed int32 words -> lane j RAW bytes (0..255).
+
+    No sign extension: every field the DP extracts is raw-byte safe —
+    (p>>4)&7 and p&15 are preserved mod 16 under b-256, the absence
+    sentinel -1 is b==0xFF, and the exact-flag sign bit is b>=0x80.
+    Dropping the ^0x80/-0x80 pair removes 2 of the 4 VPU ops of the
+    hottest loop in the kernel (~40 plane unpacks per grid step)."""
+    return (words >> (8 * j)) & 0xFF
 
 
 def _kernel_body(T, D, WBLK, refs):
@@ -118,8 +124,9 @@ def _kernel_body(T, D, WBLK, refs):
 
     for t in range(T):
         planes_t = [term_plane(t, c) for c in range(3)]
-        present_t = [p != -1 for p in planes_t]
-        exact_t = (planes_t[0] < 0) & present_t[0]
+        # raw bytes: 0xFF = the -1 absence sentinel; >= 0x80 = sign bit
+        present_t = [p != 0xFF for p in planes_t]
+        exact_t = (planes_t[0] >= 0x80) & present_t[0]
         exact_add = jnp.where(exact_t, 0, 1).astype(jnp.int32)
         if t > 0:
             pair_t = [pair_plane(t - 1, p) for p in range(3)]
@@ -165,7 +172,7 @@ def _kernel_body(T, D, WBLK, refs):
     ea = jnp.zeros(shape, jnp.int32)
     for lvl in range(T + 1):
         r = ea_plane(lvl)
-        r = jnp.where(r < 0, 2, r)
+        r = jnp.where(r >= 0x80, 2, r)  # raw bytes: negative ranks -> 2
         ea = ea + jnp.where(level == lvl, r, 0)
     key = key | (ea << sh_ea)
 
