@@ -195,6 +195,17 @@ class CandidateIndex:
             docids = docids[docids < len(self.idx_of)]
         return int(np.count_nonzero(self.idx_of[docids] >= 0))
 
+    def slots(self, docids: np.ndarray) -> np.ndarray:
+        """Candidate-slot indices of docids ∩ candidates, O(|docids|) —
+        lets callers scatter into per-candidate arrays without a full
+        n-sized boolean temp per posting (mask())."""
+        if len(docids) == 0 or self.n == 0:
+            return np.empty(0, dtype=np.int32)
+        if docids[-1] >= len(self.idx_of):
+            docids = docids[docids < len(self.idx_of)]
+        s = self.idx_of[docids]
+        return s[s >= 0]
+
 
 class FacetArrays:
     """Per-(generation, fid) sorted facet-value index for range filters.

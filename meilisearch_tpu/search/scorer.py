@@ -312,6 +312,9 @@ class Resolver:
     def mask(self, docids: np.ndarray) -> np.ndarray:
         return self._cand_index.mask(docids)
 
+    def slots(self, docids: np.ndarray) -> np.ndarray:
+        return self._cand_index.slots(docids)
+
 
 @dataclass
 class NodeStates:
@@ -519,9 +522,15 @@ class FusedScorer:
             return self._fid_addend_cache[key]
         tlen = node.located.term_ids_len
         out = np.full(self.n, INF, dtype=np.int64)
-        for docids, weight in self._fid_entries(node.located.term, cls):
-            m = self.r.mask(docids)
-            out = np.where(m, np.minimum(out, weight * tlen), out)
+        # ascending cost + first-write == min over matching fields, with
+        # O(|posting|) slot scatters instead of an n-sized temp per entry
+        for docids, weight in sorted(
+            self._fid_entries(node.located.term, cls), key=lambda e: e[1]
+        ):
+            s = self.r.slots(docids)
+            if len(s):
+                sel = s[out[s] == INF]
+                out[sel] = weight * tlen
         self._fid_addend_cache[key] = out
         return out
 
@@ -585,8 +594,10 @@ class FusedScorer:
 
         out = np.full(self.n, INF, dtype=np.int64)
         for cost in sorted(by_cost):
-            m = self.r.mask(union_many(by_cost[cost]))
-            out = np.where(m & (out == INF), np.int64(cost), out)
+            s = self.r.slots(union_many(by_cost[cost]))
+            if len(s):
+                sel = s[out[s] == INF]
+                out[sel] = cost
         self._pos_addend_cache[key] = out
         return out
 
