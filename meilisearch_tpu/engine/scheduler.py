@@ -57,12 +57,15 @@ REINDEX_SETTINGS = {
 }
 
 
-def _kick_warm(stores) -> None:
-    """Async warm-up for indexes whose ingest just drained: device
-    kernels (search/device_batch.warm_kernels) plus the host query
-    caches — the packed-v3 boot is ~0.3 s at 1M docs, which moves the
-    vocabulary pack / typo-pass build to the FIRST query (measured 41 s
-    cold at a 600k-word vocabulary). Never raises."""
+def _kick_warm(stores, host: bool = False) -> None:
+    """Async warm-up: device kernels (search/device_batch.warm_kernels),
+    plus — on store (re)load ONLY — the host query caches: the packed-v3
+    boot is ~0.3 s at 1M docs, which moves the vocabulary pack /
+    typo-pass build to the FIRST query (measured 41 s cold at a
+    600k-word vocabulary). The host warm must NOT run after every
+    drained ingest batch: packing the growing vocabulary on a thread
+    steals the single core's GIL from the next chunk (measured 3x
+    slower HTTP ingest at 1M). Never raises."""
     import threading
 
     def host_warm():
@@ -77,9 +80,10 @@ def _kick_warm(stores) -> None:
                 pass
 
     try:
-        threading.Thread(
-            target=host_warm, name="host-cache-warm", daemon=True
-        ).start()
+        if host:
+            threading.Thread(
+                target=host_warm, name="host-cache-warm", daemon=True
+            ).start()
         from ..search.device_batch import device_batch_enabled, warm_kernels
 
         if not device_batch_enabled():
@@ -229,7 +233,8 @@ class IndexScheduler:
         import threading
 
         threading.Thread(
-            target=_kick_warm, args=([store],), daemon=True
+            target=_kick_warm, args=([store],), kwargs={"host": True},
+            daemon=True,
         ).start()
 
     def index(self, uid: str) -> IndexStore:
