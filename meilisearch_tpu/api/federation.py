@@ -91,17 +91,25 @@ def perform_multi_search(app, req) -> dict:
         if not shard_name:
             expanded.append((qi, query))
             continue
-        targets: set = set()
         cur = (network.get("shards") or {}).get(shard_name) or {}
-        targets.update(cur.get("remotes") or [])
+        replicas = sorted(cur.get("remotes") or [], key=str)
+        # replica failover (reference leader/replica semantics): query ONE
+        # available replica of the shard — self first, then the first
+        # replica outside its backoff window; the remaining replicas ride
+        # along as alternates the proxy loop fails over to
+        primary, alternates = _pick_replica(replicas, network)
+        targets: list = [primary] if primary is not None else []
         prev = network.get("previousShards")
+        prev_targets: set = set()
         if prev:
             for ent in prev.values():
-                targets.update((ent or {}).get("remotes") or [])
+                prev_targets.update((ent or {}).get("remotes") or [])
+        prev_targets -= {primary}
+        targets.extend(sorted(prev_targets, key=str))
         if not targets:
-            targets = {network.get("self")}
+            targets = [network.get("self")]
         shard_filter = "_shard = '{}'".format(shard_name.replace("'", "\\'"))
-        for rname in sorted(targets, key=str):
+        for rname in targets:
             q = dict(query)
             fo = dict(fed_opts)
             if rname and rname != network.get("self"):
@@ -113,6 +121,8 @@ def perform_multi_search(app, req) -> dict:
             q["filter"] = [shard_filter] + (
                 [orig_filter] if orig_filter is not None else []
             )
+            if rname == primary and alternates:
+                q["_shard_alternates"] = alternates
             expanded.append((qi, q))
 
     # partition queries by remote and proxy them over HTTP
@@ -126,7 +136,9 @@ def perform_multi_search(app, req) -> dict:
         else:
             local_queries.append((qi, query))
 
-    for remote_name, entries in remote_queries.items():
+    pending_remote = list(remote_queries.items())
+    while pending_remote:
+        remote_name, entries = pending_remote.pop(0)
         remote = (app.scheduler.network.get("remotes") or {}).get(remote_name)
         if remote is None:
             raise EngineError(
@@ -153,12 +165,34 @@ def perform_multi_search(app, req) -> dict:
         except EngineError:
             raise
         except Exception as err:
-            remote_errors[remote_name] = {
-                "message": str(err),
-                "code": "remote_bad_response",
-                "type": "system",
-                "link": "https://docs.meilisearch.com/errors#remote_bad_response",
-            }
+            # shard-replica failover: queries that carried alternates
+            # re-route to the next replica (self runs locally); only
+            # queries with no replica left surface the error
+            dead_end = []
+            for qi, query in entries:
+                alts = list(query.get("_shard_alternates") or [])
+                if not alts:
+                    dead_end.append((qi, query))
+                    continue
+                nxt = alts.pop(0)
+                q = dict(query)
+                q["_shard_alternates"] = alts
+                fo = dict(q.get("federationOptions") or {})
+                if nxt and nxt != network.get("self"):
+                    fo["remote"] = nxt
+                    q["federationOptions"] = fo
+                    pending_remote.append((nxt, [(qi, q)]))
+                else:
+                    fo.pop("remote", None)
+                    q["federationOptions"] = fo
+                    local_queries.append((qi, q))
+            if dead_end:
+                remote_errors[remote_name] = {
+                    "message": str(err),
+                    "code": "remote_bad_response",
+                    "type": "system",
+                    "link": "https://docs.meilisearch.com/errors#remote_bad_response",
+                }
 
     for qi, query in local_queries:
         index_uid = query.get("indexUid")
@@ -300,6 +334,30 @@ def perform_multi_search(app, req) -> dict:
     return response
 
 
+def _pick_replica(replicas: list, network: dict):
+    """(primary, alternates) for a shard's replica set: self is free,
+    otherwise the first replica outside its availability-backoff window;
+    every other replica is an alternate for proxy-failure failover."""
+    self_name = network.get("self")
+    if self_name in replicas:
+        others = [r for r in replicas if r != self_name]
+        return self_name, others
+    remotes = network.get("remotes") or {}
+    available = []
+    backed_off = []
+    for r in replicas:
+        url = (remotes.get(r) or {}).get("url", "")
+        try:
+            REMOTE_AVAILABILITY.check(r, url)
+            available.append(r)
+        except ConnectionError:
+            backed_off.append(r)
+    ordered = available + backed_off
+    if not ordered:
+        return None, []
+    return ordered[0], ordered[1:]
+
+
 class _RemoteAvailability:
     """Exponential unavailability windows per remote, 30s doubling to 5min
     (reference: meilisearch-types/src/network.rs:8-9,44-80). While a remote
@@ -349,8 +407,9 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
     sub_queries = []
     for _qi, query in entries:
         q = dict(query)
-        # strip the remote marker so the target treats it as local, keep the
-        # weight; request scores for the merge
+        # strip the remote marker (the target treats it as local) and the
+        # failover bookkeeping; keep the weight; request merge scores
+        q.pop("_shard_alternates", None)
         opts = dict(q.get("federationOptions") or {})
         opts.pop("remote", None)
         q["federationOptions"] = opts
