@@ -16,10 +16,14 @@ many MVCC readers — searches here read frozen index snapshots the same way.
 
 from __future__ import annotations
 
+import logging
+import os
 import re
 import threading
 import traceback
 import uuid
+
+log = logging.getLogger("meilisearch_tpu.scheduler")
 from typing import Callable, Optional
 
 from ..index.store import IndexStore
@@ -620,6 +624,37 @@ class IndexScheduler:
             self._notify_webhooks(task)
         batch.finished_at = now_iso()
         batch.progress = None  # progress views only exist while processing
+        # build-side memory budget (reference BalancedCaches spill,
+        # update/new/extract/cache.rs): past the budget, posting docids
+        # re-serialize as mmap'd columns — RSS becomes evictable page
+        # cache and corpus-size ingest stops being RAM-bound
+        spill_budget = int(
+            os.environ.get("MEILI_TPU_BUILD_SPILL_BYTES", "0") or 0
+        )
+        if spill_budget > 0:
+            from .index_map import estimate_store_bytes
+
+            for uid in {t.index_uid for t in tasks if t.index_uid}:
+                store = self.indexes.get(uid)
+                if store is None or not store.documents:
+                    continue
+                if estimate_store_bytes(store) > spill_budget:
+                    import tempfile
+
+                    base = self.journal.db_path if self.journal else None
+                    directory = os.path.join(
+                        base or tempfile.gettempdir(), "spill", uid
+                    )
+                    try:
+                        moved = store.spill_postings(directory)
+                        if moved:
+                            log.info(
+                                "spilled %d MB of postings for `%s`",
+                                moved >> 20,
+                                uid,
+                            )
+                    except Exception:
+                        pass
         # kick the async device-kernel warm-up for every index this batch
         # touched: a corpus-size bucket's first compile must happen OFF the
         # serving path (search/device_batch.warm_kernels)

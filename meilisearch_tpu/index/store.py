@@ -640,6 +640,100 @@ class IndexStore:
             self.facet_is_empty_docids,
         ]
 
+    def spill_postings(self, directory: str) -> int:
+        """Move posting-list docids off the Python heap: every table's
+        lists re-serialize into ONE mmap'd column per table and each
+        Posting becomes a zero-copy view into it. Logical content is
+        unchanged; RSS becomes evictable page cache, so corpus-size
+        ingest is no longer RAM-bound (the reference spills its
+        BalancedCaches to grenad files under memory pressure,
+        update/new/extract/cache.rs:1-60). Returns bytes moved.
+
+        Facet tables spill too (they carry O(corpus) docids at scale).
+        Lazy packed tables (already views) are skipped."""
+        import os as _os
+
+        from .arrays import Posting
+
+        _os.makedirs(directory, exist_ok=True)
+        moved = 0
+        epoch = int(self.generation)
+
+        def spill_table(table, path):
+            nonlocal moved
+            if not isinstance(table, dict) or not table:
+                return  # lazy packed tables already serve from mmap
+            parts = []
+            metas = []  # (posting, start, end)
+            total = 0
+            import mmap as _mmap
+
+            def ram_backed(arr) -> bool:
+                # a view whose base chain reaches a memmap / mmap buffer
+                # already lives in page cache (earlier spill or packed
+                # boot); everything else — owning arrays AND slices of
+                # RAM arrays (the native builder emits those) — is
+                # heap-resident
+                base = arr
+                while base is not None:
+                    if isinstance(
+                        base, (np.memmap, _mmap.mmap, memoryview, bytes)
+                    ):
+                        return False
+                    base = getattr(base, "base", None)
+                return True
+
+            for p in table.values():
+                if not isinstance(p, Posting):
+                    continue
+                arr = p.ids_array()
+                if not len(arr) or not ram_backed(arr):
+                    continue
+                parts.append(arr)
+                metas.append((p, total, total + len(arr)))
+                total += len(arr)
+            if not parts:
+                return
+            ids = np.concatenate(parts)
+            np.save(path, ids)
+            view = np.load(path + ".npy", mmap_mode="r")
+            for p, a, b in metas:
+                if isinstance(p, Posting):
+                    p.segs = [view[a:b]]
+                    p.extra = None
+                    p.dead = None
+            moved += int(ids.nbytes)
+
+        with self._lock:
+            names = [
+                "word_docids",
+                "exact_word_docids",
+                "word_fid_docids",
+                "word_position_docids",
+                "word_pair_proximity_docids",
+                "field_id_word_count_docids",
+                "facet_exists_docids",
+                "facet_is_null_docids",
+                "facet_is_empty_docids",
+            ]
+            for name in names:
+                spill_table(
+                    getattr(self, name),
+                    _os.path.join(directory, f"{name}.{epoch}"),
+                )
+            for outer_name in ("facet_number_docids", "facet_string_docids"):
+                outer = getattr(self, outer_name)
+                if not isinstance(outer, dict):
+                    continue
+                for fid, sub in outer.items():
+                    spill_table(
+                        sub,
+                        _os.path.join(
+                            directory, f"{outer_name}.{fid}.{epoch}"
+                        ),
+                    )
+        return moved
+
     def delta_cap(self) -> int:
         """Max delta size before the base promotes (and the device arena
         re-anchors). Scales with the corpus so the host overlay's share of
