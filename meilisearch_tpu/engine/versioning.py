@@ -26,7 +26,9 @@ from ..types.errors import EngineError, ErrorCode
 #     boolean `sharding` flag and no shards/leader/version fields)
 # v2: network gained `shards` (map name -> {remotes}), `leader`, `version`
 #     (reference network.rs:13-24); the legacy `sharding` bool is dropped
-SNAPSHOT_FORMAT_VERSION = 2
+# v3: instance state gained `dynamicSearchRules` and `webhooks` (round 3 —
+#     both persist across restarts like the reference's scheduler env)
+SNAPSHOT_FORMAT_VERSION = 3
 
 _MIGRATIONS: dict[int, Callable[[dict], dict]] = {}
 
@@ -51,6 +53,15 @@ def _v1_to_v2(data: dict) -> dict:
     network.setdefault("version", str(uuid.uuid4()))
     data["network"] = network
     data["formatVersion"] = 2
+    return data
+
+
+@migration(2)
+def _v2_to_v3(data: dict) -> dict:
+    """Dynamic search rules + webhooks joined the instance state."""
+    data.setdefault("dynamicSearchRules", {})
+    data.setdefault("webhooks", {})
+    data["formatVersion"] = 3
     return data
 
 
