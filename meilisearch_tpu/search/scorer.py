@@ -156,10 +156,17 @@ class Resolver:
         if cached is not None:
             return cached
         if restricted:
+            # derived (typo) words resolve over the TOLERANT restricted
+            # fids only — typo-disabled (exact) attributes match without
+            # typos (reference db_cache.rs:208-226 restricted_fids
+            # tolerant/exact split)
+            exact_fids = (
+                self.store.exact_attributes_fids() if not original else ()
+            )
             parts = [
                 self.word_fid_docids(word, fid)
                 for fid in self.fids_by_word.get(word, ())
-                if fid in self.restricted_fids
+                if fid in self.restricted_fids and fid not in exact_fids
             ]
             arr = union_many(parts)
         elif original:
