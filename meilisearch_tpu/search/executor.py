@@ -85,6 +85,10 @@ class Search:
     locales: Optional[list[str]] = None
     compute_scores: bool = False
     compute_score_details: bool = False
+    # drop every document whose global ranking score is below this
+    # (reference bucket_sort.rs ranking-score-threshold handling: hits AND
+    # exhaustive totals shrink)
+    ranking_score_threshold: Optional[float] = None
     cutoff_ms: Optional[int] = None
     # requested facet fields (perform layer); the host executor ignores
     # this (facet distribution reads result.candidates), but the device
@@ -406,9 +410,10 @@ class Search:
                     ranked,
                     scorer if graph_dims else None,
                 )
-        result = self._paginate(
+        ranked, cand_total = self._apply_score_threshold(
             ranked, candidates[valid], scores_by_docid
         )
+        result = self._paginate(ranked, cand_total, scores_by_docid)
         result.degraded = degraded
         result.details_by_docid = {
             **details_by_docid,
@@ -486,6 +491,9 @@ class Search:
                     rules, cost_sorted, levels_sorted, ea_sorted, ranked,
                     scorer,
                 )
+        ranked, cand_v = self._apply_score_threshold(
+            ranked, cand_v, scores_by_docid
+        )
         result = self._paginate(ranked, cand_v, scores_by_docid)
         result.degraded = degraded
         result.details_by_docid = {
@@ -493,6 +501,24 @@ class Search:
             **getattr(self, "_pin_details", {}),
         }
         return result
+
+    def _apply_score_threshold(self, ranked, candidates, scores_by_docid):
+        """(ranked, candidates) with sub-threshold documents dropped —
+        both the page and the (exhaustive) totals shrink (reference
+        bucket_sort.rs ranking_score_threshold)."""
+        t = self.ranking_score_threshold
+        if t is None or not len(ranked) or not scores_by_docid:
+            return ranked, candidates
+        keep = np.fromiter(
+            (
+                scores_by_docid.get(int(d), 0.0) >= float(t) - 1e-9
+                for d in ranked
+            ),
+            dtype=bool,
+            count=len(ranked),
+        )
+        ranked = ranked[keep]
+        return ranked, ranked
 
     def _deadline_exceeded(self) -> bool:
         import time as _time

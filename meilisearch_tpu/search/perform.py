@@ -96,7 +96,9 @@ def _perform_search_locked(
             query, "hitsPerPage", 20, code=ErrorCode.INVALID_SEARCH_HITS_PER_PAGE
         )
         offset = (page - 1) * hits_per_page if page > 0 else 0
-        limit = hits_per_page
+        # page 0 is "before the first page": totals compute, hits don't
+        # (reference pagination.rs page_zero_should_not_return_any_result)
+        limit = hits_per_page if page > 0 else 0
 
     max_total_hits = store.settings.pagination.max_total_hits
 
@@ -170,8 +172,13 @@ def _perform_search_locked(
         exhaustive_number_hits=is_finite,
         max_total_hits=max_total_hits,
         locales=query.get("locales"),
-        compute_scores=scores_needed or hybrid is not None,
+        compute_scores=scores_needed
+        or hybrid is not None
+        or threshold is not None,
         compute_score_details=bool(query.get("showRankingScoreDetails")),
+        ranking_score_threshold=(
+            float(threshold) if threshold is not None else None
+        ),
         facets=query.get("facets") or None,
     )
 
