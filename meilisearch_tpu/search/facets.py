@@ -160,6 +160,16 @@ def search_facet_values(
     fa = facet_arrays(store, fid)
     values = fa.str_values
     table = dict(zip(values, fa.str_arrays))
+    # matching runs over the charabia-NORMALIZED form (deaccented), the
+    # reference's facet_id_normalized_string_strings DB: "àdventure"
+    # matches "Adventure" (facet_search.rs advanced_facet_search); cached
+    # per generation alongside the facet arrays
+    from ..analysis.tokenizer import normalize_word
+
+    skeys = getattr(fa, "_search_keys", None)
+    if skeys is None:
+        skeys = [normalize_word(v) for v in values]
+        fa._search_keys = skeys
 
     order = settings.faceting.sort_facet_values_by.get(
         facet_name, settings.faceting.sort_facet_values_by.get("*", "alpha")
@@ -172,20 +182,25 @@ def search_facet_values(
             if count:
                 hits.append((norm, store.facet_string_original.get((fid, norm), norm), count))
     else:
-        qnorm = facet_string_normalize(query)
+        qnorm = normalize_word(facet_string_normalize(query))
         # typo budgets as for search words (reference uses the same
-        # one/two-typo thresholds with a prefix DFA)
+        # one/two-typo thresholds with a prefix DFA); a query listed in
+        # disableOnWords matches without typos
         tt = settings.typo_tolerance
         n = len(qnorm)
-        if not tt.enabled or n < tt.min_word_size_for_typos.one_typo:
+        if (
+            not tt.enabled
+            or n < tt.min_word_size_for_typos.one_typo
+            or qnorm in {normalize_word(w) for w in tt.disable_on_words}
+        ):
             max_typos = 0
         elif n < tt.min_word_size_for_typos.two_typos:
             max_typos = 1
         else:
             max_typos = 2
         if max_typos == 0:
-            for norm in values:
-                if norm.startswith(qnorm):
+            for i, norm in enumerate(values):
+                if skeys[i].startswith(qnorm):
                     count = counter.count(("fs", fid, norm), table[norm])
                     if count:
                         hits.append(
@@ -196,14 +211,14 @@ def search_facet_values(
 
             from ..ops.levenshtein import osa_distances, pack_words
 
-            mat, lens = pack_words(values)
+            mat, lens = pack_words(skeys)
             _full, prefix_min = osa_distances(qnorm, mat, lens)
             first = qnorm[:1]
             for i, norm in enumerate(values):
                 d = int(prefix_min[i])
                 if d > max_typos:
                     continue
-                if d >= 1 and not norm.startswith(first):
+                if d >= 1 and not skeys[i].startswith(first):
                     # one-typo matches must share the first character
                     if d == 1:
                         continue
