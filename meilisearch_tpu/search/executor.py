@@ -865,9 +865,21 @@ class Search:
         if distinct_field is not None:
             fid = store.fields_ids_map.id(distinct_field)
             if fid is not None:
+                # non-exhaustive searches stop once the page is filled:
+                # estimatedTotalHits then subtracts only the duplicate
+                # groups PROCESSED so far and decays toward the exact
+                # count as the offset grows (reference bucket_sort
+                # distinct semantics, tests/search/distinct.rs issue 4078)
+                need = (
+                    None
+                    if self.exhaustive_number_hits
+                    else self.offset + self.limit
+                )
                 kept = []
                 excluded: set = set()
                 for docid in docids:
+                    if need is not None and len(kept) >= need:
+                        break
                     if docid in excluded:
                         continue
                     for v in store.docid_facet_numbers.get((fid, docid), ()):
