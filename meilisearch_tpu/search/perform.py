@@ -200,6 +200,28 @@ def _perform_search_locked(
         store, query, result.documents_ids, q, located_terms=result.query_terms
     )
 
+    # sorting by `_geoPoint(lat, lng)` attaches `_geoDistance` (rounded
+    # meters) to every hit that has `_geo` (reference geo_sort.rs +
+    # tests/search/geo.rs bug_4640 snapshot)
+    geo_point = None
+    for s in sort or ():
+        if isinstance(s, str) and s.strip().startswith("_geoPoint("):
+            from .executor import _parse_asc_desc
+
+            member, _asc = _parse_asc_desc(s)
+            if isinstance(member, tuple):
+                geo_point = member
+                break
+    if geo_point is not None:
+        from .executor import _haversine_m as _hav
+
+        for hit, docid in zip(hits, result.documents_ids):
+            pt = store.geo_points.get(int(docid))
+            if pt is not None:
+                hit["_geoDistance"] = int(
+                    round(_hav(geo_point[0], geo_point[1], pt[0], pt[1]))
+                )
+
     total = (
         result.total_hits
         if result.total_hits is not None
