@@ -435,7 +435,12 @@ def parse_filter(filter_input) -> Any:
         if not items:
             return Empty()
         return items[0] if len(items) == 1 else And(items)
-    raise FilterError("Invalid syntax for the filter parameter.")
+    import json as _json
+
+    raise FilterError(
+        "Invalid syntax for the filter parameter: `expected String, Array,"
+        f" found: {_json.dumps(filter_input, separators=(',', ':'))}`."
+    )
 
 
 # ---------------------------------------------------------------------------

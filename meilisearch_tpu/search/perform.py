@@ -27,13 +27,49 @@ DEFAULT_HIGHLIGHT_POST_TAG = "</em>"
 DEFAULT_SEARCH_LIMIT = 20
 
 
+def _json_type_name(v) -> str:
+    """deserr's type names for error messages."""
+    if isinstance(v, bool):
+        return "a boolean"
+    if isinstance(v, str):
+        return "a string"
+    if isinstance(v, int):
+        return "an integer"
+    if isinstance(v, float):
+        return "a number"
+    if isinstance(v, list):
+        return "an array"
+    if isinstance(v, dict):
+        return "an object"
+    return "null"
+
+
+def _fmt_json(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _type_error(field: str, expected: str, value, code) -> None:
+    """deserr-style: 'Invalid value type at `.X`: expected an array, but
+    found a string: `"doggo"`' (reference tests/search/errors.rs)."""
+    raise EngineError(
+        code,
+        f"Invalid value type at `.{field}`: expected {expected}, but found"
+        f" {_json_type_name(value)}: `{_fmt_json(value)}`",
+    )
+
+
 def _validate_int(query: dict, key: str, default, minimum=0, code=None):
     value = query.get(key, default)
     if value is None:
         value = default
-    if not isinstance(value, int) or isinstance(value, bool) or value < minimum:
+    code = code or ErrorCode.BAD_REQUEST
+    if not isinstance(value, int) or isinstance(value, bool):
+        _type_error(key, "a positive integer", value, code)
+    if value < minimum:
         raise EngineError(
-            code or ErrorCode.BAD_REQUEST,
+            code,
             f"Invalid value at `.{key}`: expected a positive integer, but got"
             f" `{value!r}`.",
         )
@@ -72,12 +108,31 @@ def _perform_search_locked(
     _result_override,
     started,
 ) -> dict:
+    unknown = set(query) - _KNOWN_SEARCH_PARAMS
+    if unknown:
+        field = sorted(unknown)[0]
+        known = ", ".join(f"`{k}`" for k in sorted(_KNOWN_SEARCH_PARAMS))
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Unknown field `{field}`: expected one of {known}",
+        )
+
     q = query.get("q")
     if q is not None and not isinstance(q, str):
-        raise EngineError(
-            ErrorCode.INVALID_SEARCH_Q,
-            f"Invalid value at `.q`: expected a string, but got `{q!r}`.",
-        )
+        _type_error("q", "a string", q, ErrorCode.INVALID_SEARCH_Q)
+    # deserr-style boolean flags (reference tests/search/errors.rs)
+    for flag, fcode in (
+        ("showMatchesPosition", ErrorCode.INVALID_SEARCH_SHOW_MATCHES_POSITION),
+        ("showRankingScore", ErrorCode.INVALID_SEARCH_SHOW_RANKING_SCORE),
+        (
+            "showRankingScoreDetails",
+            ErrorCode.INVALID_SEARCH_SHOW_RANKING_SCORE_DETAILS,
+        ),
+        ("retrieveVectors", ErrorCode.INVALID_SEARCH_RETRIEVE_VECTORS),
+    ):
+        fv = query.get(flag)
+        if fv is not None and not isinstance(fv, bool):
+            _type_error(flag, "a boolean", fv, fcode)
 
     from ..types.locales import validate_locales
 
@@ -103,18 +158,32 @@ def _perform_search_locked(
     max_total_hits = store.settings.pagination.max_total_hits
 
     strategy = query.get("matchingStrategy", "last")
+    if not isinstance(strategy, str):
+        _type_error(
+            "matchingStrategy",
+            "a string",
+            strategy,
+            ErrorCode.INVALID_SEARCH_MATCHING_STRATEGY,
+        )
     if strategy not in ("last", "all", "frequency"):
         raise EngineError(
-            ErrorCode.BAD_REQUEST,
+            ErrorCode.INVALID_SEARCH_MATCHING_STRATEGY,
             f"Unknown value `{strategy}` at `.matchingStrategy`: expected one"
-            " of `last`, `all`, `frequency`.",
+            " of `last`, `all`, `frequency`",
         )
 
     filter_docids = evaluate_filter(store, query.get("filter"), as_array=True)
 
     sort = query.get("sort")
-    if isinstance(sort, str):
-        sort = [sort]
+    if sort is not None and not isinstance(sort, list):
+        # the GET route converts comma lists before reaching here
+        _type_error("sort", "an array", sort, ErrorCode.INVALID_SEARCH_SORT)
+
+    facets_param = query.get("facets")
+    if facets_param is not None and not isinstance(facets_param, list):
+        _type_error(
+            "facets", "an array", facets_param, ErrorCode.INVALID_SEARCH_FACETS
+        )
 
     distinct = query.get("distinct")
     if distinct is not None:
@@ -127,15 +196,23 @@ def _perform_search_locked(
             )
 
     threshold = query.get("rankingScoreThreshold")
-    if threshold is not None and not (
-        isinstance(threshold, (int, float)) and 0.0 <= float(threshold) <= 1.0
-    ):
-        raise EngineError(
-            ErrorCode.INVALID_SEARCH_RANKING_SCORE_THRESHOLD,
-            f"Invalid value at `.rankingScoreThreshold`: the value of"
-            f" `rankingScoreThreshold` is invalid, expected a float between"
-            f" `0.0` and `1.0` but got `{threshold}`.",
-        )
+    if threshold is not None:
+        if isinstance(threshold, bool) or not isinstance(
+            threshold, (int, float)
+        ):
+            _type_error(
+                "rankingScoreThreshold",
+                "a number",
+                threshold,
+                ErrorCode.INVALID_SEARCH_RANKING_SCORE_THRESHOLD,
+            )
+        if not 0.0 <= float(threshold) <= 1.0:
+            raise EngineError(
+                ErrorCode.INVALID_SEARCH_RANKING_SCORE_THRESHOLD,
+                "Invalid value at `.rankingScoreThreshold`: the value of"
+                " `rankingScoreThreshold` is invalid, expected a float"
+                " between `0.0` and `1.0`.",
+            )
 
     # semantic / hybrid search kind resolution
     # (reference: routes/indexes/search.rs search_kind)
@@ -284,6 +361,19 @@ def _perform_search_locked(
         response["degraded"] = True
     return response
 
+
+# every accepted POST /search field (reference SearchQuery, deserr
+# deny-unknown-fields: an unknown field is a 400)
+_KNOWN_SEARCH_PARAMS = {
+    "q", "vector", "media", "hybrid", "offset", "limit", "page",
+    "hitsPerPage", "attributesToRetrieve", "retrieveVectors",
+    "attributesToCrop", "cropLength", "attributesToHighlight",
+    "showMatchesPosition", "showRankingScore", "showRankingScoreDetails",
+    "filter", "sort", "distinct", "facets", "highlightPreTag",
+    "highlightPostTag", "cropMarker", "matchingStrategy",
+    "attributesToSearchOn", "rankingScoreThreshold", "locales",
+    "personalize", "federationOptions",
+}
 
 _DEVICE_BATCH_SAFE_KEYS = {
     "q", "filter", "offset", "limit", "page", "hitsPerPage",

@@ -38,6 +38,13 @@ class ErrorCode(str, Enum):
     INVALID_SEARCH_HITS_PER_PAGE = "invalid_search_hits_per_page"
     INVALID_SEARCH_ATTRIBUTES_TO_SEARCH_ON = "invalid_search_attributes_to_search_on"
     INVALID_SEARCH_DISTINCT = "invalid_search_distinct"
+    INVALID_SEARCH_MATCHING_STRATEGY = "invalid_search_matching_strategy"
+    INVALID_SEARCH_SHOW_MATCHES_POSITION = "invalid_search_show_matches_position"
+    INVALID_SEARCH_SHOW_RANKING_SCORE = "invalid_search_show_ranking_score"
+    INVALID_SEARCH_SHOW_RANKING_SCORE_DETAILS = (
+        "invalid_search_show_ranking_score_details"
+    )
+    INVALID_SEARCH_RETRIEVE_VECTORS = "invalid_search_retrieve_vectors"
     INVALID_SEARCH_RANKING_SCORE_THRESHOLD = "invalid_search_ranking_score_threshold"
     INVALID_SIMILAR_ID = "invalid_similar_id"
     INVALID_SETTINGS_RANKING_RULES = "invalid_settings_ranking_rules"
