@@ -185,17 +185,41 @@ def _han_segments(run: str):
         pos += len(seg)
 
 
+def _kana_subruns(run: str):
+    """Split a kana run at hiragana <-> katakana boundaries: katakana
+    runs are (loanword) nouns and hiragana runs are particles/inflections
+    — the standard dictionary-free ja segmentation heuristic (charabia's
+    lindera splits 'クーポンで' into クーポン + で). The prolonged sound
+    mark ー extends whichever run it follows."""
+    def kclass(ch: str) -> int:
+        return 1 if 0x3040 <= ord(ch) <= 0x309F else 2
+
+    start = 0
+    cur = kclass(run[0])
+    for idx in range(1, len(run)):
+        if ord(run[idx]) == 0x30FC:  # ー
+            continue
+        c = kclass(run[idx])
+        if c != cur:
+            yield (start, idx)
+            start = idx
+            cur = c
+    yield (start, len(run))
+
+
 def _kana_segments(run: str):
-    """Character bigrams for kana runs (the Lucene CJK strategy): no open
-    Japanese dictionary ships in this environment, and overlapping bigrams
-    applied identically at index and query time give far better precision
-    than unigrams. A length-1 run stays a unigram."""
-    n = len(run)
-    if n == 1:
-        yield (0, 1)
-        return
-    for i in range(n - 1):
-        yield (i, i + 2)
+    """Character bigrams per hiragana/katakana sub-run (the Lucene CJK
+    strategy): no open Japanese dictionary ships in this environment, and
+    overlapping bigrams applied identically at index and query time give
+    far better precision than unigrams. A length-1 sub-run stays a
+    unigram; bigrams never straddle a hiragana/katakana boundary."""
+    for s, e in _kana_subruns(run):
+        n = e - s
+        if n == 1:
+            yield (s, s + 1)
+            continue
+        for i in range(s, e - 1):
+            yield (i, i + 2)
 
 
 class Tokenizer:

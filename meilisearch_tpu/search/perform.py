@@ -569,7 +569,16 @@ def build_hits(
                     }
             base["_vectors"] = vectors
 
-        if needs_format or to_highlight or to_crop:
+        # _formatted appears only when a requested highlight/crop field
+        # is actually displayed (reference formatted.rs
+        # displayedattr_2_smol: highlighting undisplayed fields yields no
+        # _formatted at all)
+        fmt_requested = list(to_highlight) + list(to_crop.keys())
+        can_format = any(
+            f == "*" or _lookup(displayed_doc, f) is not None
+            for f in fmt_requested
+        ) and bool(displayed_doc)
+        if fmt_requested and can_format:
             formatted = {}
             matches_position = {}
             # _formatted contains retrieve ∪ highlight ∪ crop fields
