@@ -83,8 +83,10 @@ def execute_hybrid(
 
     get_embedder(store, embedder_name)  # validates the embedder exists
 
-    # pure keyword
-    if ratio == 0.0 and query.get("vector") is None:
+    # pure keyword: with ratio 0 the semantic side never runs, so
+    # semanticHitCount is ABSENT even when a vector was provided
+    # (reference hybrid.rs query_combination)
+    if ratio == 0.0:
         return keyword_search.execute(), None
 
     query_vector = resolve_query_vector(store, query)
@@ -100,10 +102,40 @@ def execute_hybrid(
     wanted = offset + limit
     semantic_hits = searcher.search(query_vector, wanted, universe)
 
+    distinct_field = (
+        keyword_search.distinct or store.settings.distinct_attribute
+    )
+
+    def distinct_exclude(docid: int, excluded: set) -> None:
+        """Expand `excluded` with every doc sharing a distinct value with
+        docid (reference distinct_single_docid re-applied in the hybrid
+        merge, hybrid.rs:178)."""
+        if distinct_field is None:
+            return
+        fid = store.fields_ids_map.id(distinct_field)
+        if fid is None:
+            return
+        for v in store.docid_facet_numbers.get((fid, docid), ()):
+            p = store.facet_number_docids.get(fid, {}).get(v)
+            if p is not None:
+                excluded.update(p)
+        for v, _ in store.docid_facet_strings.get((fid, docid), ()):
+            p = store.facet_string_docids.get(fid, {}).get(v)
+            if p is not None:
+                excluded.update(p)
+
     if ratio == 1.0:
         # pure semantic
-        docids = [d for d, _s in semantic_hits][offset : offset + limit]
         scores = {d: s for d, s in semantic_hits}
+        excluded: set = set()
+        docids = []
+        for d, _s in semantic_hits:
+            if d in excluded:
+                continue
+            excluded.add(d)
+            distinct_exclude(d, excluded)
+            docids.append(d)
+        docids = docids[offset : offset + limit]
         result = SearchResult(
             documents_ids=docids,
             candidates=universe,
@@ -148,6 +180,7 @@ def execute_hybrid(
         if docid in seen:
             continue
         seen.add(docid)
+        distinct_exclude(docid, seen)
         docids.append(docid)
         sources[docid] = source
         scores[docid] = raw

@@ -1012,8 +1012,18 @@ class FusedScorer:
                     continue
                 cost = 0
                 if dim == "typo":
-                    base = term.term_ids_len if term.term.ngram_words else 0
-                    cost = term.term.max_typo_cost() + base
+                    # the rule's max cost uses the term's typo BUDGET, not
+                    # its realized derivations: reference max_typo_cost
+                    # checks the (default-All) NTypoTermSubset, so a
+                    # 7-letter word contributes max 1 even when no 1-typo
+                    # word exists in the corpus (query_term/mod.rs:339 —
+                    # this feeds maxTypoCount and the global score)
+                    t = term.term
+                    budget = t.max_typo
+                    if budget == 0 and t.phrase is None and t.split_words is not None:
+                        budget = 1
+                    base = term.term_ids_len if t.ngram_words else 0
+                    cost = budget + base
                 elif dim == "proximity":
                     adjacent = False
                     if p != self.graph.root:
