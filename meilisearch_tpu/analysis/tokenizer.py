@@ -29,8 +29,10 @@ from enum import Enum
 from typing import Iterable, Optional, Sequence
 
 # Position gap introduced by a hard separator between two indexed words.
-# Reference: tokenize_document.rs:14 (`const MAX_DISTANCE: u32 = 8`).
-HARD_SEPARATOR_GAP = 8
+# Reference: tokenize_document.rs process_tokens — a word following a hard
+# separator advances the position by MAX_DISTANCE (proximity.rs:7, = 4)
+# instead of 1. (The QUERY side uses +8: parse_query.rs:119.)
+HARD_SEPARATOR_GAP = 4
 
 # The maximum byte length of an indexed word.
 # Reference: milli/src/lib.rs:146 (`MAX_WORD_LENGTH = 500/2`).

@@ -529,14 +529,23 @@ class Search:
         self, rules, cost_sorted, levels_sorted, ea_sorted, ranked, scorer
     ) -> dict:
         """Per-rule `_rankingScoreDetails` entries
-        (reference: score_details.rs ScoreDetails serialization)."""
+        (reference: score_details.rs:226 ScoreDetails::to_json_map)."""
         out: dict[int, dict] = {}
         max_cache: dict = {}
+        # attribute state: the legacy `attribute` criterion renders fid +
+        # position as ONE merged "attribute" entry; the split
+        # attributeRank/wordPosition criteria render separate entries
+        # (criterion.rs:76 AttributeState::from_criteria)
+        separated = any(
+            rr in ("attributeRank", "wordPosition")
+            for rr in self.store.settings.ranking_rules
+        )
         for i, docid in enumerate(ranked.tolist()):
             k = int(levels_sorted[i]) if len(levels_sorted) else 0
             details: dict = {}
             order_idx = 0
             gi = 0
+            fid_rank = None
             for rule in rules:
                 if rule[0] == "graph":
                     dim = rule[1]
@@ -554,6 +563,7 @@ class Search:
                             "maxMatchingWords": next_max,
                             "score": score,
                         }
+                        order_idx += 1
                     elif dim == "typo":
                         details["typo"] = {
                             "order": order_idx,
@@ -561,34 +571,67 @@ class Search:
                             "maxTypoCount": next_max - 1,
                             "score": score,
                         }
+                        order_idx += 1
                     elif dim == "proximity":
                         details["proximity"] = {"order": order_idx, "score": score}
+                        order_idx += 1
                     elif dim == "fid":
-                        details["attribute"] = {
-                            "order": order_idx,
-                            "attributeRankingOrderScore": score,
-                            "queryWordDistanceScore": score,
-                            "score": score,
-                        }
+                        if separated:
+                            details["attributeRank"] = {
+                                "order": order_idx,
+                                "score": score,
+                            }
+                        else:
+                            fid_rank = (rank, next_max)
+                            details["attribute"] = {
+                                "order": order_idx,
+                                "attributeRankingOrderScore": score,
+                            }
+                        order_idx += 1
                     elif dim == "position":
-                        details.setdefault(
-                            "attribute",
-                            {"order": order_idx, "score": score},
-                        )
-                        details["attribute"]["queryWordDistanceScore"] = score
+                        if separated:
+                            details["wordPosition"] = {
+                                "order": order_idx,
+                                "score": score,
+                            }
+                            order_idx += 1
+                        else:
+                            # merged into "attribute"; order already counted
+                            # by the fid entry (score_details.rs:288)
+                            attr = details.setdefault(
+                                "attribute", {"order": order_idx}
+                            )
+                            attr["queryWordDistanceScore"] = score
+                            attr["score"] = merge_ranks(
+                                ([fid_rank] if fid_rank else [])
+                                + [(rank, next_max)]
+                            )
                     elif dim == "exactness":
-                        details["exactness"] = {
-                            "order": order_idx,
-                            "matchingWords": max(rank - 1, 0),
-                            "maxMatchingWords": next_max - 1,
-                            "score": score,
-                        }
+                        # ExactWords folds into the "exactness" entry the
+                        # exact-attribute rule opened; matching word counts
+                        # are only shown for noExactMatch
+                        # (score_details.rs:330)
+                        ex = details.setdefault("exactness", {"order": order_idx})
+                        if ex.get("matchType", "noExactMatch") == "noExactMatch":
+                            ex.pop("score", None)
+                            ex["matchingWords"] = max(rank - 1, 0)
+                            ex["maxMatchingWords"] = next_max - 1
+                            ex["score"] = merge_ranks(
+                                [(1, 3), (rank, next_max)]
+                            )
                     gi += 1
-                    order_idx += 1
                 elif rule[0] == "exact_attribute" and ea_sorted is not None:
                     ea = int(ea_sorted[i])
-                    details["exactness"] = details.get("exactness", {})
-                    order_idx += 0  # folded into exactness in the API view
+                    match_type = {
+                        0: "exactMatch",
+                        1: "matchesStart",
+                    }.get(ea, "noExactMatch")
+                    details["exactness"] = {
+                        "order": order_idx,
+                        "matchType": match_type,
+                        "score": (3 - ea) / 3,
+                    }
+                    order_idx += 1
                 elif rule[0] == "sort_field":
                     field, asc = rule[1], rule[2]
                     key = f"{field}:{'asc' if asc else 'desc'}"

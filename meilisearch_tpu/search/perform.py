@@ -340,9 +340,7 @@ def _perform_search_locked(
     if scores_needed:
         for hit, docid in zip(hits, result.documents_ids):
             if query.get("showRankingScore"):
-                hit["_rankingScore"] = round(
-                    result.scores_by_docid.get(docid, 1.0), 10
-                )
+                hit["_rankingScore"] = result.scores_by_docid.get(docid, 1.0)
             if query.get("showRankingScoreDetails"):
                 hit["_rankingScoreDetails"] = result.details_by_docid.get(
                     docid, {}

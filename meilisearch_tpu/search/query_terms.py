@@ -88,18 +88,16 @@ class QueryTerm:
         return []
 
     def max_typo_cost(self) -> int:
-        """Reference: query_term/mod.rs:340 max_typo_cost — the highest typo
-        class that has content."""
+        """Reference: query_term/mod.rs:340 max_typo_cost — STRUCTURAL, not
+        realized: it checks the NTypoTermSubset selectors (All unless a rule
+        restricted them) and `allows_split_words()` (= no phrase), never the
+        computed derivation lists. A 0-typo plain word therefore still
+        contributes a class-1 slot for the split-words POSSIBILITY even when
+        no split exists in the corpus — this feeds maxTypoCount and the
+        global ranking score (pinned by tests/search/mod.rs test_score)."""
         if self.max_typo == 0:
-            return 1 if (self.phrase is None and self.split_words is not None) else 0
-        if self.max_typo == 1:
-            return 1 if self._class_nonempty(1) else 0
-        # max_typo == 2
-        if self._class_nonempty(2):
-            return 2
-        if self._class_nonempty(1):
-            return 1
-        return 0
+            return 0 if self.phrase is not None else 1
+        return self.max_typo
 
     def _class_nonempty(self, cls: int) -> bool:
         return bool(self.words_for_class(cls)) or bool(self.phrases_for_class(cls))

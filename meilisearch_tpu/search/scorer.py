@@ -988,6 +988,18 @@ class FusedScorer:
 
     # -- score normalization ---------------------------------------------------
 
+    def _node_resolves(self, node: QueryNode) -> bool:
+        """Whether the node's term matches ANY candidate in the universe —
+        i.e. whether it can sit on a good path of the words rule and so
+        survive into the bucket graphs of the downstream rules."""
+        key = ("resolves", node.node_id)
+        if key not in self._exact_mask_cache:
+            ns = self.node_states.get(node.node_id)
+            self._exact_mask_cache[key] = bool(ns) and any(
+                m.any() for m in ns.class_masks
+            )
+        return self._exact_mask_cache[key]
+
     def max_cost(self, dim: str, k: int) -> int:
         """Maximum path cost for one rule over the first-k-terms subgraph
         (reference: graph_based_ranking_rule.rs:144 next_max_cost — the
@@ -995,10 +1007,20 @@ class FusedScorer:
         key = ("maxcost", dim, k)
         if key in self._exact_mask_cache:
             return self._exact_mask_cache[key]
+        # Every rule after `words` computes its max on the graph the words
+        # rule handed down: QueryGraph::build_from_paths over the bucket's
+        # GOOD paths (graph_based_ranking_rule.rs:353). An alternative whose
+        # docids are empty in the universe is on no good path, so it never
+        # reaches downstream maxes — this is how ngram nodes (whose
+        # split-words derivation is excluded when it equals their own
+        # components, compute_derivations.rs:300) drop out of maxTypoCount.
+        # The words rule itself takes the FULL graph (max computed at
+        # start_iteration, before any dead-end removal).
         nodes = [
             n
             for n in self.graph.term_nodes()
-            if dim == "words" or n.located.end_term_id < k
+            if dim == "words"
+            or (n.located.end_term_id < k and self._node_resolves(n))
         ]
         order = sorted(nodes, key=lambda nd: (nd.located.start_term_id, nd.node_id))
         ids = {n.node_id for n in nodes}
@@ -1012,18 +1034,14 @@ class FusedScorer:
                     continue
                 cost = 0
                 if dim == "typo":
-                    # the rule's max cost uses the term's typo BUDGET, not
-                    # its realized derivations: reference max_typo_cost
-                    # checks the (default-All) NTypoTermSubset, so a
-                    # 7-letter word contributes max 1 even when no 1-typo
-                    # word exists in the corpus (query_term/mod.rs:339 —
-                    # this feeds maxTypoCount and the global score)
+                    # the rule's max cost uses the term's STRUCTURAL typo
+                    # budget (max_typo_cost checks the default-All subsets
+                    # and the split-words possibility, never realized
+                    # derivations), plus the ngram base cost
+                    # (typo/mod.rs:53 build_edges)
                     t = term.term
-                    budget = t.max_typo
-                    if budget == 0 and t.phrase is None and t.split_words is not None:
-                        budget = 1
                     base = term.term_ids_len if t.ngram_words else 0
-                    cost = budget + base
+                    cost = t.max_typo_cost() + base
                 elif dim == "proximity":
                     adjacent = False
                     if p != self.graph.root:
@@ -1053,10 +1071,10 @@ class FusedScorer:
                     best = cand
             if best is not None:
                 dp[node.node_id] = best
-        best_end = 0
-        for p in self.graph.nodes[self.graph.end].predecessors:
-            if p in dp and dp[p] > best_end:
-                best_end = dp[p]
+        # the k-truncated subgraph's paths end at the last KEPT node, which
+        # is not a predecessor of graph.end; since every edge cost is >= 0,
+        # the max full-path cost equals the max dp value over kept nodes
+        best_end = max(dp.values(), default=0)
         if dim == "words" and self.strategy != "all":
             best_end += max(self.graph.words_in_phrases_count() - 1, 0)
         self._exact_mask_cache[key] = best_end

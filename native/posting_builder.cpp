@@ -51,7 +51,7 @@ extern "C" int mstpu_tokenize(
 namespace {
 
 constexpr int32_t MAGIC = 0x4D535042;  // "MSPB"
-constexpr int HARD_GAP = 8;            // tokenizer HARD_SEPARATOR_GAP
+constexpr int HARD_GAP = 4;            // tokenizer HARD_SEPARATOR_GAP
 constexpr int MAX_POSITION = 1 << 16;  // milli lib.rs:148
 constexpr int MAX_COUNTED_WORDS = 30;  // milli lib.rs:151
 constexpr int MAX_DISTANCE = 4;        // milli proximity.rs:7

@@ -2,7 +2,7 @@
 //
 // Mirrors meilisearch_tpu/analysis/tokenizer.py (the charabia-equivalent
 // Latin pipeline): segmentation on non-alphanumeric runs, soft/hard
-// separator classification (hard separators insert a +8 position gap, the
+// separator classification (hard separators insert a +4 position gap, the
 // reference's tokenize_document.rs MAX_DISTANCE), Latin diacritic folding
 // and lowercasing.
 //
@@ -17,7 +17,7 @@
 
 namespace {
 
-constexpr int HARD_GAP = 8;
+constexpr int HARD_GAP = 4;
 
 inline bool is_hard_separator(uint32_t cp) {
     switch (cp) {

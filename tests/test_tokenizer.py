@@ -10,14 +10,15 @@ def test_basic_words():
 def test_hard_separator_gap():
     t = Tokenizer()
     words = t.indexed_words("the quick. brown fox")
-    # '.' is hard: +8 gap (reference tokenize_document.rs MAX_DISTANCE=8)
-    assert words == [("the", 0), ("quick", 1), ("brown", 9), ("fox", 10)]
+    # '.' is hard: the next word advances by MAX_DISTANCE=4 instead of 1
+    # (reference tokenize_document.rs process_tokens + proximity.rs:7)
+    assert words == [("the", 0), ("quick", 1), ("brown", 5), ("fox", 6)]
 
 
 def test_comma_is_hard():
     t = Tokenizer()
     words = t.indexed_words("the, quick")
-    assert words == [("the", 0), ("quick", 8)]
+    assert words == [("the", 0), ("quick", 4)]
 
 
 def test_normalization():
