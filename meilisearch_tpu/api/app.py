@@ -192,7 +192,13 @@ class App:
                 if route.method != req.method:
                     continue
                 req._route_pattern = route.pattern
-                req.params = m.groupdict()
+                # percent-decode each captured segment AFTER routing, like
+                # actix match_info (so an encoded `/` in a document id does
+                # not split the path)
+                req.params = {
+                    k: urllib.parse.unquote(v) if isinstance(v, str) else v
+                    for k, v in m.groupdict().items()
+                }
                 index_uid = req.params.get("index_uid")
                 auth_ctx = {}
                 if route.action != "public":
@@ -262,10 +268,13 @@ class TestClient:
         headers: Optional[dict] = None,
         raw_body: Optional[bytes] = None,
     ) -> Response:
-        parsed = urllib.parse.urlparse(path)
+        # split on `?` only: `#` is NOT a fragment delimiter in an HTTP
+        # request-target, it travels raw to the server (urlparse would
+        # silently drop `#...` and mis-route uids containing `#`)
+        raw_path, _, raw_query = path.partition("?")
         query = {
             k: v[0] if len(v) == 1 else v
-            for k, v in urllib.parse.parse_qs(parsed.query).items()
+            for k, v in urllib.parse.parse_qs(raw_query).items()
         }
         hdrs = dict(headers or {})
         if self.api_key and "authorization" not in {
@@ -274,7 +283,7 @@ class TestClient:
             hdrs["Authorization"] = f"Bearer {self.api_key}"
         req = Request(
             method=method,
-            path=parsed.path,
+            path=raw_path,
             query=query,
             body=body,
             headers=hdrs,

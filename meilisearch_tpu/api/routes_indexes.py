@@ -490,8 +490,12 @@ def register_index_routes(app):
     # -- settings ----------------------------------------------------------------
 
     def get_settings(app_, req):
+        from ..types.settings import embedders_api_view
+
         store = app_.scheduler.index(req.params["index_uid"])
-        return store.settings.to_json()
+        payload = store.settings.to_json()
+        payload["embedders"] = embedders_api_view(payload["embedders"])
+        return payload
 
     app.add("GET", "/indexes/{index_uid}/settings", "settings.get", get_settings)
 
@@ -513,9 +517,14 @@ def register_index_routes(app):
 
     def reset_settings(app_, req):
         uid = req.params["index_uid"]
-        body = {k: None for k in _SETTING_ROUTES}
+        body = {k: None for k in _SETTING_ROUTES.values()}
+        # a settings DELETE never creates the index: the task fails with
+        # index_not_found instead (reference:
+        # settings/get_settings.rs error_delete_settings_unexisting_index)
         task = app_.scheduler.register(
-            TaskType.SETTINGS_UPDATE, index_uid=uid, content={"settings": body}
+            TaskType.SETTINGS_UPDATE,
+            index_uid=uid,
+            content={"settings": body, "is_deletion": True},
         )
         return Response(202, json=task.summary())
 
@@ -548,6 +557,7 @@ _SETTING_ROUTES = {
     "facet-search": "facetSearch",
     "prefix-search": "prefixSearch",
     "chat": "chat",
+    "foreign-keys": "foreignKeys",
 }
 
 
@@ -558,6 +568,16 @@ def _register_sub_setting(app, route_name: str, json_key: str):
 
     def get_one(app_, req):
         store = app_.scheduler.index(req.params["index_uid"])
+        if json_key == "chat":
+            from ..types.settings import DEFAULT_CHAT_SETTINGS
+
+            return store.settings.chat or dict(DEFAULT_CHAT_SETTINGS)
+        if json_key == "foreignKeys":
+            return list(store.settings.foreign_keys)
+        if json_key == "embedders":
+            from ..types.settings import embedders_api_view
+
+            return embedders_api_view(store.settings.embedders)
         return store.settings.to_json().get(json_key)
 
     def put_one(app_, req):
@@ -574,7 +594,7 @@ def _register_sub_setting(app, route_name: str, json_key: str):
         task = app_.scheduler.register(
             TaskType.SETTINGS_UPDATE,
             index_uid=uid,
-            content={"settings": {json_key: None}},
+            content={"settings": {json_key: None}, "is_deletion": True},
         )
         return Response(202, json=task.summary())
 
@@ -607,7 +627,9 @@ def _validate_settings(body: dict):
             raise EngineError(
                 ErrorCode.INVALID_SETTINGS_RANKING_RULES,
                 f"Invalid value at `.rankingRules[{rr.index(rule)}]`: `{rule}`"
-                " is not a valid ranking rule.",
+                " ranking rule is invalid. Valid ranking rules are words,"
+                " typo, sort, proximity, attribute, exactness and custom"
+                " ranking rules.",
             )
     pp = body.get("proximityPrecision")
     if pp is not None and pp not in ("byWord", "byAttribute"):

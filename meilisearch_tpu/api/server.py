@@ -23,10 +23,11 @@ def make_handler(app: App, payload_limit: int | None = None):
         disable_nagle_algorithm = True
 
         def _dispatch(self, method: str):
-            parsed = urllib.parse.urlparse(self.path)
+            # split on `?` only — `#` travels raw in a request-target
+            raw_path, _, raw_query = self.path.partition("?")
             query = {
                 k: v[0] if len(v) == 1 else v
-                for k, v in urllib.parse.parse_qs(parsed.query).items()
+                for k, v in urllib.parse.parse_qs(raw_query).items()
             }
             length = int(self.headers.get("Content-Length") or 0)
             if payload_limit is not None and length > payload_limit:
@@ -64,7 +65,7 @@ def make_handler(app: App, payload_limit: int | None = None):
                     return
             req = Request(
                 method=method,
-                path=parsed.path,
+                path=raw_path,
                 query=query,
                 body=body,
                 headers={k.lower(): v for k, v in self.headers.items()},

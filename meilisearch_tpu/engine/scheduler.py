@@ -167,10 +167,12 @@ class IndexScheduler:
         if index_uid is not None and not VALID_INDEX_UID.match(index_uid):
             raise EngineError(
                 ErrorCode.INVALID_INDEX_UID,
+                # NB: the limit enforced is 400 bytes but the reference's
+                # message says 512 (index_uid.rs:58 vs :99) — match it
                 f"`{index_uid}` is not a valid index uid. Index uid can be an"
                 " integer or a string containing only alphanumeric characters,"
                 " hyphens (-) and underscores (_), and can not be more than"
-                " 400 bytes.",
+                " 512 bytes.",
             )
         # queue self-protection (reference lib.rs:809 NoSpaceLeftInTaskQueue):
         # past the limit only task deletions are accepted, so users can free
@@ -830,7 +832,12 @@ class IndexScheduler:
                     "deletedDocuments": deleted,
                 }
         elif t == TaskType.SETTINGS_UPDATE:
-            store = self._get_or_create_index(task.index_uid)
+            if content.get("is_deletion"):
+                # a settings reset/delete never creates the index
+                # (reference: error_delete_settings_unexisting_index fails)
+                store = self.index(task.index_uid)
+            else:
+                store = self._get_or_create_index(task.index_uid)
             patch = content.get("settings", {})
             with store._lock:  # readers never see a half-applied patch
                 changed = store.settings.apply_json(patch)
@@ -844,7 +851,13 @@ class IndexScheduler:
                 from ..vector.embedders import ensure_document_embeddings
 
                 ensure_document_embeddings(store)
-            task.details = dict(patch)
+            det = dict(patch)
+            det.pop("is_deletion", None)
+            if isinstance(det.get("embedders"), dict):
+                from ..types.settings import masked_embedders
+
+                det["embedders"] = masked_embedders(det["embedders"])
+            task.details = det
         elif t == TaskType.TASK_CANCELATION:
             query = content.get("query", "")
             filters = content.get("filters", {})

@@ -11,6 +11,69 @@ import copy
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
+# Reference: milli/src/prompt/mod.rs default document template.
+DEFAULT_DOCUMENT_TEMPLATE = (
+    "{% for field in fields %}"
+    "{% if field.is_searchable and field.value != nil %}"
+    "{{ field.name }}: {{ field.value }}\n"
+    "{% endif %}{% endfor %}"
+)
+
+# Reference: meilisearch-types/src/features.rs ChatCompletionSettings default
+# (the /settings/chat sub-route default payload).
+DEFAULT_CHAT_SETTINGS = {
+    "description": "",
+    "documentTemplate": DEFAULT_DOCUMENT_TEMPLATE,
+    "documentTemplateMaxBytes": 400,
+    "searchParameters": {},
+}
+
+
+def hide_secret(secret: str, offset: int = 0) -> str:
+    """Mask an API key for display (reference:
+    meilisearch-types/src/settings.rs:459 hide_secret): the number of leading
+    characters kept scales with the secret's length."""
+    if not isinstance(secret, str):
+        return secret
+    n = len(secret) - offset
+    if n < 0:
+        return secret
+    if n < 10:
+        return secret[:offset] + "XXX..."
+    if n < 20:
+        return secret[: offset + 2] + "XXXX..."
+    if n < 30:
+        return secret[: offset + 3] + "XXXXX..."
+    return secret[: offset + 5] + "XXXXXX..."
+
+
+def masked_embedders(embedders: dict) -> dict:
+    """Copy of an embedders settings map with apiKey secrets hidden
+    (reference: settings.rs:439 hide_secrets)."""
+    out = {}
+    for name, conf in (embedders or {}).items():
+        if isinstance(conf, dict) and isinstance(conf.get("apiKey"), str):
+            conf = {**conf, "apiKey": hide_secret(conf["apiKey"])}
+        out[name] = conf
+    return out
+
+
+def embedders_api_view(embedders: dict) -> dict:
+    """The embedders map as the settings routes render it: secrets hidden
+    and per-source defaults materialized (reference: the stored
+    EmbeddingSettings serialization, settings.rs + vector/settings.rs)."""
+    out = {}
+    for name, conf in masked_embedders(embedders).items():
+        if isinstance(conf, dict) and conf.get("source") != "userProvided":
+            conf = dict(conf)
+            conf.setdefault("documentTemplate", DEFAULT_DOCUMENT_TEMPLATE)
+            conf.setdefault("documentTemplateMaxBytes", 400)
+            if conf.get("source") == "rest":
+                conf.setdefault("headers", {})
+        out[name] = conf
+    return out
+
+
 DEFAULT_RANKING_RULES = [
     # Reference: milli/src/criterion.rs:121 default_criteria()
     "words",
@@ -96,6 +159,9 @@ class Settings:
     prefix_search: str = "indexingTime"  # indexingTime | disabled
     exact_attributes: list[str] = field(default_factory=list)
     chat: Optional[dict] = None
+    # sub-route-only setting (reference: settings.rs ALL_SETTINGS_NAMES
+    # includes foreign_keys; it is NOT part of the main /settings payload)
+    foreign_keys: list = field(default_factory=list)
 
     # ------------------------------------------------------------------
 
@@ -233,6 +299,7 @@ class Settings:
             "prefixSearch": "prefix_search",
             "exactAttributes": "exact_attributes",
             "chat": "chat",
+            "foreignKeys": "foreign_keys",
         }
         for key, attr in simple.items():
             if key in data:
