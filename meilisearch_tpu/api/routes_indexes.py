@@ -583,7 +583,7 @@ def _register_sub_setting(app, route_name: str, json_key: str):
     def put_one(app_, req):
         uid = req.params["index_uid"]
         body = {json_key: req.body}
-        _validate_settings(body)
+        _validate_settings(body, sub=True)
         task = app_.scheduler.register(
             TaskType.SETTINGS_UPDATE, index_uid=uid, content={"settings": body}
         )
@@ -605,7 +605,92 @@ def _register_sub_setting(app, route_name: str, json_key: str):
     app.add("DELETE", path, "settings.update", delete_one)
 
 
-def _validate_settings(body: dict):
+def _json_type_name(v) -> str:
+    if isinstance(v, bool):
+        return "a boolean"
+    if isinstance(v, str):
+        return "a string"
+    if isinstance(v, int):
+        return "an integer"
+    if isinstance(v, float):
+        return "a number"
+    if isinstance(v, list):
+        return "an array"
+    if isinstance(v, dict):
+        return "an object"
+    return "null"
+
+
+def _fmt_json(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _setting_type_error(loc: str, expected: str, value, code):
+    """deserr-style type error; `loc` empty for a sub-route's top value
+    (reference settings/errors.rs: 'Invalid value type: expected ...')."""
+    at = f" at `{loc}`" if loc else ""
+    raise EngineError(
+        code,
+        f"Invalid value type{at}: expected {expected}, but found"
+        f" {_json_type_name(value)}: `{_fmt_json(value)}`",
+    )
+
+
+# per-setting deserr error codes (reference meilisearch-types/src/settings.rs
+# deserr(error = DeserrJsonError<InvalidSettings...>) attributes)
+_SETTING_CODES = {
+    "displayedAttributes": ErrorCode.INVALID_SETTINGS_DISPLAYED_ATTRIBUTES,
+    "searchableAttributes": ErrorCode.INVALID_SETTINGS_SEARCHABLE_ATTRIBUTES,
+    "filterableAttributes": ErrorCode.INVALID_SETTINGS_FILTERABLE_ATTRIBUTES,
+    "sortableAttributes": ErrorCode.INVALID_SETTINGS_SORTABLE_ATTRIBUTES,
+    "rankingRules": ErrorCode.INVALID_SETTINGS_RANKING_RULES,
+    "stopWords": ErrorCode.INVALID_SETTINGS_STOP_WORDS,
+    "nonSeparatorTokens": ErrorCode.INVALID_SETTINGS_NON_SEPARATOR_TOKENS,
+    "separatorTokens": ErrorCode.INVALID_SETTINGS_SEPARATOR_TOKENS,
+    "dictionary": ErrorCode.INVALID_SETTINGS_DICTIONARY,
+    "synonyms": ErrorCode.INVALID_SETTINGS_SYNONYMS,
+    "distinctAttribute": ErrorCode.INVALID_SETTINGS_DISTINCT_ATTRIBUTE,
+    "proximityPrecision": ErrorCode.INVALID_SETTINGS_PROXIMITY_PRECISION,
+    "typoTolerance": ErrorCode.INVALID_SETTINGS_TYPO_TOLERANCE,
+    "faceting": ErrorCode.INVALID_SETTINGS_FACETING,
+    "pagination": ErrorCode.INVALID_SETTINGS_PAGINATION,
+    "searchCutoffMs": ErrorCode.INVALID_SETTINGS_SEARCH_CUTOFF_MS,
+    "localizedAttributes": ErrorCode.INVALID_SETTINGS_LOCALIZED_ATTRIBUTES,
+    "facetSearch": ErrorCode.INVALID_SETTINGS_FACET_SEARCH,
+    "prefixSearch": ErrorCode.INVALID_SETTINGS_PREFIX_SEARCH,
+    "embedders": ErrorCode.INVALID_SETTINGS_EMBEDDERS,
+}
+
+_ARRAY_SETTINGS = {
+    "displayedAttributes", "searchableAttributes", "filterableAttributes",
+    "sortableAttributes", "rankingRules", "stopWords", "nonSeparatorTokens",
+    "separatorTokens", "dictionary", "localizedAttributes", "foreignKeys",
+}
+_OBJECT_SETTINGS = {
+    "synonyms", "typoTolerance", "faceting", "pagination", "embedders",
+    "chat",
+}
+
+_TYPO_TOLERANCE_FIELDS = [
+    "enabled", "minWordSizeForTypos", "disableOnWords",
+    "disableOnAttributes", "disableOnNumbers",
+]
+
+
+def _check_positive_int(value, loc: str, code):
+    if value is None:
+        return
+    if isinstance(value, bool) or not isinstance(value, int) or value < 0:
+        _setting_type_error(loc, "a positive integer", value, code)
+
+
+def _validate_settings(body: dict, sub: bool = False):
+    """Route-layer settings validation (reference: the deserr derive on
+    Settings, settings/errors.rs pins these messages). `sub=True` means the
+    body came from a per-setting sub-route: the top-level value's location
+    is the payload root, so messages drop the `at .key` prefix."""
     known = set(_SETTING_ROUTES.values()) | {"exactAttributes"}
     for key in body:
         if key not in known:
@@ -614,36 +699,135 @@ def _validate_settings(body: dict):
                 f"Unknown field `{key}`: expected one of"
                 f" {', '.join(sorted(known))}",
             )
+
+    def loc_of(key, *nested):
+        parts = ([] if sub else [key]) + list(nested)
+        return "".join(f".{p}" for p in parts)
+
+    for key, value in body.items():
+        if value is None:
+            continue
+        code = _SETTING_CODES.get(key, ErrorCode.BAD_REQUEST)
+        if key in _ARRAY_SETTINGS and not isinstance(value, list):
+            _setting_type_error(loc_of(key), "an array", value, code)
+        if key in _OBJECT_SETTINGS and not isinstance(value, dict):
+            _setting_type_error(loc_of(key), "an object", value, code)
+        if key == "distinctAttribute" and not isinstance(value, str):
+            _setting_type_error(loc_of(key), "a string", value, code)
+        if key == "searchCutoffMs":
+            _check_positive_int(value, loc_of(key), code)
+        if key == "facetSearch" and not isinstance(value, bool):
+            _setting_type_error(loc_of(key), "a boolean", value, code)
+
     rr = body.get("rankingRules")
     if rr is not None:
         for rule in rr:
-            if rule in (
+            if isinstance(rule, str) and rule in (
                 "words", "typo", "proximity", "attribute", "attributeRank",
                 "wordPosition", "sort", "exactness",
             ):
                 continue
-            if ":" in rule and rule.rsplit(":", 1)[1] in ("asc", "desc"):
+            if (
+                isinstance(rule, str)
+                and ":" in rule
+                and rule.rsplit(":", 1)[1] in ("asc", "desc")
+            ):
                 continue
             raise EngineError(
                 ErrorCode.INVALID_SETTINGS_RANKING_RULES,
-                f"Invalid value at `.rankingRules[{rr.index(rule)}]`: `{rule}`"
+                f"Invalid value at `{loc_of('rankingRules')}"
+                f"[{rr.index(rule)}]`: `{rule}`"
                 " ranking rule is invalid. Valid ranking rules are words,"
                 " typo, sort, proximity, attribute, exactness and custom"
                 " ranking rules.",
             )
+        # reference: settings.rs validate_attribute_ranking_rules — the
+        # legacy `attribute` rule cannot be mixed with the split rules
+        if "attribute" in rr and (
+            "attributeRank" in rr or "wordPosition" in rr
+        ):
+            raise EngineError(
+                ErrorCode.INVALID_SETTINGS_RANKING_RULES,
+                "Mixed usage of the attribute, attributeRank, and"
+                " wordPosition ranking rules. You must either use the"
+                " attribute ranking rule alone or the attributeRank and"
+                " wordPosition ranking rules.",
+            )
+
+    tt = body.get("typoTolerance")
+    if isinstance(tt, dict):
+        code = _SETTING_CODES["typoTolerance"]
+        for field in tt:
+            if field not in _TYPO_TOLERANCE_FIELDS:
+                raise EngineError(
+                    code,
+                    f"Unknown field `{field}`: expected one of "
+                    + ", ".join(f"`{f}`" for f in _TYPO_TOLERANCE_FIELDS),
+                )
+        mws = tt.get("minWordSizeForTypos")
+        if mws is not None and not isinstance(mws, dict):
+            _setting_type_error(
+                loc_of("typoTolerance", "minWordSizeForTypos"),
+                "an object", mws, code,
+            )
+        if isinstance(mws, dict):
+            for f in ("oneTypo", "twoTypos"):
+                _check_positive_int(
+                    mws.get(f),
+                    loc_of("typoTolerance", "minWordSizeForTypos", f),
+                    code,
+                )
+        for f in ("enabled", "disableOnNumbers"):
+            if f in tt and tt[f] is not None and not isinstance(tt[f], bool):
+                _setting_type_error(
+                    loc_of("typoTolerance", f), "a boolean", tt[f], code
+                )
+        for f in ("disableOnWords", "disableOnAttributes"):
+            if f in tt and tt[f] is not None and not isinstance(tt[f], list):
+                _setting_type_error(
+                    loc_of("typoTolerance", f), "an array", tt[f], code
+                )
+
+    fc = body.get("faceting")
+    if isinstance(fc, dict):
+        code = _SETTING_CODES["faceting"]
+        _check_positive_int(
+            fc.get("maxValuesPerFacet"),
+            loc_of("faceting", "maxValuesPerFacet"), code,
+        )
+        sfv = fc.get("sortFacetValuesBy")
+        if sfv is not None and not isinstance(sfv, dict):
+            _setting_type_error(
+                loc_of("faceting", "sortFacetValuesBy"), "an object", sfv,
+                code,
+            )
+
+    pg = body.get("pagination")
+    if isinstance(pg, dict):
+        code = _SETTING_CODES["pagination"]
+        mth = pg.get("maxTotalHits")
+        _check_positive_int(mth, loc_of("pagination", "maxTotalHits"), code)
+        if mth == 0 and not isinstance(mth, bool):
+            raise EngineError(
+                code,
+                f"Invalid value at `{loc_of('pagination', 'maxTotalHits')}`:"
+                " a non-zero integer value lower than"
+                " `18446744073709551615` was expected, but found a zero",
+            )
+
     pp = body.get("proximityPrecision")
     if pp is not None and pp not in ("byWord", "byAttribute"):
         raise EngineError(
-            ErrorCode.BAD_REQUEST,
-            f"Unknown value `{pp}` at `.proximityPrecision`: expected one of"
-            " `byWord`, `byAttribute`.",
+            ErrorCode.INVALID_SETTINGS_PROXIMITY_PRECISION,
+            f"Unknown value `{pp}` at `{loc_of('proximityPrecision')}`:"
+            " expected one of `byWord`, `byAttribute`.",
         )
     ps = body.get("prefixSearch")
     if ps is not None and ps not in ("indexingTime", "disabled"):
         raise EngineError(
-            ErrorCode.BAD_REQUEST,
-            f"Unknown value `{ps}` at `.prefixSearch`: expected one of"
-            " `indexingTime`, `disabled`.",
+            ErrorCode.INVALID_SETTINGS_PREFIX_SEARCH,
+            f"Unknown value `{ps}` at `{loc_of('prefixSearch')}`: expected"
+            " one of `indexingTime`, `disabled`.",
         )
 
 

@@ -49,6 +49,37 @@ class ErrorCode(str, Enum):
     INVALID_SIMILAR_ID = "invalid_similar_id"
     INVALID_SETTINGS_RANKING_RULES = "invalid_settings_ranking_rules"
     INVALID_SETTINGS_TYPO_TOLERANCE = "invalid_settings_typo_tolerance"
+    INVALID_SETTINGS_DISPLAYED_ATTRIBUTES = (
+        "invalid_settings_displayed_attributes"
+    )
+    INVALID_SETTINGS_SEARCHABLE_ATTRIBUTES = (
+        "invalid_settings_searchable_attributes"
+    )
+    INVALID_SETTINGS_FILTERABLE_ATTRIBUTES = (
+        "invalid_settings_filterable_attributes"
+    )
+    INVALID_SETTINGS_SORTABLE_ATTRIBUTES = (
+        "invalid_settings_sortable_attributes"
+    )
+    INVALID_SETTINGS_STOP_WORDS = "invalid_settings_stop_words"
+    INVALID_SETTINGS_NON_SEPARATOR_TOKENS = (
+        "invalid_settings_non_separator_tokens"
+    )
+    INVALID_SETTINGS_SEPARATOR_TOKENS = "invalid_settings_separator_tokens"
+    INVALID_SETTINGS_DICTIONARY = "invalid_settings_dictionary"
+    INVALID_SETTINGS_SYNONYMS = "invalid_settings_synonyms"
+    INVALID_SETTINGS_DISTINCT_ATTRIBUTE = (
+        "invalid_settings_distinct_attribute"
+    )
+    INVALID_SETTINGS_PROXIMITY_PRECISION = (
+        "invalid_settings_proximity_precision"
+    )
+    INVALID_SETTINGS_FACETING = "invalid_settings_faceting"
+    INVALID_SETTINGS_PAGINATION = "invalid_settings_pagination"
+    INVALID_SETTINGS_SEARCH_CUTOFF_MS = "invalid_settings_search_cutoff_ms"
+    INVALID_SETTINGS_FACET_SEARCH = "invalid_settings_facet_search"
+    INVALID_SETTINGS_PREFIX_SEARCH = "invalid_settings_prefix_search"
+    INVALID_SETTINGS_EMBEDDERS = "invalid_settings_embedders"
     INVALID_FACET_SEARCH_FACET_NAME = "invalid_facet_search_facet_name"
     FACET_SEARCH_DISABLED = "facet_search_disabled"
     INVALID_API_KEY = "invalid_api_key"
