@@ -51,7 +51,15 @@ class SearchBatcher:
     while the core handles HTTP. Served-QPS is measured in both modes and
     the better one wins; probes repeat so load changes re-decide."""
 
-    WINDOW_S = 0.005  # pre-drain hold so a forming batch can fill
+    WINDOW_S = 0.005  # minimum pre-drain hold so a forming batch can fill
+    # device-mode drains have a large fixed cost (~30 ms tunnel dispatch +
+    # selection passes that barely shrink with B: a B=8 execute measured
+    # 0.15-0.2 s vs 0.28 s at B=32 on the 1M bucket), so a fragmented
+    # drain wastes most of an execute. The hold scales with the measured
+    # drain duration — waiting ~15% of one drain to double its width is
+    # always a win — and is capped so small corpora stay snappy.
+    HOLD_FRACTION = 0.15
+    HOLD_MAX_S = 0.06
     # the still-arriving check spans a full second: at 1M-doc host QPS
     # (~10/s) a 0.25 s window flickers to zero arrivals between drains
     # and every flicker reset the controller to idle mid-measurement
@@ -90,6 +98,7 @@ class SearchBatcher:
         self._host_qps = 0.0
         self._commit_s = self.COMMIT_S
         self._last_winner = "host"
+        self._drain_s = 0.25  # EWMA of device-drain duration (seeds ~1M)
 
     def _qps(self, now: float, window: float = 1.0) -> float:
         return sum(1 for t in self._served if now - t <= window) / window
@@ -238,6 +247,14 @@ class SearchBatcher:
                     self._commit_s = min(self._commit_s * 2, 60.0)
                 else:
                     self._commit_s = self.COMMIT_S
+                # a decisive margin earns a long tenure immediately: each
+                # re-measurement serves MEASURE_S..MEASURE_CAP_S at the
+                # LOSER's rate (at 1M the host slice runs ~17 QPS vs ~150
+                # device), so re-deciding a 5x-win every 8 s taxes
+                # sustained throughput ~20%
+                lo, hi = sorted((qps, self._host_qps))
+                if lo > 0 and hi / lo >= 3.0:
+                    self._commit_s = 60.0
                 self._last_winner = winner
                 self.mode = winner
                 self._phase = "commit"
@@ -287,10 +304,19 @@ class SearchBatcher:
                 self._update_mode(now, recent, store_hint)
             # the pre-drain hold only pays off when a device execute will
             # amortize it; in host mode it is pure added latency (measured:
-            # it doubled serial p50)
-            hold = self.mode == "device" and len(self.queue) < MAX_BATCH
-            if hold:
-                _time.sleep(self.WINDOW_S)  # let the batch fill
+            # it doubled serial p50). In device mode the hold is adaptive:
+            # keep waiting in small slices while the batch is still
+            # filling, up to HOLD_FRACTION of one measured drain (clients
+            # unblocked by the previous drain need a few ms of the shared
+            # core to resubmit; measured at 1M this turned B=4..15
+            # fragments into full 32-wide drains).
+            if self.mode == "device" and len(self.queue) < MAX_BATCH:
+                cap = min(self._drain_s * self.HOLD_FRACTION, self.HOLD_MAX_S)
+                deadline = _time.monotonic() + max(cap, self.WINDOW_S)
+                while _time.monotonic() < deadline:
+                    _time.sleep(self.WINDOW_S)
+                    if len(self.queue) >= MAX_BATCH:
+                        break
             with self.lock:
                 if not self.queue:
                     self.wake.clear()
@@ -308,12 +334,17 @@ class SearchBatcher:
                 by_store.setdefault(id(e.store), []).append(e)
             for entries in by_store.values():
                 try:
+                    device_mode = self.mode == "device"
+                    t_drain = _time.monotonic()
                     results = perform_search_many(
                         entries[0].store,
                         [e.body for e in entries],
                         entries[0].features,
-                        force_device=self.mode == "device",
+                        force_device=device_mode,
                     )
+                    if device_mode and len(entries) > 1:
+                        dt = _time.monotonic() - t_drain
+                        self._drain_s = 0.7 * self._drain_s + 0.3 * dt
                     for e, r in zip(entries, results):
                         e.result = r
                 except BaseException as err:  # noqa: BLE001 — relayed to callers

@@ -116,10 +116,12 @@ def test_device_wins_and_commit_tenure_doubles(monkeypatch):
     b._update_mode(now=now, recent=3, store=None)
     assert b._phase == "measure_device"
 
-    # device slice: 2 drains, 40 requests served (~30 QPS)
+    # device slice: 2 drains, 6 requests served (~4.6 QPS — a NON-decisive
+    # 1.5x win; a >= 3x margin takes the long-tenure fast path instead,
+    # covered by test_decisive_margin_earns_long_tenure)
     now += b.MEASURE_S + 0.1
-    b._drains += [20, 20]
-    b._served += [now] * 40
+    b._drains += [3, 3]
+    b._served += [now] * 6
     b._update_mode(now=now, recent=3, store=None)
     assert b._phase == "commit"
     assert b.mode == "device"
@@ -139,11 +141,37 @@ def test_device_wins_and_commit_tenure_doubles(monkeypatch):
     b._served += [now] * 20
     b._update_mode(now=now, recent=3, store=None)
     now += b.MEASURE_S + 0.1
-    b._drains += [20, 20]
-    b._served += [now] * 40
+    b._drains += [3, 3]
+    b._served += [now] * 6
     b._update_mode(now=now, recent=3, store=None)
     assert b.mode == "device"
     assert b._commit_s > first_tenure
+
+
+def test_decisive_margin_earns_long_tenure(monkeypatch):
+    """A >= 3x winner commits for the maximum tenure at once: every
+    re-measurement serves a slice at the loser's rate (at 1M docs the
+    host slice runs ~17 QPS vs ~150 device), so re-deciding a decisive
+    win every 8 s taxes sustained throughput ~20%."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    now = 100.0
+    b._update_mode(now=now, recent=3, store=None)
+    now += b.MEASURE_S + 0.1
+    b._drains += [2, 2]
+    b._served += [now] * 4
+    b._update_mode(now=now, recent=3, store=None)  # host ~3 QPS
+    now += 0.5
+    b._drains += [20]
+    b._served += [now] * 20
+    b._update_mode(now=now, recent=3, store=None)  # warm-up drain
+    now += b.MEASURE_S + 0.1
+    b._drains += [20, 20]
+    b._served += [now] * 40
+    b._update_mode(now=now, recent=3, store=None)  # device ~30 QPS
+    assert b._phase == "commit"
+    assert b.mode == "device"
+    assert b._commit_s == 60.0
 
 
 def test_host_baseline_from_trailing_window(monkeypatch):
