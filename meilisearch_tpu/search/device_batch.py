@@ -63,7 +63,7 @@ MAX_BATCH = 32
 # matches the query distribution — most queries are 1-3 terms and the
 # DP cost scales with T, and light drains ride a narrow batch instead
 # of padding to MAX_BATCH
-T_LADDER = (1, 2, 3, MAX_T)
+T_LADDER = (1, 2, 3, 4, MAX_T)
 B_LADDER = (8, MAX_BATCH)
 
 
