@@ -245,16 +245,18 @@ class SearchBatcher:
                 )
                 if winner == self._last_winner:
                     self._commit_s = min(self._commit_s * 2, 60.0)
+                    # a decisive margin earns max tenure immediately — but
+                    # only for a REPEATED winner: one noisy slice on a
+                    # fresh flip must not lock a possibly-wrong mode for a
+                    # full 60 s. Each re-measurement serves
+                    # MEASURE_S..MEASURE_CAP_S at the LOSER's rate (at 1M
+                    # the host slice runs ~17 QPS vs ~150 device), so
+                    # re-deciding a 5x-win every 8 s taxes throughput ~20%
+                    lo, hi = sorted((qps, self._host_qps))
+                    if lo > 0 and hi / lo >= 3.0:
+                        self._commit_s = 60.0
                 else:
                     self._commit_s = self.COMMIT_S
-                # a decisive margin earns a long tenure immediately: each
-                # re-measurement serves MEASURE_S..MEASURE_CAP_S at the
-                # LOSER's rate (at 1M the host slice runs ~17 QPS vs ~150
-                # device), so re-deciding a 5x-win every 8 s taxes
-                # sustained throughput ~20%
-                lo, hi = sorted((qps, self._host_qps))
-                if lo > 0 and hi / lo >= 3.0:
-                    self._commit_s = 60.0
                 self._last_winner = winner
                 self.mode = winner
                 self._phase = "commit"
@@ -286,6 +288,7 @@ class SearchBatcher:
         self._skip_first_drain = phase == "measure_device"
 
     def _run(self):
+        from ..search.device_batch import consume_device_exec_s
         from ..search.perform import perform_search_many
 
         while not self._stop:
@@ -313,10 +316,18 @@ class SearchBatcher:
             if self.mode == "device" and len(self.queue) < MAX_BATCH:
                 cap = min(self._drain_s * self.HOLD_FRACTION, self.HOLD_MAX_S)
                 deadline = _time.monotonic() + max(cap, self.WINDOW_S)
+                prev_len = len(self.queue)
                 while _time.monotonic() < deadline:
                     _time.sleep(self.WINDOW_S)
-                    if len(self.queue) >= MAX_BATCH:
+                    cur_len = len(self.queue)
+                    if cur_len >= MAX_BATCH:
                         break
+                    if cur_len <= prev_len:
+                        # batch stopped filling (closed-loop concurrency
+                        # below MAX_BATCH: every blocked client already
+                        # resubmitted) — holding longer is pure latency
+                        break
+                    prev_len = cur_len
             with self.lock:
                 if not self.queue:
                     self.wake.clear()
@@ -335,6 +346,7 @@ class SearchBatcher:
             for entries in by_store.values():
                 try:
                     device_mode = self.mode == "device"
+                    consume_device_exec_s()  # reset this thread's counter
                     t_drain = _time.monotonic()
                     results = perform_search_many(
                         entries[0].store,
@@ -342,7 +354,16 @@ class SearchBatcher:
                         entries[0].features,
                         force_device=device_mode,
                     )
-                    if device_mode and len(entries) > 1:
+                    # only feed the EWMA when a device execute actually
+                    # ran: force_device can still serve on the host (cold
+                    # kernels, device exception fallback, sort/distinct
+                    # re-runs), and a 32-query host drain at 1M docs takes
+                    # seconds — poison for the hold heuristic
+                    if (
+                        device_mode
+                        and len(entries) > 1
+                        and consume_device_exec_s() > 0.0
+                    ):
                         dt = _time.monotonic() - t_drain
                         self._drain_s = 0.7 * self._drain_s + 0.3 * dt
                     for e, r in zip(entries, results):

@@ -33,6 +33,8 @@ scorer, per query.
 from __future__ import annotations
 
 import os
+import threading as _threading
+import time as _time
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
@@ -83,12 +85,14 @@ MAX_PLANE_DOCS = 1 << 23  # beyond ~8M docs the dense planes go host-side
 
 
 def _pad_descriptor(d: "ChainDescriptor", T: int) -> "ChainDescriptor":
-    """Every batch pads to T = MAX_T: ONE compiled scoring program per
-    corpus-size bucket (a cold XLA compile costs 30-290 s over the tunnel —
-    variant count is a first-order serving cost). Padding appends
-    match-nothing terms whose only path is the skip edge, which shifts
-    every document's words-cost by the same constant — per-query ordering
-    and validity are unchanged (the DP forbids skipping ALL terms)."""
+    """Pad a descriptor up to the drain's selected ladder width T; compiled
+    variants are per (D, T, B) along T_LADDER x B_LADDER (the ~10 s Pallas
+    compile makes a small ladder affordable, vs the round-2 two-variant
+    discipline when a cold XLA monolith cost 30-290 s over the tunnel).
+    Padding appends match-nothing terms whose only path is the skip edge,
+    which shifts every document's words-cost by the same constant —
+    per-query ordering and validity are unchanged (the DP forbids skipping
+    ALL terms)."""
     if d.T == T:
         return d
     tp = max(T - 1, 1)
@@ -1197,6 +1201,19 @@ def _device_worthwhile(
 _MAX_BYTE_ROWS_PER_QUERY = MAX_T * 3 + (MAX_T - 1) * 3 + MAX_T + 1 + 1
 
 
+_exec_stats = _threading.local()
+
+
+def consume_device_exec_s() -> float:
+    """Return the device-execute wall time recorded on this thread since
+    the last call, and reset it. 0.0 means no device execute ran (pure
+    host serving or a fallback) — callers use this to keep device-drain
+    timing statistics honest (engine/batcher.py EWMA)."""
+    s = getattr(_exec_stats, "s", 0.0)
+    _exec_stats.s = 0.0
+    return s
+
+
 def search_many(
     store: IndexStore,
     searches: list[Search],
@@ -1210,8 +1227,16 @@ def search_many(
         if not chunk:
             return
         try:
+            t0 = _time.monotonic()
             batch_results = execute_device_batch(
                 store, [d for _i, d in chunk], T
+            )
+            # record device wall time for this thread's caller: the
+            # batcher's drain-duration EWMA must only see drains where a
+            # device execute actually ran (a 32-query HOST fallback at 1M
+            # docs takes seconds and would poison the hold heuristic)
+            _exec_stats.s = getattr(_exec_stats, "s", 0.0) + (
+                _time.monotonic() - t0
             )
         except Exception:
             if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":

@@ -149,26 +149,41 @@ def test_device_wins_and_commit_tenure_doubles(monkeypatch):
 
 
 def test_decisive_margin_earns_long_tenure(monkeypatch):
-    """A >= 3x winner commits for the maximum tenure at once: every
+    """A >= 3x winner that REPEATS commits for the maximum tenure: every
     re-measurement serves a slice at the loser's rate (at 1M docs the
     host slice runs ~17 QPS vs ~150 device), so re-deciding a decisive
-    win every 8 s taxes sustained throughput ~20%."""
+    win every 8 s taxes sustained throughput ~20%. The fast path is
+    gated on a repeated winner — one noisy slice on a fresh flip must
+    not lock a possibly-wrong mode for a full 60 s."""
     monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
     b = make_batcher([8] * 8)
-    now = 100.0
-    b._update_mode(now=now, recent=3, store=None)
-    now += b.MEASURE_S + 0.1
-    b._drains += [2, 2]
-    b._served += [now] * 4
-    b._update_mode(now=now, recent=3, store=None)  # host ~3 QPS
-    now += 0.5
-    b._drains += [20]
-    b._served += [now] * 20
-    b._update_mode(now=now, recent=3, store=None)  # warm-up drain
-    now += b.MEASURE_S + 0.1
-    b._drains += [20, 20]
-    b._served += [now] * 40
-    b._update_mode(now=now, recent=3, store=None)  # device ~30 QPS
+
+    def measure_cycle(now):
+        b._update_mode(now=now, recent=3, store=None)
+        now += b.MEASURE_S + 0.1
+        b._drains += [2, 2]
+        b._served += [now] * 4
+        b._update_mode(now=now, recent=3, store=None)  # host ~3 QPS
+        now += 0.5
+        b._drains += [20]
+        b._served += [now] * 20
+        b._update_mode(now=now, recent=3, store=None)  # warm-up drain
+        now += b.MEASURE_S + 0.1
+        b._drains += [20, 20]
+        b._served += [now] * 40
+        b._update_mode(now=now, recent=3, store=None)  # device ~30 QPS
+        return now
+
+    now = measure_cycle(100.0)
+    assert b._phase == "commit"
+    assert b.mode == "device"
+    # first decisive win is still a FLIP (fresh winner): base tenure only
+    assert b._commit_s == b.COMMIT_S
+
+    # commit expires; the same decisive winner repeats -> max tenure
+    now = b._phase_until + 0.1
+    b._update_mode(now=now, recent=3, store=None)  # commit -> idle
+    now = measure_cycle(now)
     assert b._phase == "commit"
     assert b.mode == "device"
     assert b._commit_s == 60.0
