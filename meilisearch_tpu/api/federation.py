@@ -46,6 +46,7 @@ def perform_multi_search(app, req) -> dict:
             app.auth.authenticate(req.auth_token, "search", query["indexUid"])
         # group per index so chain-compatible queries share device batches
         # (SURVEY §2.6 batched query execution)
+        from ..search.join import apply_foreign_filter, hydrate_response
         from ..search.perform import perform_search_many
 
         by_index: dict[str, list[int]] = {}
@@ -58,7 +59,10 @@ def perform_multi_search(app, req) -> dict:
                 {k: v for k, v in queries[i].items() if k != "indexUid"}
                 for i in idxs
             ]
+            for i, body in zip(idxs, bodies):
+                apply_foreign_filter(app.scheduler, store, body, qpos=i)
             for i, res in zip(idxs, perform_search_many(store, bodies)):
+                hydrate_response(app.scheduler, store, res)
                 results[i] = {"indexUid": index_uid, **res}
         return {"results": results}
 
@@ -161,7 +165,14 @@ def perform_multi_search(app, req) -> dict:
         try:
             hits = _proxy_search(remote_name, remote, federation, entries)
             for score, qi, hit in hits:
-                all_hits.append((score, qi, hit))
+                fed = hit.get("_federation") or {}
+                dedup_key = (
+                    fed.get("remote") or remote_name,
+                    fed.get("indexUid"),
+                    str(hit["id"]) if "id" in hit
+                    else json.dumps(hit, sort_keys=True, default=str),
+                )
+                all_hits.append((score, qi, dedup_key, hit))
         except EngineError:
             raise
         except Exception as err:
@@ -223,7 +234,10 @@ def perform_multi_search(app, req) -> dict:
 
         from ..search.executor import Search
         from ..search.filters import evaluate_filter
+        from ..search.join import apply_foreign_filter
 
+        query = dict(query)
+        apply_foreign_filter(app.scheduler, store, query, qpos=qi)
         filter_docids = evaluate_filter(store, query.get("filter"), as_array=True)
         search = Search(
             store,
@@ -255,27 +269,43 @@ def perform_multi_search(app, req) -> dict:
                 "queriesPosition": qi,
                 "weightedRankingScore": round(score, 10),
             }
-            all_hits.append((score, qi, hit))
+            # identity rides along explicitly: hits shaped by
+            # attributesToRetrieve may not carry `id`, and re-deriving
+            # identity from displayed fields is lossy (a json-dump prefix
+            # collapsed DISTINCT documents as duplicates)
+            all_hits.append((score, qi, (None, index_uid, ext), hit))
 
     # stable merge: score desc, then query position asc
     all_hits.sort(key=lambda x: (-x[0], x[1]))
-    # dedup (index, docid) keeping best score
+    # dedup (remote, index, docid) keeping best score
     deduped = []
     emitted = set()
-    for score, qi, hit in all_hits:
-        key = (hit["_federation"]["indexUid"], str(hit.get("id", id(hit))))
-        fkey = (
-            hit["_federation"]["indexUid"],
-            json.dumps(hit, sort_keys=True, default=str)[:64]
-            if "id" not in hit
-            else str(hit["id"]),
-        )
-        if fkey in emitted:
+    for score, qi, dedup_key, hit in all_hits:
+        if dedup_key in emitted:
             continue
-        emitted.add(fkey)
+        emitted.add(dedup_key)
         deduped.append(hit)
 
     page = deduped[offset : offset + limit]
+    # document-join hydration on the merged page (reference
+    # FederatedHydrationFormatter): group hits by source index, hydrate
+    # per that index's foreignKeys
+    if app.scheduler.runtime_features.get("foreignKeys"):
+        from ..search.join import hydrate_hits
+
+        by_src: dict[str, list[dict]] = {}
+        for hit in page:
+            fed = hit.get("_federation") or {}
+            uid = fed.get("indexUid")
+            if isinstance(uid, str) and not fed.get("remote"):
+                by_src.setdefault(uid, []).append(hit)
+        for uid, hits_of in by_src.items():
+            try:
+                src_store = app.scheduler.index(uid)
+            except EngineError:
+                continue
+            if src_store.settings.foreign_keys:
+                hydrate_hits(app.scheduler, src_store, hits_of)
     response: dict[str, Any] = {
         "hits": page,
         "processingTimeMs": int((time.perf_counter() - started) * 1000),

@@ -103,10 +103,12 @@ def register_index_routes(app):
 
     def search_post(app_, req):
         from ..engine.batcher import microbatch_enabled
+        from ..search.join import apply_foreign_filter, hydrate_response
 
         store = app_.scheduler.index(req.params["index_uid"])
         query = dict(req.body or {})
         _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
+        apply_foreign_filter(app_.scheduler, store, query)
         if microbatch_enabled() and query.get("personalize") is None:
             # ALL searches drain through the batcher: device-eligible
             # queries share grouped device executes, the rest run in the
@@ -114,20 +116,28 @@ def register_index_routes(app):
             # per drain. Sending only device-eligible bodies here (and
             # the rest through the per-core permit, capacity 2 on this
             # host) let the direct path bottleneck the mixed workload.
-            return app_.search_batcher.submit(store, query)
-        return perform_search(
-            store, query, personalization=app_.personalization
-        )
+            res = app_.search_batcher.submit(store, query)
+        else:
+            res = perform_search(
+                store, query, personalization=app_.personalization
+            )
+        hydrate_response(app_.scheduler, store, res)
+        return res
 
     app.add("POST", "/indexes/{index_uid}/search", "search", search_post)
 
     def search_get(app_, req):
+        from ..search.join import apply_foreign_filter, hydrate_response
+
         store = app_.scheduler.index(req.params["index_uid"])
         query = _query_params_to_search(req.query)
         _apply_tenant_rules(query, req.params.get("_auth"), store.uid)
-        return perform_search(
+        apply_foreign_filter(app_.scheduler, store, query)
+        res = perform_search(
             store, query, personalization=app_.personalization
         )
+        hydrate_response(app_.scheduler, store, res)
+        return res
 
     app.add("GET", "/indexes/{index_uid}/search", "search", search_get)
 
@@ -495,6 +505,10 @@ def register_index_routes(app):
         store = app_.scheduler.index(req.params["index_uid"])
         payload = store.settings.to_json()
         payload["embedders"] = embedders_api_view(payload["embedders"])
+        # feature-gated settings only show when their feature is on
+        # (reference settings.rs:739 check_foreign_keys_setting)
+        if app_.scheduler.runtime_features.get("foreignKeys"):
+            payload["foreignKeys"] = list(store.settings.foreign_keys)
         return payload
 
     app.add("GET", "/indexes/{index_uid}/settings", "settings.get", get_settings)
@@ -505,6 +519,16 @@ def register_index_routes(app):
         if not isinstance(body, dict):
             raise EngineError(
                 ErrorCode.BAD_REQUEST, "Invalid settings payload: expected an object."
+            )
+        if body.get("foreignKeys") is not None and not (
+            app_.scheduler.runtime_features.get("foreignKeys")
+        ):
+            from ..search.join import FOREIGN_KEYS_FEATURE_ERROR
+
+            raise EngineError(
+                ErrorCode.FEATURE_NOT_ENABLED,
+                "setting `foreignKeys` in the index settings"
+                f" {FOREIGN_KEYS_FEATURE_ERROR}",
             )
         _validate_settings(body)
         task = app_.scheduler.register(
@@ -583,6 +607,16 @@ def _register_sub_setting(app, route_name: str, json_key: str):
     def put_one(app_, req):
         uid = req.params["index_uid"]
         body = {json_key: req.body}
+        if json_key == "foreignKeys" and req.body is not None and not (
+            app_.scheduler.runtime_features.get("foreignKeys")
+        ):
+            from ..search.join import FOREIGN_KEYS_FEATURE_ERROR
+
+            raise EngineError(
+                ErrorCode.FEATURE_NOT_ENABLED,
+                "setting `foreignKeys` in the index settings"
+                f" {FOREIGN_KEYS_FEATURE_ERROR}",
+            )
         _validate_settings(body, sub=True)
         task = app_.scheduler.register(
             TaskType.SETTINGS_UPDATE, index_uid=uid, content={"settings": body}

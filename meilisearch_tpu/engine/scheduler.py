@@ -131,6 +131,9 @@ class IndexScheduler:
             "chatCompletions": False,
             "multimodal": False,
             "taskQueueCompactionRoute": False,
+            # document joins: `_foreign(..)` filters + result hydration
+            # (reference features.rs:25 foreign_keys)
+            "foreignKeys": False,
         }
         # reference shape: meilisearch-types/src/network.rs:13-24 —
         # {self, remotes, shards, leader, version}

@@ -60,6 +60,13 @@ class Cond:
     # 'EMPTY', 'CONTAINS', 'STARTS WITH', 'IN'
     value: Any = None
     value2: Any = None
+    # error-span carriage (reference filter-parser spans): 1-based
+    # (start, end-exclusive) columns of the field token, plus the display
+    # context string the span indexes into. Only set inside `_foreign(..)`
+    # subtrees and on rewritten IN conditions, where the reference pins
+    # span-bearing messages (parser.rs params_span.extra reset).
+    span: Optional[tuple] = None
+    ctx: Optional[str] = None
 
 
 @dataclass
@@ -100,6 +107,23 @@ class VectorExists:
     embedder: Optional[str]
 
 
+@dataclass
+class Foreign:
+    """`_foreign(field, <condition>)` — a document-join filter: the inner
+    condition evaluates against the foreign index named by the source
+    index's `foreignKeys` setting for `field`, then maps back as an IN
+    over external ids (reference filter-parser lib.rs:335 Foreign +
+    index-scheduler/src/filter.rs filters_into_index_filters). Resolution
+    happens at the route layer (search/join.py) where other indexes are
+    reachable; an unresolved Foreign reaching evaluation means the
+    endpoint does not support document joins."""
+
+    field: str
+    inner: Any
+    field_span: Optional[tuple] = None  # 1-based (start, end-exclusive)
+    context: Optional[str] = None  # display text from `_foreign` to EOI
+
+
 class Empty:
     pass
 
@@ -115,6 +139,10 @@ class _Parser:
         self.text = text
         self.pos = 0
         self.depth = 0
+        # inside `_foreign(..)`: the display context for span-bearing
+        # errors (the reference resets the span's extra to the remainder
+        # starting at `_foreign`, parser.rs parse_foreign)
+        self.foreign_ctx: Optional[str] = None
 
     # -- low level -------------------------------------------------------
 
@@ -277,6 +305,10 @@ class _Parser:
                 if len(points) < 3:
                     self.error("The `_geoPolygon` filter expects at least three points.")
                 return GeoPolygon(points)
+            if self.peek_tag("_foreign"):
+                node = self.parse_foreign()
+                if node is not None:
+                    return node
             if self.peek_tag("_geoDistance") or self.peek_tag("_geo ") or self.peek_tag("_geo="):
                 self.error(
                     "`_geo` is a reserved keyword and thus can't be used as a"
@@ -288,6 +320,52 @@ class _Parser:
             return self.parse_condition()
         finally:
             self.depth -= 1
+
+    def parse_foreign(self):
+        """`_foreign(field, <or-expr>)`. Returns None when `_foreign` is a
+        plain field name (keyword boundary: `_foreignkey = 1` is a normal
+        condition). Once `_foreign(` is committed the rest MUST parse
+        (reference parse_foreign map_cut ErrorKind::Foreign)."""
+        self.ws()
+        start = self.pos
+        if not self.eat_tag("_foreign"):
+            return None
+        self.ws()
+        if not self.peek_tag("("):
+            self.pos = start  # a field literally named `_foreign`
+            return None
+        outer_ctx = self.foreign_ctx
+        self.foreign_ctx = self.text[start:]
+        try:
+            self.eat_tag("(")
+
+            def fail():
+                raise FilterError(
+                    "Was expecting a field name and an condition inside"
+                    " `_foreign(..)` filter but instead found"
+                    f" `{self.text[self.pos:]}`.\n"
+                    f"{self.pos + 1}:{len(self.text) + 1} {self.foreign_ctx}"
+                )
+
+            self.ws()
+            fstart = self.pos
+            try:
+                field = self.parse_value()
+            except FilterError:
+                fail()
+            fend = self.pos
+            self.ws()
+            if not self.eat_tag(","):
+                fail()
+            inner = self.parse_or()
+            self.ws()
+            if not self.eat_tag(")"):
+                fail()
+            return Foreign(
+                field, inner, (fstart + 1, fend + 1), self.foreign_ctx
+            )
+        finally:
+            self.foreign_ctx = outer_ctx
 
     def _comma(self):
         self.ws()
@@ -307,7 +385,22 @@ class _Parser:
         return (lat, lng)
 
     def parse_condition(self):
+        self.ws()
+        fstart = self.pos
         field = self.parse_value()
+        fend = self.pos
+        node = self._parse_condition_body(field)
+        if self.foreign_ctx is not None:
+            # inside `_foreign(..)`: conditions carry the field token span
+            # so evaluation errors on the FOREIGN index render the
+            # reference's span line (document_join.rs inner-filter error)
+            tgt = node.inner if isinstance(node, Not) else node
+            if isinstance(tgt, Cond) and tgt.span is None:
+                tgt.span = (fstart + 1, fend + 1)
+                tgt.ctx = self.foreign_ctx
+        return node
+
+    def _parse_condition_body(self, field):
         self.ws()
 
         if field == "_vectors" or field.startswith("_vectors."):
@@ -411,11 +504,21 @@ class _Parser:
         return Not(Cond(field, "IN", values))
 
 
+_AST_NODES = (
+    Cond, Not, And, Or, GeoRadius, GeoBoundingBox, GeoPolygon,
+    VectorExists, Foreign, Empty,
+)
+
+
 def parse_filter(filter_input) -> Any:
     """Parse a filter — either the string DSL or the array form
-    (["a = b", ["c = d", "e = f"]] meaning AND of ORs)."""
+    (["a = b", ["c = d", "e = f"]] meaning AND of ORs). A pre-parsed AST
+    passes through unchanged (the route layer rewrites `_foreign(..)`
+    subtrees into IN conditions before perform_search re-parses)."""
     if filter_input is None:
         return None
+    if isinstance(filter_input, _AST_NODES):
+        return filter_input
     if isinstance(filter_input, str):
         return _Parser(filter_input).parse()
     if isinstance(filter_input, list):
@@ -467,7 +570,7 @@ class FilterEvaluator:
     def _fid(self, field: str) -> Optional[int]:
         return self.store.fields_ids_map.id(field)
 
-    def _check_filterable(self, field: str, op: str):
+    def _check_filterable(self, field: str, op: str, span_ctx=None):
         settings = self.store.settings
         feats = settings.filter_features_for(field)
         if not feats:
@@ -484,6 +587,11 @@ class FilterEvaluator:
                     " filterable. This index does not have configured filterable"
                     " attributes."
                 )
+            if span_ctx is not None:
+                # conditions from `_foreign(..)` subtrees (or rewritten IN
+                # conditions) carry the reference's span line
+                (s, e), ctx = span_ctx
+                msg += f"\n{s}:{e} {ctx}"
             raise EngineError(self.code, msg)
         if op in (">", ">=", "<", "<=", "TO") and not feats["filter"].get(
             "comparison", True
@@ -586,6 +694,16 @@ class FilterEvaluator:
             return to_array(out)
         if isinstance(ast, Cond):
             return self._eval_cond(ast, all_docs)
+        if isinstance(ast, Foreign):
+            # document-join filters resolve at the route layer
+            # (search/join.py); an unresolved node means this endpoint
+            # does not support them (reference filter.rs
+            # unsupported_foreign_filter_error)
+            raise EngineError(
+                self.code,
+                "Filter condition `_foreign` is not supported for this"
+                " endpoint.",
+            )
         raise AssertionError(ast)
 
     def _eval_shard(self, cond: Cond, all_docs) -> "np.ndarray":
@@ -646,7 +764,11 @@ class FilterEvaluator:
             # evaluate_shard_operator; SHARD_FIELD bypasses the
             # filterable-attribute check at :57)
             return self._eval_shard(cond, all_docs)
-        self._check_filterable(cond.field, cond.op)
+        self._check_filterable(
+            cond.field,
+            cond.op,
+            span_ctx=(cond.span, cond.ctx) if cond.span is not None else None,
+        )
         fid = self._fid(cond.field)
         if fid is None:
             return EMPTY
