@@ -70,6 +70,27 @@ def perform_multi_search(app, req) -> dict:
     started = time.perf_counter()
     limit = int(federation.get("limit", 20) or 20)
     offset = int(federation.get("offset", 0) or 0)
+    # performance details move to the federation level in federated
+    # search (reference performance_details.rs invalid_federated_search)
+    for qi, query in enumerate(queries):
+        if isinstance(query, dict) and "showPerformanceDetails" in query:
+            raise EngineError(
+                ErrorCode.INVALID_MULTI_SEARCH_QUERY_SHOW_PERFORMANCE_DETAILS,
+                f"Inside `.queries[{qi}]`: Using `.showPerformanceDetails`"
+                " is not allowed in federated queries.\n - Hint: remove"
+                " `showPerformanceDetails` from the query or remove"
+                " `federation` from the request",
+            )
+    show_perf = federation.get("showPerformanceDetails", False)
+    if not isinstance(show_perf, bool):
+        from ..search.perform import _fmt_json, _json_type_name
+
+        raise EngineError(
+            ErrorCode.INVALID_SEARCH_SHOW_PERFORMANCE_DETAILS,
+            "Invalid value type at `.federation.showPerformanceDetails`:"
+            " expected a boolean, but found"
+            f" {_json_type_name(show_perf)}: `{_fmt_json(show_perf)}`",
+        )
 
     all_hits: list[tuple[float, int, dict]] = []
     seen_pairs: dict[tuple[str, str], float] = {}
@@ -306,13 +327,20 @@ def perform_multi_search(app, req) -> dict:
                 continue
             if src_store.settings.foreign_keys:
                 hydrate_hits(app.scheduler, src_store, hits_of)
+    from ..search.perform import _fmt_duration, _uuid7
+
     response: dict[str, Any] = {
         "hits": page,
         "processingTimeMs": int((time.perf_counter() - started) * 1000),
         "limit": limit,
         "offset": offset,
         "estimatedTotalHits": len(deduped),
+        "requestUid": _uuid7(),
     }
+    if show_perf:
+        response["performanceDetails"] = {
+            "federation": _fmt_duration(time.perf_counter() - started),
+        }
     if remote_errors:
         response["remoteErrors"] = remote_errors
     if federation.get("facetsByIndex"):

@@ -9,6 +9,7 @@ Reference: crates/meilisearch/src/search/mod.rs —
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Optional
 
@@ -129,6 +130,10 @@ def _perform_search_locked(
             ErrorCode.INVALID_SEARCH_SHOW_RANKING_SCORE_DETAILS,
         ),
         ("retrieveVectors", ErrorCode.INVALID_SEARCH_RETRIEVE_VECTORS),
+        (
+            "showPerformanceDetails",
+            ErrorCode.INVALID_SEARCH_SHOW_PERFORMANCE_DETAILS,
+        ),
     ):
         fv = query.get(flag)
         if fv is not None and not isinstance(fv, bool):
@@ -262,6 +267,7 @@ def _perform_search_locked(
     if _collect_search:
         return search
 
+    t_exec = time.perf_counter()
     if _result_override is not None:
         result = _result_override
     elif hybrid is not None:
@@ -273,6 +279,7 @@ def _perform_search_locked(
     else:
         result = search.execute()
 
+    t_format = time.perf_counter()
     hits = build_hits(
         store, query, result.documents_ids, q, located_terms=result.query_terms
     )
@@ -304,11 +311,23 @@ def _perform_search_locked(
         if result.total_hits is not None
         else min(len(result.candidates), max_total_hits)
     )
+    t_done = time.perf_counter()
     response: dict[str, Any] = {
         "hits": hits,
         "query": q or "",
-        "processingTimeMs": int((time.perf_counter() - started) * 1000),
+        "processingTimeMs": int((t_done - started) * 1000),
+        # UUID v7 identifying this search request (reference
+        # search/mod.rs:1403 request_uid, always present)
+        "requestUid": _uuid7(),
     }
+    if query.get("showPerformanceDetails"):
+        # step-name -> duration map (reference performance_details from
+        # progress.accumulated_durations(); Rust's `{:.2?}` format)
+        response["performanceDetails"] = {
+            "prepare": _fmt_duration(t_exec - started),
+            "execute": _fmt_duration(t_format - t_exec),
+            "formatting": _fmt_duration(t_done - t_format),
+        }
     if is_finite:
         response["hitsPerPage"] = hits_per_page
         response["page"] = page
@@ -330,9 +349,14 @@ def _perform_search_locked(
             if result.candidates_mask is not None
             else result.candidates
         )
+        t_facets = time.perf_counter()
         dist, stats = facet_distribution(store, facets, facet_candidates)
         response["facetDistribution"] = dist
         response["facetStats"] = stats
+        if "performanceDetails" in response:
+            response["performanceDetails"]["facets"] = _fmt_duration(
+                time.perf_counter() - t_facets
+            )
 
     if semantic_hit_count is not None:
         response["semanticHitCount"] = semantic_hit_count
@@ -370,8 +394,33 @@ _KNOWN_SEARCH_PARAMS = {
     "filter", "sort", "distinct", "facets", "highlightPreTag",
     "highlightPostTag", "cropMarker", "matchingStrategy",
     "attributesToSearchOn", "rankingScoreThreshold", "locales",
-    "personalize", "federationOptions",
+    "personalize", "federationOptions", "showPerformanceDetails",
 }
+
+
+def _uuid7() -> str:
+    """RFC 9562 UUID v7 (reference Uuid::now_v7 per search request):
+    48-bit unix-ms timestamp | ver 7 | 12 rand | var 0b10 | 62 rand."""
+    import uuid as _uuid
+
+    ms = time.time_ns() // 1_000_000
+    ra = int.from_bytes(os.urandom(2), "big") & 0x0FFF
+    rb = int.from_bytes(os.urandom(8), "big") & ((1 << 62) - 1)
+    val = (ms << 80) | (0x7 << 76) | (ra << 64) | (0x2 << 62) | rb
+    return str(_uuid.UUID(int=val))
+
+
+def _fmt_duration(seconds: float) -> str:
+    """Rust `{:.2?}` Duration formatting: the largest fitting unit with
+    two decimals (performance-details strings match the reference's)."""
+    ns = seconds * 1e9
+    if ns < 1_000:
+        return f"{ns:.2f}ns"
+    if ns < 1_000_000:
+        return f"{ns / 1_000:.2f}µs"
+    if ns < 1_000_000_000:
+        return f"{ns / 1_000_000:.2f}ms"
+    return f"{seconds:.2f}s"
 
 _DEVICE_BATCH_SAFE_KEYS = {
     "q", "filter", "offset", "limit", "page", "hitsPerPage",

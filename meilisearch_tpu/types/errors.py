@@ -45,6 +45,12 @@ class ErrorCode(str, Enum):
         "invalid_search_show_ranking_score_details"
     )
     INVALID_SEARCH_RETRIEVE_VECTORS = "invalid_search_retrieve_vectors"
+    INVALID_SEARCH_SHOW_PERFORMANCE_DETAILS = (
+        "invalid_search_show_performance_details"
+    )
+    INVALID_MULTI_SEARCH_QUERY_SHOW_PERFORMANCE_DETAILS = (
+        "invalid_multi_search_query_show_performance_details"
+    )
     INVALID_SEARCH_RANKING_SCORE_THRESHOLD = "invalid_search_ranking_score_threshold"
     INVALID_SIMILAR_ID = "invalid_similar_id"
     INVALID_SETTINGS_RANKING_RULES = "invalid_settings_ranking_rules"
