@@ -753,7 +753,12 @@ def register_misc_routes(app):
             )
         redacted = dict(ws)
         if redacted.get("apiKey"):
-            redacted["apiKey"] = "XXX...XXX"
+            # reference features.rs hide_secret: keep a length-scaled prefix
+            secret = str(redacted["apiKey"])
+            n = len(secret)
+            keep = 0 if n < 10 else 2 if n < 20 else 3 if n < 30 else 5
+            xs = 3 if keep == 0 else keep + 2
+            redacted["apiKey"] = secret[:keep] + "X" * xs + "..."
         return redacted
 
     app.add("GET", "/chats/{workspace}/settings", "chatsSettings.get", get_chat_settings)
@@ -764,11 +769,15 @@ def register_misc_routes(app):
             app_.scheduler.chat_workspaces = {}
         body = req.body or {}
         source = body.get("source", "openAi")
-        if source not in ("openAi", "azureOpenAi", "mistral", "gemini", "vLlm"):
+        if source not in ("openAi", "azureOpenAi", "mistral", "vLlm"):
             raise EngineError(
                 ErrorCode.BAD_REQUEST,
-                f"Unknown value `{source}` at `.source`.",
+                f"Unknown value `{source}` at `.source`: expected one of"
+                " `openAi`, `azureOpenAi`, `mistral`, `vLlm`",
             )
+        from ..engine.chat import validate_workspace_settings
+
+        validate_workspace_settings(body)
         app_.scheduler.chat_workspaces[req.params["workspace"]] = body
         return body
 

@@ -23,6 +23,56 @@ DEFAULT_BASE_URLS = {
 }
 
 
+def validate_workspace_settings(body: dict) -> None:
+    """Reference parity: features.rs:84-95 ChatCompletionSettings::validate —
+    azureOpenAi needs baseUrl+deploymentId+apiVersion, vLlm needs baseUrl."""
+    source = body.get("source", "openAi")
+    if source == "azureOpenAi" and not (
+        body.get("baseUrl") and body.get("deploymentId") and body.get("apiVersion")
+    ):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            "azureOpenAi requires setting a valid `baseUrl`, `deploymentId`,"
+            " and `apiVersion`",
+        )
+    if source == "vLlm" and not body.get("baseUrl"):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST, "vLlm requires setting a valid `baseUrl`"
+        )
+
+
+def _llm_request(ws: dict, payload: dict):
+    """URL + headers per source (reference routes/chats/config.rs: the
+    AzureOpenAi arm builds async-openai's AzureConfig — deployment-scoped
+    path, `api-version` query param, `api-key` header; every other source
+    is OpenAI-compatible with a Bearer token)."""
+    import urllib.request
+
+    source = ws.get("source", "openAi")
+    base = (ws.get("baseUrl") or DEFAULT_BASE_URLS.get(source, "")).rstrip("/")
+    if not base:
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Chat workspace has no baseUrl and source `{source}` has no"
+            " default endpoint.",
+        )
+    headers = {"Content-Type": "application/json"}
+    if source == "azureOpenAi":
+        url = (
+            f"{base}/openai/deployments/{ws.get('deploymentId', '')}"
+            f"/chat/completions?api-version={ws.get('apiVersion', '')}"
+        )
+        if ws.get("apiKey"):
+            headers["api-key"] = ws["apiKey"]
+    else:
+        url = f"{base}/chat/completions"
+        if ws.get("apiKey"):
+            headers["Authorization"] = f"Bearer {ws['apiKey']}"
+    return urllib.request.Request(
+        url, data=json.dumps(payload).encode("utf-8"), headers=headers
+    )
+
+
 def _build_search_tool(scheduler, prompts: dict) -> dict:
     index_uids = sorted(s.uid for s in scheduler.list_indexes())
     return {
@@ -60,26 +110,10 @@ def _build_search_tool(scheduler, prompts: dict) -> dict:
 
 def _call_llm(ws: dict, payload: dict) -> dict:
     import urllib.error
-    import urllib.request
 
     from ..utils.http_policy import guarded_urlopen
 
-    source = ws.get("source", "openAi")
-    base = (ws.get("baseUrl") or DEFAULT_BASE_URLS.get(source, "")).rstrip("/")
-    if not base:
-        raise EngineError(
-            ErrorCode.BAD_REQUEST,
-            f"Chat workspace has no baseUrl and source `{source}` has no"
-            " default endpoint.",
-        )
-    headers = {"Content-Type": "application/json"}
-    if ws.get("apiKey"):
-        headers["Authorization"] = f"Bearer {ws['apiKey']}"
-    req = urllib.request.Request(
-        f"{base}/chat/completions",
-        data=json.dumps(payload).encode("utf-8"),
-        headers=headers,
-    )
+    req = _llm_request(ws, payload)
     try:
         with guarded_urlopen(req, timeout=60) as resp:
             return json.loads(resp.read().decode("utf-8"))
@@ -167,20 +201,10 @@ def execute_chat_completion(scheduler, workspace: dict, body: dict) -> dict:
 def _call_llm_stream(ws: dict, payload: dict):
     """Yield parsed chunk dicts from the upstream SSE stream."""
     import urllib.error
-    import urllib.request
 
     from ..utils.http_policy import guarded_urlopen
 
-    source = ws.get("source", "openAi")
-    base = (ws.get("baseUrl") or DEFAULT_BASE_URLS.get(source, "")).rstrip("/")
-    headers = {"Content-Type": "application/json"}
-    if ws.get("apiKey"):
-        headers["Authorization"] = f"Bearer {ws['apiKey']}"
-    req = urllib.request.Request(
-        f"{base}/chat/completions",
-        data=json.dumps(payload).encode("utf-8"),
-        headers=headers,
-    )
+    req = _llm_request(ws, payload)
     try:
         with guarded_urlopen(req, timeout=120) as resp:
             for raw in resp:

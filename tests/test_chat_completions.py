@@ -224,3 +224,66 @@ def test_unreachable_llm_clean_error(app):
         body={"model": "m", "messages": []},
     )
     assert res.json["code"] == "remote_could_not_send_request"
+
+
+def test_azure_openai_validation_and_url(app, llm_server):
+    """azureOpenAi parity (reference features.rs:84-95, chats/config.rs:34-48):
+    settings validation requires baseUrl+deploymentId+apiVersion; requests go
+    to the deployment-scoped path with api-version + api-key header."""
+    client = TestClient(app)
+    r = client.put(
+        "/chats/az/settings",
+        body={"source": "azureOpenAi", "baseUrl": llm_server},
+    )
+    assert r.status == 400
+    assert (
+        r.json["message"]
+        == "azureOpenAi requires setting a valid `baseUrl`, `deploymentId`,"
+        " and `apiVersion`"
+    )
+
+    r = client.put("/chats/az/settings", body={"source": "vLlm"})
+    assert r.status == 400
+    assert r.json["message"] == "vLlm requires setting a valid `baseUrl`"
+
+    r = client.put(
+        "/chats/az/settings",
+        body={"source": "gemini", "baseUrl": llm_server},
+    )
+    assert r.status == 400
+    assert "expected one of `openAi`, `azureOpenAi`, `mistral`, `vLlm`" in r.json["message"]
+
+    r = client.put(
+        "/chats/az/settings",
+        body={
+            "source": "azureOpenAi",
+            "baseUrl": llm_server,
+            "deploymentId": "gpt4-deploy",
+            "apiVersion": "2024-02-01",
+            "apiKey": "azure-secret-key-0123456789",
+        },
+    )
+    assert r.status == 200
+
+    # the deployment URL scheme: the fake LLM records the path it was hit on
+    class _PathRecorder(_FakeLLM):
+        paths: list = []
+
+        def do_POST(self):
+            _PathRecorder.paths.append(self.path)
+            _FakeLLM.do_POST(self)
+
+    from meilisearch_tpu.engine.chat import _llm_request
+
+    ws = app.scheduler.chat_workspaces["az"]
+    req = _llm_request(ws, {"model": "gpt-4o", "messages": []})
+    assert req.full_url == (
+        f"{llm_server}/openai/deployments/gpt4-deploy/chat/completions"
+        "?api-version=2024-02-01"
+    )
+    assert req.headers["Api-key"] == "azure-secret-key-0123456789"
+    assert "Authorization" not in req.headers
+
+    # secret masking follows the reference's length-scaled prefixes
+    r = client.get("/chats/az/settings")
+    assert r.json["apiKey"] == "azuXXXXX..."
