@@ -90,6 +90,13 @@ class Search:
     # exhaustive totals shrink)
     ranking_score_threshold: Optional[float] = None
     cutoff_ms: Optional[int] = None
+    # test-only hook mirroring the reference's
+    # `Deadline::never().with_stop_after(n)` (lib.rs:203,211): run the
+    # bucket-sort loop emulation and stop after n `exceeded()` calls,
+    # yielding the reference's mid-flight degraded semantics (which rules
+    # report Skipped at a partial budget, and the partial ordering).
+    # Pinned by tests/golden/test_cutoff.py against cutoff.rs snapshots.
+    stop_after: Optional[int] = None
     # requested facet fields (perform layer); the host executor ignores
     # this (facet distribution reads result.candidates), but the device
     # batch uses it to fetch the full candidate bitmap for those queries
@@ -347,7 +354,12 @@ class Search:
             cost = np.zeros((0, len(candidates)), dtype=np.int64)
 
         sortable = all(r[0] in ("graph", "exact_attribute") for r in rules)
-        if packed_key is not None and sortable and not degraded:
+        if (
+            packed_key is not None
+            and sortable
+            and not degraded
+            and self.stop_after is None
+        ):
             return self._finish_packed(
                 rules, graph, graph_dims, scorer, packed_key, candidates,
                 degraded,
@@ -365,11 +377,15 @@ class Search:
         else:
             ea_levels = np.full(len(candidates), n_term_ids, dtype=np.int64)
 
-        # assemble full key matrix in rule order
+        # assemble full key matrix in rule order; rule_spans maps each
+        # rule to its contiguous slice of key rows (the stop_after walk
+        # groups buckets per RULE, not per row)
         keys: list[np.ndarray] = []
+        rule_spans: list[tuple[int, int]] = []
         ea_row = None
         gi = 0
         for rule in rules:
+            start = len(keys)
             if rule[0] == "graph":
                 keys.append(cost[gi].astype(np.float64))
                 gi += 1
@@ -378,12 +394,27 @@ class Search:
                 keys.append(ea_row)
             else:
                 keys.extend(self._rule_key_rows(rule, candidates, graph))
+            rule_spans.append((start, len(keys)))
 
         # docs with no valid interpretation are dropped (defensive; the
         # universe resolution should exclude them already)
         valid = np.ones(len(candidates), dtype=bool)
         if graph_dims:
             valid = cost[0] < INF
+
+        if self.stop_after is not None and not degraded:
+            return self._execute_stop_after(
+                rules,
+                rule_spans,
+                keys,
+                candidates,
+                valid,
+                cost,
+                ea_levels,
+                ea_row,
+                scorer,
+                graph,
+            )
 
         order = _lexsort_rows([k[valid] for k in keys], candidates[valid])
         ranked = candidates[valid][order]
@@ -430,6 +461,160 @@ class Search:
                     d: {"skipped": {"order": 0}}
                     for d in result.documents_ids
                 }
+        return result
+
+    def _execute_stop_after(
+        self,
+        rules,
+        rule_spans,
+        keys,
+        candidates,
+        valid,
+        cost,
+        ea_levels,
+        ea_row,
+        scorer,
+        graph,
+    ) -> SearchResult:
+        """Reference-exact emulation of the bucket_sort loop under
+        `Deadline::never().with_stop_after(n)` (bucket_sort.rs:193-265,
+        lib.rs:203-219): `exceeded()` is called once per loop pass over a
+        non-empty sub-universe and trips on the (n+1)-th call; the
+        empty-universe backtrack does not consume a call; on tripping,
+        every level from the current rule up to rule 0 emits its
+        remaining universe as a bucket with `Skipped` appended to the
+        score prefix (graph rules are always Pending in non-blocking
+        mode — resolve_query_graph ignores the deadline internally).
+        Runs the Detailed scoring strategy, as the reference cutoff.rs
+        suite does. Pinned by tests/golden/test_cutoff.py."""
+        cand_v = candidates[valid]
+        rows = [k[valid] for k in keys]
+        n_rules = len(rules)
+        window = self.offset + self.limit
+        stop_after = int(self.stop_after)
+
+        calls = 0
+
+        def exceeded() -> bool:
+            nonlocal calls
+            calls += 1
+            return calls > stop_after
+
+        def rule_bucket(ri: int, U: np.ndarray):
+            """Split U (ascending positions) into the bucket achieving the
+            lexicographic minimum of rule ri's key rows, and the rest."""
+            sel = U
+            for r in range(*rule_spans[ri]):
+                row = rows[r][sel]
+                sel = sel[row == row.min()]
+            rest = U[~np.isin(U, sel, assume_unique=True)]
+            return sel, rest
+
+        universes: list = [None] * max(n_rules, 1)
+        universes[0] = np.arange(len(cand_v))
+        cur = 0
+        # (position, depth, skipped): depth = number of rules whose score
+        # applies to this doc; skipped = a Skipped entry follows
+        out: list[tuple[int, int, bool]] = []
+        degraded = False
+
+        while len(out) < window:
+            U = universes[cur]
+            if U is None or len(U) == 0:
+                universes[cur] = None
+                if cur == 0:
+                    break
+                cur -= 1
+                continue
+            if exceeded():
+                degraded = True
+                while True:
+                    U = universes[cur]
+                    if U is not None and len(U):
+                        for p in U.tolist():
+                            if len(out) < window:
+                                out.append((p, cur, True))
+                    universes[cur] = None
+                    if cur == 0:
+                        break
+                    cur -= 1
+                break
+            bucket, rest = rule_bucket(cur, U)
+            universes[cur] = rest
+            if cur == n_rules - 1:
+                for p in bucket.tolist():
+                    if len(out) < window:
+                        out.append((p, n_rules, False))
+            else:
+                cur += 1
+                universes[cur] = bucket
+
+        pos = np.array([p for p, _d, _s in out], dtype=np.int64)
+        ranked = cand_v[pos] if len(pos) else cand_v[:0]
+        self._located_terms = [n.located for n in graph.term_nodes()]
+
+        cost_sorted = cost[:, valid][:, pos] if cost is not None else None
+        levels_sorted = ea_levels[valid][pos]
+        ea_sorted = ea_row[valid][pos] if ea_row is not None else None
+
+        scores_by_docid: dict = {}
+        details_by_docid: dict = {}
+        if self.compute_scores and len(ranked):
+            max_cache: dict = {}
+            for i, (_p, depth, skipped) in enumerate(out):
+                docid = int(ranked[i])
+                k = int(levels_sorted[i]) if len(levels_sorted) else 0
+                ranks: list[tuple[int, int]] = []
+                gi = 0
+                for rule in rules[:depth]:
+                    if rule[0] == "graph":
+                        dim = rule[1]
+                        ckey = (dim, k)
+                        if ckey not in max_cache:
+                            max_cache[ckey] = (
+                                scorer.max_cost(dim, k) if scorer else 0
+                            )
+                        next_max = max_cache[ckey] + 1
+                        costv = int(cost_sorted[gi, i])
+                        rank = min(max(next_max - costv, 1), next_max)
+                        ranks.append((rank, next_max))
+                        gi += 1
+                    elif rule[0] == "exact_attribute" and ea_sorted is not None:
+                        ranks.append((3 - int(ea_sorted[i]), 3))
+                if skipped:
+                    # ScoreDetails::Skipped => Rank { rank: 0, max_rank: 1 }
+                    # (score_details.rs:122)
+                    ranks.append((0, 1))
+                scores_by_docid[docid] = merge_ranks(ranks)
+            if self.compute_score_details:
+                by_depth: dict[tuple[int, bool], list[int]] = {}
+                for i, (_p, depth, skipped) in enumerate(out):
+                    by_depth.setdefault((depth, skipped), []).append(i)
+                for (depth, skipped), idxs in by_depth.items():
+                    ii = np.array(idxs, dtype=np.int64)
+                    det = self._compute_score_details(
+                        rules[:depth],
+                        cost_sorted[:, ii] if cost_sorted is not None else None,
+                        levels_sorted[ii],
+                        ea_sorted[ii] if ea_sorted is not None else None,
+                        ranked[ii],
+                        scorer,
+                    )
+                    for docid, d in det.items():
+                        if skipped:
+                            nxt = 1 + max(
+                                (e.get("order", 0) for e in d.values()),
+                                default=-1,
+                            )
+                            d["skipped"] = {"order": nxt}
+                        details_by_docid[docid] = d
+
+        result = self._paginate(ranked, candidates[valid], scores_by_docid)
+        result.degraded = degraded
+        result.details_by_docid = {
+            **details_by_docid,
+            **getattr(self, "_pin_details", {}),
+        }
         return result
 
     def _finish_packed(
