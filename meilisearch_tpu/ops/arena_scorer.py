@@ -237,10 +237,23 @@ def planes_chain_topk(
         and backend_kind(wait_s=30.0) not in (None, "", "cpu")
     )
     if use_pallas:
+        select = os.environ.get("MEILI_TPU_SELECT", "approx")
+        G = L = 0
+        if select == "approx":
+            from .approx_select import approx_rt, probe_layout
+
+            B = term_rows.shape[0]
+            layout = probe_layout(B, D, k, approx_rt())
+            if layout is None:
+                # no consistent PartialReduce layout on this backend
+                # (e.g. CPU decomposition) -> exact top_k selection
+                select = "topk2"
+            else:
+                G, L = layout
         return _planes_chain_topk_fused(
             byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
             universe, use_valid, adj, live_packed, mask_sel, T=T, D=D, k=k,
-            select=os.environ.get("MEILI_TPU_SELECT", "topk2"),
+            select=select, approx_g=G, approx_l=L,
         )
     return _planes_chain_topk_xla(
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
@@ -249,7 +262,8 @@ def planes_chain_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "D", "k", "interpret", "select")
+    jax.jit,
+    static_argnames=("T", "D", "k", "interpret", "select", "approx_g", "approx_l"),
 )
 def _planes_chain_topk_fused(
     byte_pool,
@@ -268,9 +282,13 @@ def _planes_chain_topk_fused(
     k: int,
     interpret: bool = False,
     select: str = "topk2",
+    approx_g: int = 0,
+    approx_l: int = 0,
 ):
-    """Pallas DP -> (B, D) keys -> selection (`select`: two top_k passes,
-    or one variadic sort). Same output contract as the XLA path."""
+    """Pallas DP -> (B, D) keys -> selection (`select`: peeled PartialReduce
+    passes with exactness validation [default on TPU], two top_k passes, or
+    one variadic sort). Same output contract as the XLA path plus a final
+    per-query `exact` column (0 => that query must re-run on the host)."""
     from .pallas_scorer import pallas_chain_keys
 
     B = term_rows.shape[0]
@@ -300,7 +318,15 @@ def _planes_chain_topk_fused(
 
     sel_key = jnp.where(use_sort[:, None], keys & ~low_mask, keys)
     qsort = (_unpack_lanes(byte_pool[sort_rows], D) + 128) & 255  # (B, D)
-    if select == "sort":
+    exact = jnp.ones((B,), jnp.int32)
+    if select == "approx":
+        from .approx_select import approx_rounds, approx_rt, select_approx
+
+        idx1, key1, idx2, key2, exact = select_approx(
+            keys, sel_key, qsort, k, approx_rt(), approx_rounds(),
+            approx_g, approx_l,
+        )
+    elif select == "sort":
         # ONE variadic sort replaces both top_k passes: the ascending
         # (sel_key, qsort, docid) order IS the exact selection plus the
         # kth-tie ordering — the tie class is a contiguous run whose
@@ -353,7 +379,7 @@ def _planes_chain_topk_fused(
     )
     out = jnp.concatenate(
         [idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2,
-         counts[:, None]],
+         counts[:, None], exact[:, None]],
         axis=1,
     )
     return out, candw, jnp.take(candw, mask_sel, axis=0)
@@ -377,8 +403,9 @@ def _planes_chain_topk_xla(
     k: int,
 ):
     """Returns (out, candwords):
-    out        (B, 4k+1) int32: [idx1 | key1 | idx2 | key2 | count]
+    out        (B, 4k+2) int32: [idx1 | key1 | idx2 | key2 | count | exact]
     candwords  (B, D/32) int32: packed full candidate bitmaps (device-kept)
+    (`exact` is always 1 here: top_k selection is exact by construction.)
     """
     tp = max(T - 1, 1)
     _, _, sh_fd, _, _, _, _ = _key_layout(T)
@@ -520,7 +547,9 @@ def _planes_chain_topk_xla(
     # ONE small output tensor: each host readback over the tunnel is a
     # ~27 ms round trip at ~25-70 MB/s, so the candidate lists and counts
     # ride together and the (B, D/32) bitmap stays on device
-    out = jnp.concatenate([idx1, key1, idx2, key2, counts[:, None]], axis=1)
+    exact = jnp.ones((counts.shape[0], 1), jnp.int32)
+    out = jnp.concatenate([idx1, key1, idx2, key2, counts[:, None], exact],
+                          axis=1)
     return out, cwords, jnp.take(cwords, mask_sel, axis=0)
 
 

@@ -983,6 +983,10 @@ def execute_device_batch(
     idx1, key1 = out[:, :k], out[:, k : 2 * k]
     idx2, key2 = out[:, 2 * k : 3 * k], out[:, 3 * k : 4 * k]
     counts = out[:, 4 * k]
+    # the approx (PartialReduce) selection validates its own exactness
+    # per query; a 0 means that query's candidate lists may be missing a
+    # below-kth doc — re-run it on the host scorer (ops/approx_select.py)
+    exact = out[:, 4 * k + 1] if out.shape[1] > 4 * k + 1 else None
 
     delta_live = (
         _delta_ids_array(store) if store.delta_docids else EMPTY
@@ -990,6 +994,9 @@ def execute_device_batch(
     results: list[Optional[SearchResult]] = []
     for i in range(n_real):
         d = real[i]
+        if exact is not None and not int(exact[i]):
+            results.append(None)
+            continue
         count = int(counts[i])
         d_ids, d_keys = EMPTY, None
         if len(delta_live):

@@ -71,7 +71,8 @@ def test_chats_feature_gated(client):
     )
     assert res.status == 200
     got = client.get("/chats/w1/settings").json
-    assert got["apiKey"] == "XXX...XXX"
+    # reference hide_secret (features.rs:66): keys under 10 chars mask whole
+    assert got["apiKey"] == "XXX..."
     assert client.get("/chats").json["total"] == 1
 
 
