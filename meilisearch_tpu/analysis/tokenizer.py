@@ -112,15 +112,44 @@ def _strip_marks(text: str) -> str:
     return "".join(c for c in decomposed if not unicodedata.combining(c))
 
 
-def normalize_word(text: str) -> str:
+def normalize_word(text: str, lang: Optional[str] = None) -> str:
     """charabia-equivalent normalization, script-aware: the Latin pipeline
     is compatibility decomposition + diacritic removal + lowercase; tokens
     containing CJK normalize with NFKC COMPOSITION instead — NFKD mark
     stripping would conflate Japanese voiced kana with their base forms
     (が decomposes to か + combining dakuten) and mangle Hangul syllables
-    (charabia ships per-script normalizers for the same reason)."""
+    (charabia ships per-script normalizers for the same reason).
+
+    `lang` selects charabia's per-language normalizers
+    (tests/search/locales.rs semantics):
+      cmn — traditional->simplified folding (zh_norm.py)
+      swe — keep å/ä/ö distinct (no deaccent; charabia's swedish
+            normalizer preserves them: 'trä' must NOT equal 'tra')
+      ell — fold final sigma ς onto σ before deaccenting"""
     if any(_script(ch) for ch in text):
-        return unicodedata.normalize("NFKC", text).lower()
+        out = unicodedata.normalize("NFKC", text).lower()
+        if lang == "cmn":
+            from .zh_norm import to_simplified
+
+            out = to_simplified(out)
+        return out
+    if lang == "swe":
+        kept = {"å", "ä", "ö"}
+        decomposed = unicodedata.normalize("NFKD", text.lower())
+        out = []
+        i = 0
+        while i < len(decomposed):
+            ch = decomposed[i]
+            j = i + 1
+            while j < len(decomposed) and unicodedata.combining(decomposed[j]):
+                j += 1
+            comp = unicodedata.normalize("NFC", decomposed[i:j])
+            out.append(comp if comp in kept else ch)
+            i = j
+        return "".join(out)
+    if lang == "ell":
+        # fold AFTER lowercasing: Python lower() maps a final Σ to ς
+        return _strip_marks(text).lower().replace("ς", "σ")
     return _strip_marks(text).lower()
 
 
@@ -224,6 +253,87 @@ def _kana_segments(run: str):
             yield (i, i + 2)
 
 
+def _bigram_segments(n: int):
+    """Overlapping character bigrams over a length-n run (Japanese kanji
+    under the jpn locale: the ja dictionary pipeline isn't available, and
+    bigrams — the Lucene CJKAnalyzer strategy — applied identically at
+    index and query time segment DIFFERENTLY from the zh jieba pipeline,
+    which is what the reference's locale suite pins: a doc indexed under
+    jpn must not match a cmn-tokenized phrase, locales.rs:429)."""
+    if n == 1:
+        yield (0, 1)
+        return
+    for i in range(n - 1):
+        yield (i, i + 2)
+
+
+# 2-letter -> canonical 3-letter locale codes for the languages whose
+# pipelines differ (reference meilisearch-types/src/locales.rs lists both)
+_LOCALE_ALIASES = {
+    "ja": "jpn", "zh": "cmn", "zho": "cmn", "sv": "swe", "de": "deu",
+    "el": "ell", "he": "heb", "ko": "kor", "th": "tha",
+}
+
+
+def canonical_locale(code: str) -> str:
+    return _LOCALE_ALIASES.get(code, code)
+
+
+# compact German morpheme vocabulary for compound decomposition
+# (charabia's german feature splits compounds so the parts are searchable;
+# locales.rs:1308 german_search pins 'organisation' matching
+# 'Wissensorganisation'). A part is valid when it IS a stem or extends a
+# stem by a short derivational suffix; a linking -s joins parts.
+_GERMAN_STEMS = frozenset(
+    """
+    inter kultur organisation wissen arbeit haus kranken wagen schaft
+    verein versicherung geschwindigkeit begrenzung donau dampf schiff
+    fahrt kapitän gesell unter über haupt stadt land bahn hof straße
+    strasse platz markt buch schule hoch zeit punkt spiel feld werk
+    zeug fahr flug wasser feuer wehr kraft stoff hand schuh sonne
+    blume licht schalter nacht tisch lampe kinder garten grund lage
+    stück ver aus ein auf mit nach vor zusammen bundes länder minister
+    präsident kanzler regierung politik wirtschaft technik informations
+    computer daten netz system analyse methode theorie praxis forschung
+    entwicklung produktion industrie energie umwelt schutz natur
+    """.split()
+)
+
+
+def _german_decompose(word: str) -> list[str]:
+    """Greedy recursive compound decomposition; [] when no split."""
+    def valid(part: str) -> bool:
+        if len(part) < 3:
+            return False
+        if part in _GERMAN_STEMS:
+            return True
+        return any(
+            len(s) >= 4 and part.startswith(s) and len(part) - len(s) <= 8
+            for s in _GERMAN_STEMS
+        )
+
+    def rec(w: str, depth: int) -> Optional[list[str]]:
+        if depth > 4:
+            return None
+        if valid(w):
+            return [w]
+        for i in range(min(len(w) - 3, 14), 2, -1):
+            left = w[:i]
+            ok = valid(left) or (
+                left.endswith("s") and valid(left[:-1])
+            )
+            if ok:
+                rest = rec(w[i:], depth + 1)
+                if rest:
+                    return [left] + rest
+        return None
+
+    if len(word) < 7:
+        return []
+    parts = rec(word, 0)
+    return parts if parts and len(parts) > 1 else []
+
+
 class Tokenizer:
     """Configurable tokenizer (stop words, custom separators, dictionary).
 
@@ -249,11 +359,41 @@ class Tokenizer:
             if dictionary
             else None
         )
-        self.locales = list(locales) if locales else None
+        self.locales = (
+            [canonical_locale(loc) for loc in locales] if locales else None
+        )
+
+    # -- language resolution ----------------------------------------------
+
+    def _han_lang(self, text: str) -> str:
+        """Language of Han runs for one tokenize() call: the locales
+        allow-list decides when unambiguous; otherwise detection over the
+        WHOLE text (kana present => Japanese — charabia/whatlang detect at
+        text granularity, which is why 進撃 inside 進撃の巨人 indexes as
+        Japanese while the bare query 進撃 detects as Chinese,
+        locales.rs:91 simple_search)."""
+        locs = self.locales or ()
+        has_j = "jpn" in locs
+        has_c = "cmn" in locs
+        if has_j and not has_c:
+            return "jpn"
+        if has_c and not has_j:
+            return "cmn"
+        return (
+            "jpn"
+            if any(_script(c) == _KANA for c in text)
+            else "cmn"
+        )
+
+    def _latin_lang(self) -> Optional[str]:
+        for loc in self.locales or ():
+            if loc in ("swe", "deu", "ell"):
+                return loc
+        return None
 
     # -- segmentation ------------------------------------------------------
 
-    def _segment(self, text: str):
+    def _segment(self, text: str, han_lang: str = "cmn"):
         """Yield (start, end, is_word) character spans."""
         if self.custom_separators is not None:
             yield from self._segment_custom(text)
@@ -271,9 +411,21 @@ class Tokenizer:
                 ):
                     j += 1
                 run = text[i:j]
-                if script == _HAN:
-                    # dictionary segmentation (charabia zh: jieba)
-                    for s, e in _han_segments(run):
+                if script == _HAN and han_lang == "jpn":
+                    # Japanese kanji: overlapping bigrams (no ja
+                    # dictionary in this environment; differs from the
+                    # zh pipeline, which locales.rs pins)
+                    for s, e in _bigram_segments(len(run)):
+                        yield (i + s, i + e, True)
+                elif script == _HAN:
+                    # dictionary segmentation (charabia zh: jieba) over
+                    # the SIMPLIFIED text: trad->simp is char-per-char so
+                    # offsets map 1:1, and segmenting post-normalization
+                    # keeps traditional queries aligned with simplified
+                    # documents (進撃 -> 进击 segments as one word)
+                    from .zh_norm import to_simplified
+
+                    for s, e in _han_segments(to_simplified(run)):
                         yield (i + s, i + e, True)
                 elif script == _KANA:
                     # overlapping bigrams (no ja dictionary available;
@@ -366,12 +518,18 @@ class Tokenizer:
 
     def tokenize(self, text: str) -> list[Token]:
         tokens: list[Token] = []
-        for start, end, is_word in self._segment(text):
+        han_lang = self._han_lang(text)
+        latin_lang = self._latin_lang()
+        for start, end, is_word in self._segment(text, han_lang):
             original = text[start:end]
             if is_word:
                 for ws, we in self._split_dictionary(start, end, text):
                     worig = text[ws:we]
-                    lemma = normalize_word(worig)
+                    is_han = _script(worig[0]) == _HAN if worig else False
+                    lemma = normalize_word(
+                        worig,
+                        han_lang if is_han else latin_lang,
+                    )
                     # Stop-word classification is case sensitive on the raw
                     # token (reference: stop_words.rs "they are case
                     # sensitive" — charabia classifies before normalizing).
@@ -380,6 +538,21 @@ class Tokenizer:
                         if worig in self.stop_words
                         else TokenKind.WORD
                     )
+                    if (
+                        latin_lang == "deu"
+                        and kind is TokenKind.WORD
+                        and not is_han
+                    ):
+                        parts = _german_decompose(lemma)
+                        if parts:
+                            # compound parts become consecutive tokens
+                            # sharing the original span (german_search:
+                            # 'organisation' finds Wissensorganisation)
+                            for part in parts:
+                                tokens.append(
+                                    Token(kind, part, worig, ws, we)
+                                )
+                            continue
                     tokens.append(Token(kind, lemma, worig, ws, we))
             else:
                 sep_kind = classify_separator(original)
@@ -400,7 +573,15 @@ class Tokenizer:
         stop_words.rs test_stop_words_not_indexed + the `is_word()` filter in
         process_tokens).
         """
-        if self.custom_separators is None and self.dictionary is None:
+        # the native fast path folds Latin accents and knows nothing of
+        # per-language pipelines: bypass it when a Latin-affecting locale
+        # is active (swe keeps å/ä/ö; deu splits compounds; ell folds
+        # sigma). CJK locales are safe — native rejects non-Latin text.
+        if (
+            self.custom_separators is None
+            and self.dictionary is None
+            and self._latin_lang() is None
+        ):
             from .native import native_indexed_words
 
             result = native_indexed_words(text, self.stop_words)

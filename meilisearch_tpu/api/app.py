@@ -180,9 +180,62 @@ class App:
             pass
         return res
 
+    # document-payload routes accept json/ndjson/csv and do their own
+    # content-type validation (routes_indexes.parse_documents_payload)
+    _DOCS_PAYLOAD_ROUTE = re.compile(r"^/indexes/[^/]+/documents$")
+
+    def _check_content_type(self, req: Request, path: str):
+        """Strict-JSON content-type enforcement on body-bearing routes
+        (reference: actix JSON extractor; tests/content_type.rs pins 415
+        with these exact messages). Payload-less requests (e.g. POST
+        /dumps) pass through; documents payload routes accept more types
+        and validate themselves."""
+        if req.method not in ("POST", "PUT", "PATCH"):
+            return None
+        has_payload = bool(req.raw_body) or req.body is not None
+        if not has_payload:
+            return None
+        if req.method in ("POST", "PUT") and self._DOCS_PAYLOAD_ROUTE.match(
+            path
+        ):
+            return None
+        ct = None
+        for k, v in req.headers.items():
+            if k.lower() == "content-type":
+                ct = v
+                break
+        if not ct:
+            return Response(
+                415,
+                {
+                    "message": "A Content-Type header is missing. Accepted"
+                    " values for the Content-Type header are:"
+                    " `application/json`",
+                    "code": "missing_content_type",
+                    "type": "invalid_request",
+                    "link": "https://docs.meilisearch.com/errors#missing_content_type",
+                },
+            )
+        if ct.split(";")[0].strip() != "application/json":
+            return Response(
+                415,
+                {
+                    "message": f"The Content-Type `{ct}` is invalid."
+                    " Accepted values for the Content-Type header are:"
+                    " `application/json`",
+                    "code": "invalid_content_type",
+                    "type": "invalid_request",
+                    "link": "https://docs.meilisearch.com/errors#invalid_content_type",
+                },
+            )
+        return None
+
     def _dispatch(self, req: Request) -> Response:
         try:
             path = req.path.rstrip("/") or "/"
+            ct_error = self._check_content_type(req, path)
+            if ct_error is not None:
+                return ct_error
             matched_path = False
             for route in self.routes:
                 m = route.regex.match(path)
@@ -281,6 +334,13 @@ class TestClient:
             k.lower() for k in hdrs
         }:
             hdrs["Authorization"] = f"Bearer {self.api_key}"
+        if body is not None and "content-type" not in {
+            k.lower() for k in hdrs
+        }:
+            # in-process tests ship parsed bodies; default the header the
+            # way a real JSON client would. raw_body callers control
+            # their own headers (content_type.rs enforcement).
+            hdrs["Content-Type"] = "application/json"
         req = Request(
             method=method,
             path=raw_path,

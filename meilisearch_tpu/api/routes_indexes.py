@@ -788,6 +788,24 @@ def _validate_settings(body: dict, sub: bool = False):
                 " wordPosition ranking rules.",
             )
 
+    la = body.get("localizedAttributes")
+    if isinstance(la, list):
+        from ..types.locales import validate_locales
+
+        for i, rule in enumerate(la):
+            if not isinstance(rule, dict):
+                raise EngineError(
+                    ErrorCode.INVALID_SETTINGS_LOCALIZED_ATTRIBUTES,
+                    f"Invalid value at `{loc_of('localizedAttributes')}[{i}]`:"
+                    " expected an object with `attributePatterns` and"
+                    " `locales` fields.",
+                )
+            validate_locales(
+                rule.get("locales"),
+                code=ErrorCode.INVALID_SETTINGS_LOCALIZED_ATTRIBUTES,
+                field=f"{loc_of('localizedAttributes')}[{i}].locales",
+            )
+
     tt = body.get("typoTolerance")
     if isinstance(tt, dict):
         code = _SETTING_CODES["typoTolerance"]

@@ -22,7 +22,7 @@ import threading
 import time as _time
 from typing import Any, Optional
 
-MAX_BATCH = 32
+from ..search.device_batch import MAX_BATCH
 
 
 class _Pending:

@@ -58,6 +58,9 @@ REINDEX_SETTINGS = {
     "exact_attributes",
     "proximity_precision",
     "ranking_rules",
+    # per-field locale rules change how fields tokenize (locales.rs
+    # settings_change: re-index with the new pipelines)
+    "localized_attributes",
 }
 
 

@@ -450,7 +450,23 @@ class IndexStore:
             # and replacements go through the per-document path (they need
             # the old content removed first)
             tok = self.make_tokenizer()
-            use_batch = tok.custom_separators is None and tok.dictionary is None
+            # localizedAttributes rules with Latin-affecting locales
+            # (swe/deu/ell) change how the native batch tokenizer would
+            # fold text — route those through the per-document Python
+            # path (CJK locale rules are safe: native rejects non-Latin
+            # text and falls back per document anyway)
+            from ..analysis.tokenizer import canonical_locale
+
+            latin_localized = any(
+                canonical_locale(loc) in ("swe", "deu", "ell")
+                for rule in self.settings.localized_attributes or ()
+                for loc in rule.get("locales", [])
+            )
+            use_batch = (
+                tok.custom_separators is None
+                and tok.dictionary is None
+                and not latin_localized
+            )
             pending: list[tuple[int, dict]] = []
             pending_ids: set[int] = set()
 
@@ -858,11 +874,32 @@ class IndexStore:
         self._field_cache[field_path] = (weight, faceted)
         return weight
 
+    def _tokenizer_for_field(self, field_path: str):
+        """Tokenizer honoring the field's `localizedAttributes` rule
+        (reference: tokenize_document.rs builds per-field allow-lists from
+        LocalizedAttributesRule; locales.rs force_locales_* pin that a
+        field forced to jpn indexes with the ja pipeline)."""
+        locs = self.settings.locales_for_field(field_path)
+        key = tuple(locs) if locs else None
+        # keyed on the RULES object: apply_json replaces the list, so a
+        # settings change invalidates the cached per-locale tokenizers
+        gen = id(self.settings.localized_attributes)
+        cache = getattr(self, "_field_tokenizer_cache", None)
+        if cache is None or cache.get("gen") != gen:
+            cache = {"gen": gen}
+            self._field_tokenizer_cache = cache
+        tok = cache.get(key)
+        if tok is None:
+            tok = self.make_tokenizer(list(key) if key else None)
+            cache[key] = tok
+        return tok
+
     def _tokenize_document(
         self, doc: dict
     ) -> dict[int, list[tuple[str, int]]]:
         """Return {fid: [(word, relative_position)...]} for searchable fields."""
         tokenizer = self.make_tokenizer()
+        localized = bool(self.settings.localized_attributes)
         per_fid: dict[int, list[tuple[str, int]]] = defaultdict(list)
         fid_positions: dict[int, int] = {}
         for field_path, value in self._iter_searchable_leaves(doc):
@@ -888,7 +925,12 @@ class IndexStore:
                 base += HARD_SEPARATOR_GAP
             if base >= MAX_POSITION_PER_ATTRIBUTE:
                 continue
-            words = tokenizer.indexed_words(text)
+            tok = (
+                self._tokenizer_for_field(field_path)
+                if localized
+                else tokenizer
+            )
+            words = tok.indexed_words(text)
             last = base
             for word, rel in words:
                 pos = base + rel

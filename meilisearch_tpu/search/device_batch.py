@@ -58,7 +58,10 @@ from .scorer import Resolver, position_cost_from_distance
 
 MAX_T = 6  # the packed int32 rank key needs T <= 6 (ops/arena_scorer.py)
 TOPK = 1024
-MAX_BATCH = 32
+# drain width cap: the Pallas grid is (B, word-blocks) so B scales
+# freely; wider drains amortize the fixed ~30 ms dispatch+readback over
+# more queries (MEILI_TPU_MAX_BATCH to experiment)
+MAX_BATCH = int(os.environ.get("MEILI_TPU_MAX_BATCH", "32"))
 # compiled scoring-program ladder per corpus bucket: the Pallas scorer
 # compiles in ~10 s per variant (vs 100-400 s for the round-2 XLA
 # monolith, which forced a two-variant discipline), so the ladder now
@@ -66,7 +69,9 @@ MAX_BATCH = 32
 # DP cost scales with T, and light drains ride a narrow batch instead
 # of padding to MAX_BATCH
 T_LADDER = (1, 2, 3, 4, MAX_T)
-B_LADDER = (8, MAX_BATCH)
+B_LADDER = tuple(
+    [b for b in (8, 32) if b < MAX_BATCH] + [MAX_BATCH]
+)
 
 
 def _ladder_B(n: int) -> int:

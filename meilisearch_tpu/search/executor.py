@@ -137,7 +137,15 @@ class Search:
         negative_phrases: list = []
         if has_query:
             ctx = DerivationContext(store, settings)
-            tokenizer = store.make_tokenizer(self.locales)
+            qlocales = self.locales
+            if qlocales is None:
+                # auto-infer from localizedAttributes over the searched
+                # attributes (reference locales.rs auto_infer_*: a query
+                # without `locales` inherits the rules' allow-list)
+                qlocales = settings.infer_search_locales(
+                    self.attributes_to_search_on
+                )
+            tokenizer = store.make_tokenizer(qlocales)
             extracted = located_query_terms_from_tokens(
                 ctx, tokenizer, self.query
             )

@@ -134,11 +134,31 @@ def search_facet_values(
     query: Optional[str],
     candidates: Optional[set] = None,
     max_values: Optional[int] = None,
+    locales: Optional[list] = None,
 ) -> list[dict]:
     """Typo-tolerant search inside one facet's values
-    (reference: SearchForFacetValues::execute, search/facet/search.rs:75)."""
+    (reference: SearchForFacetValues::execute, search/facet/search.rs:75).
+
+    Locale handling (locales.rs facet suite): facet strings normalize as
+    WHOLE tokens via normalize_facet_string (facet_search_builder.rs:254)
+    — Han folds traditional->simplified on BOTH the stored keys and the
+    query regardless of locale, so 進撃 finds 进击的巨人 under cmn AND
+    jpn. When the query forces locales DISJOINT from the field's
+    localizedAttributes rule, the reference's per-language pipelines
+    produce incompatible normal forms and nothing matches
+    (facet_search_with_localized_attributes: cmn query over a jpn-ruled
+    field returns []); modeled as an explicit locale-mismatch check."""
     counter = _Counter(store, candidates)
     settings = store.settings
+    if query and locales:
+        from ..analysis.tokenizer import canonical_locale
+
+        rule_locs = settings.locales_for_field(facet_name)
+        if rule_locs:
+            q_set = {canonical_locale(loc) for loc in locales}
+            r_set = {canonical_locale(loc) for loc in rule_locs}
+            if not (q_set & r_set):
+                return []
     feats = settings.filter_features_for(facet_name)
     if not feats or not feats.get("facetSearch", True):
         attrs = sorted(settings.filterable_attribute_names())
@@ -168,7 +188,9 @@ def search_facet_values(
 
     skeys = getattr(fa, "_search_keys", None)
     if skeys is None:
-        skeys = [normalize_word(v) for v in values]
+        # "cmn" folds Han traditional->simplified (facet normal forms are
+        # locale-independent, see docstring); Latin handling is unchanged
+        skeys = [normalize_word(v, "cmn") for v in values]
         fa._search_keys = skeys
 
     order = settings.faceting.sort_facet_values_by.get(
@@ -182,7 +204,7 @@ def search_facet_values(
             if count:
                 hits.append((norm, store.facet_string_original.get((fid, norm), norm), count))
     else:
-        qnorm = normalize_word(facet_string_normalize(query))
+        qnorm = normalize_word(facet_string_normalize(query), "cmn")
         # typo budgets as for search words (reference uses the same
         # one/two-typo thresholds with a prefix DFA); a query listed in
         # disableOnWords matches without typos

@@ -531,12 +531,16 @@ def _perform_facet_search_locked(store: IndexStore, body: dict, started) -> dict
         )
         candidates = sub.execute().candidates
 
+    from ..types.locales import validate_locales
+
+    validate_locales(body.get("locales"))
     hits = search_facet_values(
         store,
         facet_name,
         facet_query,
         candidates,
         max_values=store.settings.faceting.max_values_per_facet,
+        locales=body.get("locales"),
     )
     return {
         "facetHits": hits,

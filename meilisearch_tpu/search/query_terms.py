@@ -624,6 +624,29 @@ def located_query_terms_from_tokens(
 
     tokens = [t for t in tokenizer.tokenize(query) if t.lemma != ""][:MAX_TOKEN_COUNT]
 
+    def effective_lemma(token) -> str:
+        """The zh pipeline folds Han traditional->simplified; when the
+        folded word is unknown to the corpus but the RAW form is indexed
+        (a Japanese document holding the same kanji), search the raw form
+        instead. Pins reference language.rs kanji detection (東京 finds
+        the ja document) alongside locales.rs folding (進撃 finds the
+        folded zh document when 进击 exists)."""
+        lemma = token.lemma
+        import unicodedata as _ud
+
+        from ..analysis.zh_norm import has_han
+
+        if not has_han(lemma):
+            return lemma
+        raw = _ud.normalize("NFKC", token.original).lower()
+        if (
+            raw != lemma
+            and not ctx.snap.contains(lemma)
+            and ctx.snap.contains(raw)
+        ):
+            return raw
+        return lemma
+
     def finish_phrase(ph):
         nonlocal negative_phrase
         if ph and any(w is not None for w in ph[0]):
@@ -644,16 +667,19 @@ def located_query_terms_from_tokens(
                     phrase[1] = position
                 phrase[2] = position
                 phrase[0].append(
-                    None if token.kind is TokenKind.STOP_WORD else token.lemma
+                    None
+                    if token.kind is TokenKind.STOP_WORD
+                    else effective_lemma(token)
                 )
             elif negative_next_token:
-                negative_words.append(token.lemma)
+                negative_words.append(effective_lemma(token))
                 negative_next_token = False
             elif not is_last:
                 if token.kind is TokenKind.WORD:
+                    lemma = effective_lemma(token)
                     term = ctx.term_from_word(
-                        token.lemma,
-                        ctx.number_of_typos_allowed(token.lemma),
+                        lemma,
+                        ctx.number_of_typos_allowed(lemma),
                         is_prefix=False,
                         is_ngram=False,
                     )
@@ -662,9 +688,10 @@ def located_query_terms_from_tokens(
                     )
                 # stop words are skipped (non-last)
             else:
+                lemma = effective_lemma(token)
                 term = ctx.term_from_word(
-                    token.lemma,
-                    ctx.number_of_typos_allowed(token.lemma),
+                    lemma,
+                    ctx.number_of_typos_allowed(lemma),
                     is_prefix=allow_prefix,
                     is_ngram=False,
                 )

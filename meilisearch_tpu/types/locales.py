@@ -2,7 +2,9 @@
 
 Reference: meilisearch-types/src/locales.rs — the `locales` search/facet
 parameter and `localizedAttributes` setting accept ISO-639-1/639-3 codes
-(plus `cmn`); unknown values error with the sorted list of valid locales.
+(plus `cmn`); unknown values error deserr-style with the full expected
+list in declaration order (pinned by tests/search/locales.rs:958
+invalid_locales / :993 invalid_localized_attributes_rules).
 """
 
 from __future__ import annotations
@@ -11,22 +13,22 @@ from typing import Iterable, Optional
 
 from .errors import EngineError, ErrorCode
 
-VALID_LOCALES = frozenset(
-    "af afr ak aka am amh ar ara az aze be bel bn ben bg bul ca cat cs ces"
-    " da dan de deu el ell en eng eo epo et est fi fin fr fra gu guj he heb"
-    " hi hin hr hrv hu hun hy hye id ind it ita jv jav ja jpn kn kan ka kat"
-    " km khm ko kor la lat lv lav lt lit ml mal mr mar mk mkd my mya ne nep"
-    " nl nld nb nob or ori pa pan fa pes pl pol pt por ro ron ru rus si sin"
-    " sk slk sl slv sn sna es spa sr srp sv swe ta tam te tel tl tgl th tha"
-    " tk tuk tr tur uk ukr ur urd uz uzb vi vie yi yid zh zho zu zul cmn".split()
-)
+# declaration order matters: the deserr error message enumerates the
+# enum variants in this exact order (locales.rs make_locale! invocation)
+_ORDERED_LOCALES = (
+    "af ak am ar az be bn bg ca cs da de el en eo et fi fr gu he hi hr hu"
+    " hy id it jv ja kn ka km ko la lv lt ml mr mk my ne nl nb or pa fa pl"
+    " pt ro ru si sk sl sn es sr sv ta te tl th tk tr uk ur uz vi yi zh zu"
+    " afr aka amh ara aze bel ben bul cat ces dan deu ell eng epo est fin"
+    " fra guj heb hin hrv hun hye ind ita jav jpn kan kat khm kor lat lav"
+    " lit mal mar mkd mya nep nld nob ori pan pes pol por ron rus sin slk"
+    " slv sna spa srp swe tam tel tgl tha tuk tur ukr urd uzb vie yid zho"
+    " zul cmn"
+).split()
 
+VALID_LOCALES = frozenset(_ORDERED_LOCALES)
 
-def _format_error(invalid: str) -> str:
-    ordered = sorted(VALID_LOCALES, key=lambda l: (len(l), l))
-    return (
-        f"Unsupported locale `{invalid}`, expected one of {', '.join(ordered)}"
-    )
+_EXPECTED = ", ".join(f"`{loc}`" for loc in _ORDERED_LOCALES)
 
 
 def validate_locales(
@@ -43,10 +45,12 @@ def validate_locales(
             " strings.",
         )
     out = []
-    for loc in locales:
+    for i, loc in enumerate(locales):
         if not isinstance(loc, str) or loc not in VALID_LOCALES:
             raise EngineError(
-                code, f"Invalid value at `{field}`: {_format_error(str(loc))}"
+                code,
+                f"Unknown value `{loc}` at `{field}[{i}]`: expected one of"
+                f" {_EXPECTED}",
             )
         out.append(loc)
     return out

@@ -181,6 +181,47 @@ class Settings:
                 out.extend(rule.get("attributePatterns", []))
         return out
 
+    def locales_for_field(self, attr: str) -> Optional[list[str]]:
+        """Locales forced for one attribute by `localizedAttributes`
+        (reference: milli LocalizedAttributesRule::match_str — FIRST
+        matching rule wins; [] means "any language" i.e. detection).
+        None = no rule (detection)."""
+        for rule in self.localized_attributes or ():
+            patterns = rule.get("attributePatterns", [])
+            if any(_match_pattern(p, attr) for p in patterns):
+                locs = rule.get("locales", [])
+                return list(locs)
+        return None
+
+    def infer_search_locales(
+        self, attributes_to_search_on: Optional[list[str]] = None
+    ) -> Optional[list[str]]:
+        """Locales allow-list for a query that did not pass `locales`:
+        the union of localizedAttributes locales over the searched
+        attributes (reference meilisearch/src/search/mod.rs — search
+        restricted to attrs whose rules share locales steers detection;
+        tests/search/locales.rs auto_infer_*). None when no rule
+        contributes (pure detection)."""
+        if not self.localized_attributes:
+            return None
+        attrs = attributes_to_search_on
+        if not attrs or "*" in attrs:
+            attrs = self.searchable_attributes
+        out: list[str] = []
+        if not attrs or "*" in attrs:
+            # all fields searchable: every rule's locales contribute
+            for rule in self.localized_attributes:
+                for loc in rule.get("locales", []):
+                    if loc not in out:
+                        out.append(loc)
+            return out or None
+        for attr in attrs:
+            locs = self.locales_for_field(attr)
+            for loc in locs or ():
+                if loc not in out:
+                    out.append(loc)
+        return out or None
+
     def filter_features_for(self, attr: str) -> dict:
         """Return the filter feature set for an attribute.
 
@@ -383,11 +424,16 @@ class Settings:
 
 def _match_pattern(pattern: str, attr: str) -> bool:
     """Attribute pattern matching (reference:
-    milli/src/attribute_patterns.rs:match_pattern): `*` matches everything,
-    `prefix*` matches prefix, exact otherwise. A pattern also matches nested
-    fields of a matching parent (`a.b` matches pattern `a`)."""
+    milli/src/attribute_patterns.rs:89 match_pattern): `*` matches
+    everything, `*mid*` contains, `*suffix` ends-with, `prefix*`
+    starts-with, exact otherwise. A pattern also matches nested fields of
+    a matching parent (`a.b` matches pattern `a`)."""
     if pattern == "*":
         return True
+    if pattern.startswith("*") and pattern.endswith("*") and len(pattern) > 1:
+        return pattern[1:-1] in attr
+    if pattern.startswith("*"):
+        return attr.endswith(pattern[1:])
     if pattern.endswith("*"):
         return attr.startswith(pattern[:-1])
     return attr == pattern or attr.startswith(pattern + ".")

@@ -148,7 +148,10 @@ def test_locales_validation():
     with pytest.raises(EngineError) as err:
         perform_search(store, {"q": "x", "locales": ["klingon"]})
     assert err.value.code.value == "invalid_search_locales"
-    assert "Unsupported locale `klingon`, expected one of" in str(err.value)
+    # deserr-exact shape (locales.rs invalid_locales snapshot)
+    assert "Unknown value `klingon` at `.locales[0]`: expected one of" in str(
+        err.value
+    )
 
 
 def test_localized_attributes_setting_validation():

@@ -37,9 +37,13 @@ def test_cjk_han_segmentation():
     t = Tokenizer()
     words = t.indexed_words("東京kyoto")
     # the Han run is dictionary-segmented (東京 is one word in the jieba
-    # dict); the Latin run stays separate
-    assert ("東京", 0) in words
+    # dict) and folded traditional->simplified (charabia's zh normalizer;
+    # queries fold identically so 東京 finds 东京); the Latin run stays
+    # separate
+    assert ("东京", 0) in words
     assert ("kyoto", 1) in words
+    # the traditional-script query normalizes to the same lemma
+    assert [w for w, _ in t.indexed_words("東京")] == ["东京"]
 
 
 def test_custom_separators():
