@@ -288,7 +288,14 @@ class App:
                 },
             )
         except EngineError as err:
-            return Response(err.code.http_status, json=err.to_json())
+            headers = {}
+            if err.code is ErrorCode.TOO_MANY_SEARCH_REQUESTS:
+                # reference search_queue.rs: bumped requests carry a
+                # Retry-After header (pinned by search_queue.rs snapshots)
+                headers["Retry-After"] = "10"
+            return Response(
+                err.code.http_status, json=err.to_json(), headers=headers
+            )
         except Exception as err:  # internal
             import traceback
 

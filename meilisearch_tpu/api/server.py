@@ -205,12 +205,11 @@ def main():
     from ..option import parse_byte_size
 
     app.search_queue = SearchQueue(
-        capacity=max(
+        capacity=opt.experimental_search_queue_size,
+        parallelism=max(
             1,
             (os.cpu_count() or 1) * opt.experimental_nb_searches_per_core,
-        )
-        if opt.experimental_search_queue_size is None
-        else opt.experimental_search_queue_size,
+        ),
         drop_after_s=float(opt.experimental_drop_search_after),
     )
     if opt.experimental_allowed_ip_networks:

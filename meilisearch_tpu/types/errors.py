@@ -128,7 +128,12 @@ class ErrorCode(str, Enum):
             return ErrorType.AUTH
         if self is ErrorCode.INTERNAL:
             return ErrorType.INTERNAL
-        if self is ErrorCode.NO_SPACE_LEFT_ON_DEVICE:
+        if self in (
+            ErrorCode.NO_SPACE_LEFT_ON_DEVICE,
+            # reference error.rs: TooManySearchRequests is a System error
+            # (search_queue.rs snapshot pins "type": "system")
+            ErrorCode.TOO_MANY_SEARCH_REQUESTS,
+        ):
             return ErrorType.SYSTEM
         return ErrorType.INVALID_REQUEST
 
