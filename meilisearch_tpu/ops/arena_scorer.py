@@ -115,10 +115,21 @@ def _key_layout(T: int):
     return sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total
 
 
-def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D):
+def _packed_chain_dp(
+    present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D, mand=None
+):
     """`last`-strategy suffix DP over ONE packed int32 key per state —
     states [cls0, cls1, cls2, skip], a visit may only follow a visit (or
     START at t=0), the skip state absorbs all and never feeds back.
+
+    `mand` ((T,) int32 0/1, optional) marks MANDATORY terms (reference
+    query_graph.rs:379 removal_order...: phrase nodes get no removal
+    group; when none exist the costliest group — the FIRST term — is
+    popped instead). A mandatory term cannot be skipped and MAY be
+    visited from the skip state (scorer.py suffix DP: "mandatory/phrase
+    nodes always may"); entering from a skip carries no pair cost
+    (_entry_cost: a skip src is never adjacent). Default None keeps the
+    historical fixed shape: term 0 mandatory, the rest skippable.
 
     All per-(t, cls) inputs arrive as PYTHON lists of clean (D,) arrays
     and pair costs come from pair_cost_fn(t, prev, cls) -> (D,): static
@@ -138,6 +149,7 @@ def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D
 
     for t in range(T):
         exact_add = jnp.where(exact_mask[t], 0, 1).astype(jnp.int32)
+        md = None if mand is None else mand[t]
         new_states = []
         visit_prevs = [3] if t == 0 else [0, 1, 2]
         for cls in range(3):
@@ -156,16 +168,25 @@ def _packed_chain_dp(present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D
                     )
                 cand = states[prev] + add
                 best = cand if best is None else jnp.minimum(best, cand)
+            if md is not None and t > 0:
+                # mandatory terms also visit from the skip state (no
+                # pair cost: a skip src is never adjacent)
+                cand = jnp.where(md != 0, states[3] + base, BIG)
+                best = jnp.minimum(best, cand)
             best = jnp.where(present[t][cls], best, BIG)
             new_states.append(jnp.minimum(best, BIG))
         skip_add = jnp.int32(1 << sh_w)
-        if t == 0:
+        if mand is None and t == 0:
             best_skip = BIG * jnp.ones((D,), jnp.int32)
         else:
             best_skip = states[0]
             for prev in range(1, 4):
                 best_skip = jnp.minimum(best_skip, states[prev])
             best_skip = jnp.minimum(best_skip + skip_add, BIG)
+            if md is not None:
+                best_skip = jnp.where(
+                    md != 0, BIG * jnp.ones((D,), jnp.int32), best_skip
+                )
         new_states.append(best_skip)
         states = new_states
 
@@ -205,6 +226,7 @@ def planes_chain_topk(
     universe,
     use_valid,
     adj,
+    mand,
     live_packed,
     T: int,
     D: int,
@@ -252,12 +274,12 @@ def planes_chain_topk(
                 G, L = layout
         return _planes_chain_topk_fused(
             byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
-            universe, use_valid, adj, live_packed, mask_sel, T=T, D=D, k=k,
-            select=select, approx_g=G, approx_l=L,
+            universe, use_valid, adj, mand, live_packed, mask_sel,
+            T=T, D=D, k=k, select=select, approx_g=G, approx_l=L,
         )
     return _planes_chain_topk_xla(
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows, use_sort,
-        universe, use_valid, adj, live_packed, mask_sel, T=T, D=D, k=k,
+        universe, use_valid, adj, mand, live_packed, mask_sel, T=T, D=D, k=k,
     )
 
 
@@ -275,6 +297,7 @@ def _planes_chain_topk_fused(
     universe,
     use_valid,
     adj,
+    mand,
     live_packed,
     mask_sel,
     T: int,
@@ -308,6 +331,7 @@ def _planes_chain_topk_fused(
         byte_pool,
         rows,
         adj.astype(jnp.int32),
+        mand.astype(jnp.int32),
         use_valid.astype(jnp.int32),
         universe,
         live_packed,
@@ -396,6 +420,7 @@ def _planes_chain_topk_xla(
     universe,  # (B, D/32) int32 packed filter universes
     use_valid,  # (B,) bool — True: intersect with `universe` row
     adj,  # (B, tp) bool
+    mand,  # (B, T) bool — mandatory terms (unskippable, visit-after-skip)
     live_packed,  # (D/32,) int32 packed live bitmap (bit-blocked)
     mask_sel,  # (MASK_SLOTS,) int32 batch rows whose candw rides back small
     T: int,
@@ -418,7 +443,7 @@ def _planes_chain_topk_xla(
     live = unpack_words(live_packed)
 
     def one(args):
-        trows, prows, earows, srow, us, urow, uv, aj = args
+        trows, prows, earows, srow, us, urow, uv, aj, md = args
         # slice the PACKED words per (t, cls) FIRST, then unpack: every
         # plane is a clean 1-D (D,) value per example. Unpacking the whole
         # (T,3,D) block and slicing after left [chunk,1,1,D] strided temps
@@ -457,7 +482,8 @@ def _planes_chain_topk_xla(
             return jnp.where(aj[t - 1], cost, 0)
 
         key, BIG, sh_ea, sh_ps_, sh_w = _packed_chain_dp(
-            present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D
+            present, fid_cost, pos_cost, pair_cost_fn, exact_mask, T, D,
+            mand=md.astype(jnp.int32),
         )
         dead = key >= BIG  # no valid interpretation
 
@@ -526,7 +552,7 @@ def _planes_chain_topk_xla(
         )
 
     xs = (term_rows, pair_rows, ea_rows, sort_rows, use_sort, universe,
-          use_valid, adj)
+          use_valid, adj, mand)
     # chunking bounds peak HBM: vmap over the full batch materializes
     # (B, T, 3, D) int32 temporaries (~7 GB at D=2^20 for B=32). The
     # chunks UNROLL as separate vmap segments inside the one program —
@@ -553,11 +579,14 @@ def _planes_chain_topk_xla(
     return out, cwords, jnp.take(cwords, mask_sel, axis=0)
 
 
-def packed_chain_dp_np(present, fid_cost, pos_cost, pair_cost, exact_mask, T):
+def packed_chain_dp_np(
+    present, fid_cost, pos_cost, pair_cost, exact_mask, T, mand=None
+):
     """Numpy mirror of _packed_chain_dp over (..., n) arrays — scores the
     MINOR-write delta docids host-side with byte-identical keys to the
     device kernel (search/device_batch.py score_delta overlay). Returns
-    (key (n,), BIG, sh_ea, sh_w)."""
+    (key (n,), BIG, sh_ea, sh_w). `mand` ((T,) 0/1 or None) follows the
+    same mandatory-term semantics as _packed_chain_dp."""
     import numpy as np
 
     sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, total = _key_layout(T)
@@ -569,6 +598,7 @@ def packed_chain_dp_np(present, fid_cost, pos_cost, pair_cost, exact_mask, T):
 
     for t in range(T):
         exact_add = np.where(exact_mask[t], 0, 1).astype(np.int32)
+        md = None if mand is None else int(mand[t])
         new_states = []
         visit_prevs = [3] if t == 0 else [0, 1, 2]
         for cls in range(3):
@@ -587,9 +617,14 @@ def packed_chain_dp_np(present, fid_cost, pos_cost, pair_cost, exact_mask, T):
                     )
                 cand = states[prev] + add
                 best = cand if best is None else np.minimum(best, cand)
+            if md and t > 0:
+                # mandatory: also visitable from the skip state (no pair)
+                best = np.minimum(best, states[3] + base)
             best = np.where(present[t, cls], best, BIG)
             new_states.append(np.minimum(best, BIG))
-        if t == 0:
+        if mand is None and t == 0:
+            best_skip = np.full(n, BIG, np.int32)
+        elif md:
             best_skip = np.full(n, BIG, np.int32)
         else:
             best_skip = states[0]

@@ -81,7 +81,8 @@ def _unpack4(words, j):
 def _kernel_body(T, D, WBLK, refs):
     (
         rows_ref,  # scalar prefetch: (B, NR) int32 row ids
-        adj_ref,  # scalar prefetch: (B, tp) int32 (0/1)
+        adj_ref,  # scalar prefetch: (B, tp + T) int32 (0/1):
+        #           [0, tp) adjacency flags, [tp, tp + T) mandatory flags
         uv_ref,  # scalar prefetch: (B,) int32 (0/1)
         plane_refs,  # NR refs, each (1, WR, LANE) packed words
         uni_ref,  # (1, W32R, LANE) packed universe row (per query)
@@ -128,6 +129,7 @@ def _kernel_body(T, D, WBLK, refs):
         present_t = [p != 0xFF for p in planes_t]
         exact_t = (planes_t[0] >= 0x80) & present_t[0]
         exact_add = jnp.where(exact_t, 0, 1).astype(jnp.int32)
+        md = adj_ref[b, tp + t]  # mandatory flag (phrase terms / term 0)
         if t > 0:
             pair_t = [pair_plane(t - 1, p) for p in range(3)]
             aj = adj_ref[b, t - 1]
@@ -150,15 +152,18 @@ def _kernel_body(T, D, WBLK, refs):
                     add = base + (cost << sh_px)
                 cand = states[prev] + add
                 best = cand if best is None else jnp.minimum(best, cand)
+            if t > 0:
+                # mandatory terms also visit from the skip state (no
+                # pair cost: a skip src is never adjacent)
+                cand = jnp.where(md != 0, states[3] + base, BIG)
+                best = jnp.minimum(best, cand)
             best = jnp.where(present_t[cls], best, BIG)
             new_states.append(jnp.minimum(best, BIG))
-        if t == 0:
-            best_skip = jnp.full(shape, BIG, jnp.int32)
-        else:
-            best_skip = states[0]
-            for prev in range(1, 4):
-                best_skip = jnp.minimum(best_skip, states[prev])
-            best_skip = jnp.minimum(best_skip + jnp.int32(1 << sh_w), BIG)
+        best_skip = states[0]
+        for prev in range(1, 4):
+            best_skip = jnp.minimum(best_skip, states[prev])
+        best_skip = jnp.minimum(best_skip + jnp.int32(1 << sh_w), BIG)
+        best_skip = jnp.where(md != 0, BIG, best_skip)
         new_states.append(best_skip)
         states = new_states
 
@@ -252,6 +257,8 @@ def pallas_chain_keys(
     byte_pool,  # (NC, D/4) int32 packed byte planes
     rows,  # (B, NR) int32: term rows (T*3) | pair rows (tp*3) | ea (T+1)
     adj,  # (B, tp) int32 0/1
+    mand,  # (B, T) int32 0/1 — mandatory terms (unskippable,
+    #        visit-after-skip; phrase terms, else term 0)
     use_valid,  # (B,) int32 0/1
     universe,  # (B, D/32) int32 packed filter universes
     live_packed,  # (D/32,) int32 packed live bitmap
@@ -263,6 +270,10 @@ def pallas_chain_keys(
     candw (B, D/32) int32 bit-blocked candidate bitmaps)."""
     B = rows.shape[0]
     tp = max(T - 1, 1)
+    # adjacency and mandatory flags ride ONE scalar-prefetch operand
+    adj = jnp.concatenate(
+        [adj.astype(jnp.int32), mand.astype(jnp.int32)], axis=1
+    )
     NR = T * 3 + tp * 3 + (T + 1)
     assert rows.shape[1] == NR, (rows.shape, NR)
     WBLK = _wblk(D)

@@ -25,9 +25,17 @@ Round-3 widening (VERDICT r2 "narrow device-servable query class"):
     the exact ranked list when the full candidate set fits in TOPK
     (falling back to the host scorer beyond that).
 
-Everything else (phrases, ngram derivations, score details, custom
-ranking rules, dynamic rules, >6-term chains) falls back to the host
-scorer, per query.
+Round-4 widening: PHRASE terms (explicit "..." queries, split-words and
+synonym phrases) ride the device path — phrase docids resolve host-side
+into the same packed planes; phrase nodes are MANDATORY in the DP (a
+per-term flag rides next to the adjacency flags), pair proximity goes
+through the phrase's edge words constrained to the phrase docids, and
+fid/position attribute through the first word (host-scorer parity:
+scorer._pair_cost/_fid_entries/_pos_entries).
+
+Everything else (ngram derivations, score details, custom ranking
+rules, dynamic rules, >6-term chains) falls back to the host scorer,
+per query.
 """
 
 from __future__ import annotations
@@ -111,12 +119,15 @@ def _pad_descriptor(d: "ChainDescriptor", T: int) -> "ChainDescriptor":
     adj[: max(d.T - 1, 1)] = d.adj
     if d.T == 1:
         adj[0] = False  # d.adj is a (1,) placeholder when T == 1
+    mand = np.zeros(T, dtype=bool)
+    mand[: d.T] = d.mand  # padding terms are skippable (skip-only path)
     return ChainDescriptor(
         T=T,
         term_rows=term_rows,
         pair_rows=pair_rows,
         ea_rows=ea_rows,
         adj=adj,
+        mand=mand,
         sort_row=d.sort_row,
         sort_criteria=d.sort_criteria,
         distinct_field=d.distinct_field,
@@ -152,6 +163,8 @@ class ChainDescriptor:
     pair_rows: np.ndarray  # (tp, 3) byte-pool rows: 2-bit costs per class
     ea_rows: np.ndarray  # (T + 1,)
     adj: np.ndarray  # (tp,) bool
+    mand: np.ndarray  # (T,) bool — mandatory terms (graph.py
+    # _removal_groups: phrase nodes, else the costliest group = term 0)
     sort_row: int  # byte-pool row of the first sort criterion (0 = none)
     sort_criteria: list  # [(field, asc)] parsed criteria ([] = no sort)
     distinct_field: Optional[str]
@@ -366,13 +379,21 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
             if term.phrases_for_class(0) or term.phrases_for_class(1):
                 return None
             continue
-        if term.phrase is not None:
-            return None
         chain.append(node)
     chain.sort(key=lambda nd: nd.located.start_term_id)
     T = len(chain)
     if T == 0 or T > MAX_T:
         return None
+
+    # mandatory terms (graph.py _removal_groups / reference
+    # query_graph.rs:379): phrase nodes never get a removal group; when
+    # none exist the costliest group — the FIRST term under `last` — is
+    # popped instead. Mandatory = unskippable + visitable after a skip.
+    mand = np.array(
+        [nd.located.term.phrase is not None for nd in chain], dtype=bool
+    )
+    if not mand.any():
+        mand[0] = True
 
     weight_map = store.fid_weight_map()
     if any(w > 7 for w in weight_map.values()):
@@ -394,30 +415,58 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     def fidpos_entry(term, tkey, cls):
         entry = gcache.get(("dfidpos", tkey, cls))
         if entry is None:
+            from ..index.arrays import intersect
+
             words = _subset_words(resolver, term, cls)
             pwords = _prefix_words(resolver, term, cls)
             all_w = words + pwords
+            # phrases (explicit "..." terms, split-words, synonym phrases)
+            # attribute through their FIRST word restricted to the phrase
+            # docids (host parity: scorer._fid_entries/_pos_entries,
+            # reference fid/mod.rs + position/mod.rs)
+            phrases = [
+                (p, first)
+                for p in resolver.class_phrases(term, cls)
+                for first in [next((w for w in p if w is not None), None)]
+                if first is not None
+            ]
             fid_list = []
             fids: set[int] = set()
             for w in all_w:
                 fids |= resolver.fids_by_word.get(w, set())
+            for _p, first in phrases:
+                fids |= resolver.fids_by_word.get(first, set())
             for fid in fids:
                 weight = weight_map.get(fid)
                 if weight is None:
                     continue
-                arr = union_many(
-                    [resolver.word_fid_docids(w, fid) for w in all_w]
-                )
+                parts = [resolver.word_fid_docids(w, fid) for w in all_w]
+                for p, first in phrases:
+                    wd = resolver.word_fid_docids(first, fid)
+                    if len(wd):
+                        parts.append(
+                            intersect(resolver.phrase_docids(p), wd)
+                        )
+                arr = union_many(parts)
                 if len(arr):
                     fid_list.append((arr, weight))
             pos_list = []
             buckets: set[int] = set()
             for w in all_w:
                 buckets |= resolver.buckets_by_word.get(w, set())
+            for _p, first in phrases:
+                buckets |= resolver.buckets_by_word.get(first, set())
             for b in buckets:
-                arr = union_many(
-                    [resolver.word_position_docids(w, b) for w in all_w]
-                )
+                parts = [
+                    resolver.word_position_docids(w, b) for w in all_w
+                ]
+                for p, first in phrases:
+                    wd = resolver.word_position_docids(first, b)
+                    if len(wd):
+                        parts.append(
+                            intersect(resolver.phrase_docids(p), wd)
+                        )
+                arr = union_many(parts)
                 if len(arr):
                     pos_list.append((arr, b))
             entry = (fid_list, pos_list)
@@ -427,9 +476,15 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     for t, node in enumerate(chain):
         term = node.located.term
         start_pos = node.located.start_position
-        tkey = (term.original, term.is_prefix, term.use_prefix_db)
+        tkey = (
+            term.original, term.is_prefix, term.use_prefix_db, term.phrase
+        )
         exact_ids = None
-        if term.exact is not None:
+        if term.phrase is not None:
+            # exactness for a phrase term = the phrase docids
+            # (scorer._exactness_addend, reference exactness/mod.rs)
+            exact_ids = resolver.phrase_docids(term.phrase)
+        elif term.exact is not None:
             exact_ids = resolver.word_docids(term.exact, original=True)
         for cls in range(term.max_typo_cost() + 1):
             ids = class_ids(term, tkey, cls)
@@ -470,13 +525,34 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
             lterm.original,
             lterm.is_prefix,
             lterm.use_prefix_db,
+            lterm.phrase,
             rterm.original,
             rterm.is_prefix,
             rterm.use_prefix_db,
+            rterm.phrase,
         )
 
-        def pair_parts(pc, c, lwords):
-            rwords = _subset_words(resolver, rterm, c)
+        def pair_parts(pc, c, lterm=lterm, rterm=rterm, pkey=pkey):
+            """Host-parity proximity parts (scorer._pair_cost, reference
+            proximity/build.rs + compute_docids.rs): phrase terms pair via
+            their LAST word (left) / FIRST word (right) intersected with
+            the phrase docids; backward pairs only between plain words."""
+            from ..index.arrays import intersect
+
+            lpairs = [
+                (None, w) for w in _subset_words(resolver, lterm, pc)
+            ] + [
+                (p, p[-1])
+                for p in resolver.class_phrases(lterm, pc)
+                if p[-1] is not None
+            ]
+            rpairs = [
+                (w, None) for w in _subset_words(resolver, rterm, c)
+            ] + [
+                (p[0], p)
+                for p in resolver.class_phrases(rterm, c)
+                if p[0] is not None
+            ]
             rprefix = _prefix_words(resolver, rterm, c)
             parts = []
             for rel in (0, 1, 2):
@@ -485,28 +561,56 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
                     fwd, bwd = rel + 1, rel
                     pieces = []
                     if rprefix:
-                        for lw in lwords:
-                            pieces.extend(
+                        for lph, lw in lpairs:
+                            lcon = (
+                                resolver.phrase_docids(lph)
+                                if lph is not None
+                                else None
+                            )
+                            if lcon is not None and not len(lcon):
+                                continue
+                            acc_parts = [
                                 resolver.pair_proximity_docids(fwd, lw, w)
                                 for w in rprefix
-                            )
-                            if bwd >= 1:
-                                pieces.append(
+                            ]
+                            if lph is None and bwd >= 1:
+                                acc_parts.append(
                                     resolver.pair_proximity_docids(
                                         bwd, rterm.use_prefix_db, lw
                                     )
                                 )
-                    for lw in lwords:
-                        for rw in rwords:
-                            pieces.append(
+                            acc = union_many(acc_parts)
+                            if lcon is not None:
+                                acc = intersect(acc, lcon)
+                            pieces.append(acc)
+                    for lph, lw in lpairs:
+                        for rw, rph in rpairs:
+                            constraint = None
+                            for p in (lph, rph):
+                                if p is not None:
+                                    pd = resolver.phrase_docids(p)
+                                    constraint = (
+                                        pd
+                                        if constraint is None
+                                        else intersect(constraint, pd)
+                                    )
+                            if constraint is not None and not len(
+                                constraint
+                            ):
+                                continue
+                            acc_parts = [
                                 resolver.pair_proximity_docids(fwd, lw, rw)
-                            )
-                            if bwd >= 1:
-                                pieces.append(
+                            ]
+                            if bwd >= 1 and lph is None and rph is None:
+                                acc_parts.append(
                                     resolver.pair_proximity_docids(
                                         bwd, rw, lw
                                     )
                                 )
+                            acc = union_many(acc_parts)
+                            if constraint is not None:
+                                acc = intersect(acc, constraint)
+                            pieces.append(acc)
                     arr = union_many(pieces)
                     gcache[("dpair", pkey, pc, c, rel)] = arr
                 if len(arr):
@@ -514,13 +618,12 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
             return parts
 
         for pc in range(lterm.max_typo_cost() + 1):
-            lwords = _subset_words(resolver, lterm, pc)
 
-            def build_pair(pc=pc, lwords=lwords, rterm=rterm):
+            def build_pair(pc=pc, rterm=rterm):
                 return pair_plane(
                     D,
                     [
-                        pair_parts(pc, c, lwords)
+                        pair_parts(pc, c)
                         if c <= rterm.max_typo_cost()
                         else []
                         for c in range(3)
@@ -568,6 +671,7 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         pair_rows=pair_rows,
         ea_rows=ea_rows,
         adj=adj,
+        mand=mand,
         sort_row=sort_row,
         sort_criteria=sort_criteria,
         distinct_field=distinct_field,
@@ -624,12 +728,15 @@ def _empty_descriptor(T: int, search: Search) -> ChainDescriptor:
     """Batch-padding descriptor: matches nothing (row 0 = all-absent
     plane, use_valid with the all-zero universe -> every doc invalid)."""
     tp = max(T - 1, 1)
+    mand = np.zeros(T, dtype=bool)
+    mand[0] = True  # forbids the all-skip path (as on any plain chain)
     return ChainDescriptor(
         T=T,
         term_rows=np.zeros((T, 3), np.int32),
         pair_rows=np.zeros((tp, 3), np.int32),
         ea_rows=np.zeros(T + 1, np.int32),
         adj=np.zeros(tp, dtype=bool),
+        mand=mand,
         sort_row=0,
         sort_criteria=[],
         distinct_field=None,
@@ -694,8 +801,13 @@ def score_delta(
 
     chain = d.chain_info
     for t, (term, start_pos) in enumerate(chain):
-        tkey = (term.original, term.is_prefix, term.use_prefix_db)
-        if term.exact is not None:
+        tkey = (
+            term.original, term.is_prefix, term.use_prefix_db, term.phrase
+        )
+        if term.phrase is not None:
+            # exactness for a phrase term = the phrase docids
+            exact_m[t] = mm(phrase_arr(term.phrase))
+        elif term.exact is not None:
             key = ("dex", term.exact)
             m = cache.get(key)
             if m is None:
@@ -737,6 +849,31 @@ def score_delta(
                         pmin = np.where(
                             m, np.minimum(pmin, np.int16(cost)), pmin
                         )
+                # phrases attribute through their first word restricted
+                # to the phrase docids (host scorer._fid/_pos_entries)
+                for p in resolver.class_phrases(term, cls):
+                    first = next((w for w in p if w is not None), None)
+                    if first is None:
+                        continue
+                    pmask = mm(phrase_arr(p))
+                    if not pmask.any():
+                        continue
+                    for fid in resolver.fids_by_word.get(first, ()):
+                        weight = weight_map.get(fid)
+                        if weight is None:
+                            continue
+                        m = pmask & mm(resolver.word_fid_docids(first, fid))
+                        fmin = np.where(
+                            m, np.minimum(fmin, np.int16(weight)), fmin
+                        )
+                    for b in resolver.buckets_by_word.get(first, ()):
+                        m = pmask & mm(
+                            resolver.word_position_docids(first, b)
+                        )
+                        cost = position_cost_from_distance(abs(b - start_pos))
+                        pmin = np.where(
+                            m, np.minimum(pmin, np.int16(cost)), pmin
+                        )
                 # absent fid/pos decode to 0 in the packed plane (the
                 # int8 row defaults its low bits to 0 for in-class docs)
                 fplane = np.where(fmin == INF16, 0, np.minimum(fmin, 7))
@@ -752,51 +889,93 @@ def score_delta(
         (lterm, _lp), (rterm, _rp) = chain[t - 1], chain[t]
         pkey = (
             lterm.original, lterm.is_prefix, lterm.use_prefix_db,
+            lterm.phrase,
             rterm.original, rterm.is_prefix, rterm.use_prefix_db,
+            rterm.phrase,
         )
         for pc in range(lterm.max_typo_cost() + 1):
             for c in range(rterm.max_typo_cost() + 1):
                 key = ("dpairm", pkey, pc, c)
                 row = cache.get(key)
                 if row is None:
-                    lwords = _subset_words(resolver, lterm, pc)
-                    rwords = _subset_words(resolver, rterm, c)
+                    # phrase terms pair via last word (left) / first word
+                    # (right) within the phrase docids (scorer._pair_cost)
+                    lpairs = [
+                        (None, w) for w in _subset_words(resolver, lterm, pc)
+                    ] + [
+                        (p, p[-1])
+                        for p in resolver.class_phrases(lterm, pc)
+                        if p[-1] is not None
+                    ]
+                    rpairs = [
+                        (w, None) for w in _subset_words(resolver, rterm, c)
+                    ] + [
+                        (p[0], p)
+                        for p in resolver.class_phrases(rterm, c)
+                        if p[0] is not None
+                    ]
                     rprefix = _prefix_words(resolver, rterm, c)
                     row = np.full(n, 3, np.int16)
                     for rel in (2, 1, 0):  # descending: lower rel wins
                         fwd, bwd = rel + 1, rel
                         m = np.zeros(n, bool)
                         if rprefix:
-                            for lw in lwords:
+                            for lph, lw in lpairs:
+                                lcon = (
+                                    mm(phrase_arr(lph))
+                                    if lph is not None
+                                    else None
+                                )
+                                acc = np.zeros(n, bool)
                                 for w in rprefix:
-                                    m |= mm(
+                                    acc |= mm(
                                         resolver.pair_proximity_docids(
                                             fwd, lw, w
                                         )
                                     )
-                                if bwd >= 1:
-                                    m |= mm(
+                                if lph is None and bwd >= 1:
+                                    acc |= mm(
                                         resolver.pair_proximity_docids(
                                             bwd, rterm.use_prefix_db, lw
                                         )
                                     )
-                        for lw in lwords:
-                            for rw in rwords:
-                                m |= mm(
+                                if lcon is not None:
+                                    acc &= lcon
+                                m |= acc
+                        for lph, lw in lpairs:
+                            for rw, rph in rpairs:
+                                con = None
+                                for p in (lph, rph):
+                                    if p is not None:
+                                        pm = mm(phrase_arr(p))
+                                        con = pm if con is None else con & pm
+                                acc = mm(
                                     resolver.pair_proximity_docids(fwd, lw, rw)
                                 )
-                                if bwd >= 1:
-                                    m |= mm(
+                                if (
+                                    bwd >= 1
+                                    and lph is None
+                                    and rph is None
+                                ):
+                                    acc |= mm(
                                         resolver.pair_proximity_docids(
                                             bwd, rw, lw
                                         )
                                     )
+                                if con is not None:
+                                    acc &= con
+                                m |= acc
                         row = np.where(m, np.int16(rel), row)
                     cache[key] = row
                 pair_c[t - 1, pc, c] = row
 
+    mand = np.zeros(T, dtype=bool)
+    for t, (term, _sp) in enumerate(chain):
+        mand[t] = term.phrase is not None
+    if not mand.any():
+        mand[0] = True  # same rule as build_descriptor
     key_arr, BIG, sh_ea, sh_w = packed_chain_dp_np(
-        present, fid_c, pos_c, pair_c, exact_m, T
+        present, fid_c, pos_c, pair_c, exact_m, T, mand=mand
     )
     dead = key_arr >= BIG
 
@@ -933,6 +1112,7 @@ def execute_device_batch(
             universe,
             use_valid,
             np.stack([d.adj for d in descriptors]),
+            np.stack([d.mand for d in descriptors]),
             _live_mask(store, D),
             T=T,
             D=D,
@@ -1154,6 +1334,7 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
                         z((B, D32), np.int32),
                         z(B, bool),
                         z((B, tp), bool),
+                        z((B, T), bool),
                         jnp.zeros(D32, jnp.int32),
                         T=T,
                         D=D,

@@ -170,7 +170,7 @@ def test_stream_mode_sse(app, llm_server):
                 "stream": True,
                 "messages": [{"role": "user", "content": "hi"}],
             },
-            headers={},
+            headers={"Content-Type": "application/json"},
         )
     )
     assert res.status == 200 and res.stream is not None

@@ -63,7 +63,12 @@ QUERIES = [
     {"q": "fox", "filter": "points > 50"},
     {"q": "lazy dog", "filter": "points 10 TO 60"},
     {"q": "quick -brown"},
-    {"q": '"quick brown" fox'},  # phrase -> host fallback
+    # phrases ride the device path (round 4): phrase-only, phrase+word,
+    # word+phrase (proximity edges on both sides of the phrase term)
+    {"q": '"quick brown" fox'},
+    {"q": '"quick brown fox"'},
+    {"q": 'lazy "quick brown"'},
+    {"q": '"databse rust" quick'},
     {"q": "rust", "page": 1, "hitsPerPage": 5},
     # offset+limit > K_LADDER[0]: widens the drain to the deep-k program
     {"q": "quick", "offset": 120, "limit": 30},
@@ -111,9 +116,10 @@ def test_descriptor_rejections(store):
     assert device_batch.build_descriptor(
         Search(store, query="quick", terms_matching_strategy="all")
     ) is None
+    # round 4: explicit phrases ride the device path
     assert device_batch.build_descriptor(
         Search(store, query='"quick brown"')
-    ) is None
+    ) is not None
     assert device_batch.build_descriptor(
         Search(store, query="quick", compute_scores=True)
     ) is None

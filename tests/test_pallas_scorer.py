@@ -64,12 +64,16 @@ def _random_inputs(T, seed):
     )
     use_valid = rng.random(B) < 0.5
     adj = rng.random((B, tp)) < 0.7
+    # random mandatory flags (phrase terms); real descriptors always have
+    # at least one (term 0 when no phrase exists) — keep that invariant
+    mand = rng.random((B, T)) < 0.3
+    mand[:, 0] |= ~mand.any(axis=1)
     live = pack_bitmap(
         np.flatnonzero(rng.random(D) < 0.9).astype(np.int64), D
     )
     return (
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows,
-        use_sort, universe, use_valid, adj, live,
+        use_sort, universe, use_valid, adj, mand, live,
     )
 
 
@@ -167,11 +171,11 @@ def test_fused_key_oracle():
     T, seed = 3, 23
     (
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows,
-        use_sort, universe, use_valid, adj, live,
+        use_sort, universe, use_valid, adj, mand, live,
     ) = _random_inputs(T, seed)
     out_fused, _, _ = _planes_chain_topk_fused(
         byte_pool, term_rows, pair_rows, ea_rows, sort_rows,
-        use_sort, universe, use_valid, adj, live,
+        use_sort, universe, use_valid, adj, mand, live,
         np.zeros(4, np.int32),
         T=T, D=D, k=K, interpret=True,
     )
@@ -207,7 +211,7 @@ def test_fused_key_oracle():
                 cost = (pr >> (2 * c)) & 3
                 pair_c[i, pc, c] = np.where(adj[b, i], cost, 0)
     key, BIG, sh_ea, sh_w = packed_chain_dp_np(
-        present, fid_c, pos_c, pair_c, exact_m, T
+        present, fid_c, pos_c, pair_c, exact_m, T, mand=mand[b]
     )
     dead = key >= BIG
     level = np.clip(T - (key >> sh_w), 0, T)

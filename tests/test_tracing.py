@@ -81,7 +81,7 @@ def test_logs_stream_route():
             path="/logs/stream",
             query={},
             body={"mode": "profile", "target": "search::"},
-            headers={},
+            headers={"Content-Type": "application/json"},
         )
     )
     assert res.status == 200 and res.stream is not None
