@@ -598,38 +598,37 @@ class IndexScheduler:
         from ..index.store import AbortedProcessing
 
         self._must_stop.clear()
-        for i, task in enumerate(tasks):
-            try:
-                if self._must_stop.is_set():
-                    raise AbortedProcessing()
-                self._breakpoint("inside_process_batch")
-                self._process_task(task)
-                task.status = TaskStatus.SUCCEEDED
-                batch.progress["steps"][0]["finished"] = i + 1
-                batch.progress["percentage"] = 100.0 * (i + 1) / len(tasks)
-            except AbortedProcessing:
-                task.status = TaskStatus.CANCELED
-                task.canceled_by = self._abort_requested_by
-            except EngineError as err:
-                task.status = TaskStatus.FAILED
-                task.error = err.to_json()
-            except Exception as err:  # unexpected
-                task.status = TaskStatus.FAILED
-                task.error = {
-                    "message": str(err),
-                    "code": "internal",
-                    "type": "internal",
-                    "link": "https://docs.meilisearch.com/errors#internal",
-                }
-            task.finished_at = now_iso()
-            if self.journal is not None:
-                self.journal.log_finish(task)
-            if self.on_task_finished:
+        # a homogeneous document-addition batch commits through ONE bulk
+        # scope: runs merge + generation bumps once at batch end, like the
+        # reference's autobatched tasks sharing a single wtxn
+        # (index-scheduler/src/scheduler/process_batch.rs)
+        from contextlib import ExitStack
+
+        with ExitStack() as bulk_scope:
+            uids = {t.index_uid for t in tasks}
+            if (
+                len(tasks) > 1
+                and len(uids) == 1
+                and all(
+                    t.type == TaskType.DOCUMENT_ADDITION_OR_UPDATE
+                    for t in tasks
+                )
+                # small autobatches stay on the per-task minor-write path
+                # (delta overlay keeps the device arena anchored); only a
+                # genuine bulk load is worth one deferred major commit
+                and sum(
+                    len((t.content or {}).get("documents") or ())
+                    for t in tasks
+                )
+                > 10_000
+            ):
                 try:
-                    self.on_task_finished(task)
+                    bulk_scope.enter_context(
+                        self._get_or_create_index(next(iter(uids))).bulk()
+                    )
                 except Exception:
                     pass
-            self._notify_webhooks(task)
+            self._run_batch_tasks(tasks, batch)
         batch.finished_at = now_iso()
         batch.progress = None  # progress views only exist while processing
         # build-side memory budget (reference BalancedCaches spill,
@@ -716,6 +715,42 @@ class IndexScheduler:
             elif primary_key and store.primary_key is None:
                 store.primary_key = primary_key
             return store
+
+    def _run_batch_tasks(self, tasks: list[Task], batch) -> None:
+        from ..index.store import AbortedProcessing
+
+        for i, task in enumerate(tasks):
+            try:
+                if self._must_stop.is_set():
+                    raise AbortedProcessing()
+                self._breakpoint("inside_process_batch")
+                self._process_task(task)
+                task.status = TaskStatus.SUCCEEDED
+                batch.progress["steps"][0]["finished"] = i + 1
+                batch.progress["percentage"] = 100.0 * (i + 1) / len(tasks)
+            except AbortedProcessing:
+                task.status = TaskStatus.CANCELED
+                task.canceled_by = self._abort_requested_by
+            except EngineError as err:
+                task.status = TaskStatus.FAILED
+                task.error = err.to_json()
+            except Exception as err:  # unexpected
+                task.status = TaskStatus.FAILED
+                task.error = {
+                    "message": str(err),
+                    "code": "internal",
+                    "type": "internal",
+                    "link": "https://docs.meilisearch.com/errors#internal",
+                }
+            task.finished_at = now_iso()
+            if self.journal is not None:
+                self.journal.log_finish(task)
+            if self.on_task_finished:
+                try:
+                    self.on_task_finished(task)
+                except Exception:
+                    pass
+            self._notify_webhooks(task)
 
     def _process_task(self, task: Task):
         t = task.type

@@ -100,6 +100,7 @@ def save_index(store, directory: str) -> None:
     O(corpus) re-pack (~7 min at 1M docs)."""
     from .store import RESERVED_GEOJSON_FIELD
 
+    store._merge_runs()  # pending bulk runs must land before packing
     src = getattr(store, "_packed_source", None)
     if (
         src is not None

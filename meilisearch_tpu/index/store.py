@@ -28,6 +28,7 @@ import os
 import threading
 import time
 from collections import defaultdict
+from contextlib import contextmanager
 from typing import Any, Iterable, Optional
 
 import numpy as np
@@ -287,6 +288,15 @@ class IndexStore:
         # needs to maintain them incrementally.
         self.shard_topology: Optional[list[str]] = None
         self._shard_docids_cache: Optional[tuple] = None
+        # bulk-ingest run accumulation (the grenad spill+merge analogue,
+        # reference update/new/extract/cache.rs): native-builder outputs
+        # and columnar facet extracts buffer as "runs" and merge into the
+        # posting dicts in ONE vectorized pass — per-chunk per-key Python
+        # cost collapsed to a single per-corpus pass (round-4 1M-doc fix)
+        self._bulk_depth = 0
+        self._token_runs: list[dict] = []
+        self._facet_runs: list[dict] = []
+        self._run_docids: set[int] = set()
 
     # ------------------------------------------------------------------
     # tokenizer / searchable config
@@ -425,6 +435,223 @@ class IndexStore:
             " and can not be more than 511 bytes.",
         )
 
+    # -- bulk-ingest runs ---------------------------------------------------
+
+    def begin_bulk(self) -> None:
+        """Open a bulk-ingest scope: add_documents calls inside it defer
+        the run merge AND the generation bump until end_bulk, so a whole
+        scheduler batch (e.g. 10 x 100k-doc tasks) commits in one pass —
+        the reference's autobatched tasks likewise share one wtxn and
+        become visible together (scheduler/process_batch.rs)."""
+        with self._lock:
+            self._bulk_depth += 1
+
+    def end_bulk(self) -> None:
+        with self._lock:
+            self._bulk_depth -= 1
+            if self._bulk_depth <= 0:
+                self._bulk_depth = 0
+                if self._token_runs or self._facet_runs:
+                    self._merge_runs()
+                    self._bump()
+
+    @contextmanager
+    def bulk(self):
+        self.begin_bulk()
+        try:
+            yield self
+        finally:
+            self.end_bulk()
+
+    def _merge_runs(self) -> None:
+        """Fold every pending run into the posting dicts, vectorized.
+
+        Keys across all runs are encoded as int64 codes (words interned
+        into a merge-local vocabulary), expanded per docid, sorted once,
+        and grouped; each group lands as one sorted segment view
+        (arrays.Posting.segs) — one dict access per DISTINCT key per
+        merge instead of per key per chunk. Docid order inside a group is
+        ascending because fresh docids grow monotonically and runs are
+        chronological."""
+        runs, fruns = self._token_runs, self._facet_runs
+        if not runs and not fruns:
+            return
+        self._token_runs = []
+        self._facet_runs = []
+        self._run_docids = set()
+
+        def grouped(key_parts: list, id_parts: list):
+            keys = np.concatenate(key_parts)
+            ids = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in id_parts]
+            )
+            order = np.argsort(keys, kind="stable")
+            keys, ids = keys[order], ids[order]
+            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), bounds))
+            ends = np.append(bounds, len(keys))
+            return keys[starts], starts, ends, ids
+
+        if runs:
+            # merge-local word interning: one Python op per distinct word
+            # per run, everything after is numpy
+            gid_of: dict[str, int] = {}
+            run_gids: list[np.ndarray] = []
+            for r in runs:
+                words = r["words"]
+                sd = gid_of.setdefault
+                g = np.fromiter(
+                    (sd(w, len(gid_of)) for w in words),
+                    dtype=np.int64,
+                    count=len(words),
+                )
+                run_gids.append(g)
+            inv: list[str] = [""] * len(gid_of)
+            for w, gi in gid_of.items():
+                inv[gi] = w
+            V = len(inv) or 1
+
+            def section(name, encode):
+                key_parts, id_parts = [], []
+                for r, g in zip(runs, run_gids):
+                    sec = r[name]
+                    lens, docids = sec[-2], sec[-1]
+                    if len(lens) == 0:
+                        continue
+                    codes = encode(g, *sec[:-2])
+                    key_parts.append(np.repeat(codes, lens))
+                    id_parts.append(docids)
+                if not key_parts:
+                    return None
+                return grouped(key_parts, id_parts)
+
+            got = section(
+                "wd",
+                lambda g, wf: (g[np.asarray(wf) >> 1] << 1)
+                | (np.asarray(wf, dtype=np.int64) & 1),
+            )
+            if got is not None:
+                kc, starts, ends, ids = got
+                wt, et = self.word_docids, self.exact_word_docids
+                for code, s, e in zip(
+                    kc.tolist(), starts.tolist(), ends.tolist()
+                ):
+                    t = et if (code & 1) else wt
+                    t[inv[code >> 1]].segs.append(ids[s:e])
+
+            got = section(
+                "wf", lambda g, wid, fid: (g[np.asarray(wid)] << 16) | fid
+            )
+            if got is not None:
+                kc, starts, ends, ids = got
+                table = self.word_fid_docids
+                for code, s, e in zip(
+                    kc.tolist(), starts.tolist(), ends.tolist()
+                ):
+                    table[(inv[code >> 16], code & 0xFFFF)].segs.append(
+                        ids[s:e]
+                    )
+
+            got = section(
+                "wp", lambda g, wid, bkt: (g[np.asarray(wid)] << 16) | bkt
+            )
+            if got is not None:
+                kc, starts, ends, ids = got
+                table = self.word_position_docids
+                for code, s, e in zip(
+                    kc.tolist(), starts.tolist(), ends.tolist()
+                ):
+                    table[(inv[code >> 16], code & 0xFFFF)].segs.append(
+                        ids[s:e]
+                    )
+
+            got = section(
+                "pp",
+                lambda g, prox, w1, w2: (
+                    (g[np.asarray(w1)] * V + g[np.asarray(w2)]) << 3
+                )
+                | prox,
+            )
+            if got is not None:
+                kc, starts, ends, ids = got
+                table = self.word_pair_proximity_docids
+                rest = kc >> 3
+                w1s = (rest // V).tolist()
+                w2s = (rest % V).tolist()
+                proxs = (kc & 7).tolist()
+                for p_, a_, b_, s, e in zip(
+                    proxs, w1s, w2s, starts.tolist(), ends.tolist()
+                ):
+                    table[(p_, inv[a_], inv[b_])].segs.append(ids[s:e])
+
+            got = section(
+                "fc",
+                lambda g, fid, cnt: (np.asarray(fid, dtype=np.int64) << 16)
+                | cnt,
+            )
+            if got is not None:
+                kc, starts, ends, ids = got
+                table = self.field_id_word_count_docids
+                for code, s, e in zip(
+                    kc.tolist(), starts.tolist(), ends.tolist()
+                ):
+                    table[(code >> 16, code & 0xFFFF)].segs.append(ids[s:e])
+
+        if fruns:
+            # facet strings: interned norms, same grouping machinery
+            nid_of: dict[str, int] = {}
+            norm_inv: list[str] = []
+            orig_of: list[str] = []
+            key_parts, id_parts = [], []
+            num_by_fid: dict[int, tuple[list, list]] = {}
+            for fr in fruns:
+                norms, origs, fid_arr, nid_arr, docid_arr = fr["str"]
+                if len(norms):
+                    g = np.empty(len(norms), dtype=np.int64)
+                    for i, nrm in enumerate(norms):
+                        gi = nid_of.get(nrm)
+                        if gi is None:
+                            gi = nid_of[nrm] = len(norm_inv)
+                            norm_inv.append(nrm)
+                            orig_of.append(origs[i])
+                        g[i] = gi
+                    if len(fid_arr):
+                        key_parts.append(
+                            (g[np.asarray(nid_arr)] << 16)
+                            | np.asarray(fid_arr, dtype=np.int64)
+                        )
+                        id_parts.append(docid_arr)
+                for fid, (dcol, vcol) in fr["num"].items():
+                    acc = num_by_fid.get(fid)
+                    if acc is None:
+                        acc = num_by_fid[fid] = ([], [])
+                    acc[0].append(np.asarray(dcol, dtype=np.int64))
+                    acc[1].append(np.asarray(vcol, dtype=np.float64))
+            if key_parts:
+                kc, starts, ends, ids = grouped(key_parts, id_parts)
+                fso = self.facet_string_original
+                fsd = self.facet_string_docids
+                for code, s, e in zip(
+                    kc.tolist(), starts.tolist(), ends.tolist()
+                ):
+                    fid, norm = code & 0xFFFF, norm_inv[code >> 16]
+                    fsd[fid][norm].segs.append(ids[s:e])
+                    k = (fid, norm)
+                    if k not in fso:
+                        fso[k] = orig_of[code >> 16]
+            for fid, (dcols, vcols) in num_by_fid.items():
+                darr = np.concatenate(dcols)
+                varr = np.concatenate(vcols)
+                order = np.argsort(varr, kind="stable")
+                darr, varr = darr[order], varr[order]
+                uniq, ustarts = np.unique(varr, return_index=True)
+                ubounds = np.append(ustarts[1:], len(varr))
+                table = self.facet_number_docids[fid]
+                for v, s, e in zip(
+                    uniq.tolist(), ustarts.tolist(), ubounds.tolist()
+                ):
+                    table[v].segs.append(darr[s:e])
+
     def add_documents(
         self, docs: Iterable[dict], method: str = "replace", must_stop=None
     ) -> tuple[int, int]:
@@ -439,6 +666,11 @@ class IndexStore:
         with self._lock, span("indexing::documents", index=self.uid):
             received = 0
             applied: list[tuple[str, Optional[dict]]] = []
+            # rollback marks: an abort drops the runs this call appended
+            # (fresh docids >= call_start_docid live only in those runs)
+            tr_mark = len(self._token_runs)
+            fr_mark = len(self._facet_runs)
+            call_start_docid = self._next_docid
             # minor-write tracking: touched docids + docs, abandoned the
             # moment the batch outgrows the delta cap (bulk ingests must
             # not pay per-doc bookkeeping)
@@ -502,8 +734,18 @@ class IndexStore:
                         # are no-ops for content that never landed
                         pending.clear()
                         pending_ids.clear()
+                        del self._token_runs[tr_mark:]
+                        del self._facet_runs[fr_mark:]
+                        if self._run_docids:
+                            self._run_docids = {
+                                d
+                                for d in self._run_docids
+                                if d < call_start_docid
+                            }
                         self._rollback_documents(applied)
-                        self._bump()
+                        if self._bulk_depth == 0:
+                            self._merge_runs()
+                            self._bump()
                         raise AbortedProcessing()
                     received += 1
                     if self.primary_key is None:
@@ -555,13 +797,15 @@ class IndexStore:
             finally:
                 if gc_was_enabled:
                     gc.enable()
-            if touched is not None:
-                self._bump(
-                    delta_ids={d for d, _doc in touched},
-                    delta_docs=[doc for _d, doc in touched],
-                )
-            else:
-                self._bump()
+            if self._bulk_depth == 0:
+                self._merge_runs()
+                if touched is not None:
+                    self._bump(
+                        delta_ids={d for d, _doc in touched},
+                        delta_docs=[doc for _d, doc in touched],
+                    )
+                else:
+                    self._bump()
             return received, received
 
     def _rollback_documents(self, applied: list) -> None:
@@ -606,6 +850,9 @@ class IndexStore:
     def delete_all_documents(self) -> int:
         with self._lock:
             n = len(self.documents)
+            self._token_runs.clear()
+            self._facet_runs.clear()
+            self._run_docids.clear()
             self.documents.clear()
             self.external_to_internal.clear()
             self.internal_to_external.clear()
@@ -630,6 +877,9 @@ class IndexStore:
         (reference: Settings::execute expensive path, update/settings.rs).
         """
         with self._lock:
+            self._token_runs.clear()
+            self._facet_runs.clear()
+            self._run_docids.clear()
             for table in self._all_posting_tables():
                 table.clear()
             self.facet_number_docids.clear()
@@ -671,6 +921,7 @@ class IndexStore:
 
         from .arrays import Posting
 
+        self._merge_runs()  # pending bulk runs must land before re-serializing
         _os.makedirs(directory, exist_ok=True)
         moved = 0
         epoch = int(self.generation)
@@ -1097,65 +1348,19 @@ class IndexStore:
         if res is None:
             return [docid for docid, _doc in pending]
 
-        # merge: each key receives one sorted int64 segment VIEW into the
-        # section's docid array — no per-element Python cost (Posting,
-        # index/arrays.py)
-        words = res["words"]
-        word_table = self.word_docids
-        exact_table = self.exact_word_docids
-
-        # running-offset slicing with plain-int lists: numpy scalar
-        # indexing in a 300k-key loop costs more than the slices themselves
-        wid_flag, lens, docids = res["wd"]
-        ids = docids.astype(np.int64)
-        a = 0
-        for k, L in zip(wid_flag.tolist(), lens.tolist()):
-            b = a + L
-            tbl = exact_table if (k & 1) else word_table
-            tbl[words[k >> 1]].segs.append(ids[a:b])
-            a = b
-
-        wid, fid, lens, docids = res["wf"]
-        ids = docids.astype(np.int64)
-        wf_table = self.word_fid_docids
-        a = 0
-        for w, f, L in zip(wid.tolist(), fid.tolist(), lens.tolist()):
-            b = a + L
-            wf_table[(words[w], f)].segs.append(ids[a:b])
-            a = b
-
-        wid, bucket, lens, docids = res["wp"]
-        ids = docids.astype(np.int64)
-        wp_table = self.word_position_docids
-        a = 0
-        for w, bkt, L in zip(wid.tolist(), bucket.tolist(), lens.tolist()):
-            b = a + L
-            wp_table[(words[w], bkt)].segs.append(ids[a:b])
-            a = b
-
-        prox, w1, w2, lens, docids = res["pp"]
-        ids = docids.astype(np.int64)
-        pp_table = self.word_pair_proximity_docids
-        a = 0
-        for p_, aa, bb, L in zip(
-            prox.tolist(), w1.tolist(), w2.tolist(), lens.tolist()
-        ):
-            b = a + L
-            pp_table[(p_, words[aa], words[bb])].segs.append(ids[a:b])
-            a = b
-
-        fid, count, lens, docids = res["fc"]
-        ids = docids.astype(np.int64)
-        fc_table = self.field_id_word_count_docids
-        a = 0
-        for f, c, L in zip(fid.tolist(), count.tolist(), lens.tolist()):
-            b = a + L
-            fc_table[(f, c)].segs.append(ids[a:b])
-            a = b
-
+        # defer the merge: the run (grouped key/len/docid columns + local
+        # vocabulary, zero-copy views into the native buffer) buffers until
+        # _merge_runs folds every pending run in one vectorized pass
+        self._token_runs.append(res)
+        self._run_docids.update(d for d, _doc in pending)
         return [int(x) for x in res["fallback"]]
 
     def _remove_document_content(self, docid: int, doc: dict) -> None:
+        if self._run_docids and docid in self._run_docids:
+            # the doc's postings still sit in unmerged bulk runs where
+            # per-key discards can't reach them — fold the runs first
+            self._merge_runs()
+
         def discard(table: dict, key):
             s = table.get(key)
             if s is not None:
@@ -1285,13 +1490,19 @@ class IndexStore:
         """
         scalars = _SCALAR_TYPES
         fdec: dict[str, Any] = {}
-        norm_cache: dict[str, tuple[str, str]] = {}
         exists_cols: dict[int, list[int]] = defaultdict(list)
         null_cols: dict[int, list[int]] = defaultdict(list)
         empty_cols: dict[int, list[int]] = defaultdict(list)
         num_cols: dict[int, tuple[list[int], list[float]]] = {}
-        str_cols: dict[tuple[int, str], list[int]] = defaultdict(list)
-        str_orig: dict[tuple[int, str], str] = {}
+        # string facets, columnar: norms intern into a run-local id space
+        # (norm_list/orig_list aligned); the value cache folds raw-value ->
+        # nid so the common repeated-value case is one dict probe
+        nid_cache: dict[Any, int] = {}
+        norm_list: list[str] = []
+        orig_list: list[str] = []
+        fs_fid: list[int] = []
+        fs_nid: list[int] = []
+        fs_docid: list[int] = []
         docid_nums = self.docid_facet_numbers
         docid_strs = self.docid_facet_strings
         id_or_insert = self.fields_ids_map.id_or_insert
@@ -1324,8 +1535,14 @@ class IndexStore:
                     null_cols[fid].append(docid)
                 elif tv is bool:
                     norm = "true" if value else "false"
-                    str_cols[(fid, norm)].append(docid)
-                    str_orig.setdefault((fid, norm), norm)
+                    nid = nid_cache.get(value)
+                    if nid is None:
+                        nid = nid_cache[value] = len(norm_list)
+                        norm_list.append(norm)
+                        orig_list.append(norm)
+                    fs_fid.append(fid)
+                    fs_nid.append(nid)
+                    fs_docid.append(docid)
                     docid_strs[(fid, docid)] = [(norm, norm)]
                 elif tv is int or tv is float:
                     f = float(value)
@@ -1339,39 +1556,36 @@ class IndexStore:
                 elif value == "":
                     empty_cols[fid].append(docid)
                 else:
-                    cached = norm_cache.get(value)
-                    if cached is None:
-                        cached = (
-                            facet_string_normalize(value),
-                            truncate_facet_string(value),
-                        )
-                        norm_cache[value] = cached
-                    norm, orig = cached
-                    str_cols[(fid, norm)].append(docid)
-                    str_orig.setdefault((fid, norm), orig)
-                    docid_strs[(fid, docid)] = [(norm, orig)]
+                    nid = nid_cache.get(value)
+                    if nid is None:
+                        nid = nid_cache[value] = len(norm_list)
+                        norm_list.append(facet_string_normalize(value))
+                        orig_list.append(truncate_facet_string(value))
+                    fs_fid.append(fid)
+                    fs_nid.append(nid)
+                    fs_docid.append(docid)
+                    docid_strs[(fid, docid)] = [(norm_list[nid], orig_list[nid])]
+        # exists/null/empty: fresh ascending docids land as whole segments
         for fid, col in exists_cols.items():
-            self.facet_exists_docids[fid].update(col)
+            self.facet_exists_docids[fid].add_segment(
+                np.asarray(col, dtype=np.int64)
+            )
         for fid, col in null_cols.items():
-            self.facet_is_null_docids[fid].update(col)
+            self.facet_is_null_docids[fid].add_segment(
+                np.asarray(col, dtype=np.int64)
+            )
         for fid, col in empty_cols.items():
-            self.facet_is_empty_docids[fid].update(col)
-        for (fid, norm), col in str_cols.items():
-            self.facet_string_docids[fid][norm].update(col)
-        for key, orig in str_orig.items():
-            self.facet_string_original.setdefault(key, orig)
-        for fid, (dcol, vcol) in num_cols.items():
-            table = self.facet_number_docids[fid]
-            # group docids per distinct value: one Posting.update per
-            # value instead of one .add per (doc, value) pair
-            varr = np.asarray(vcol)
-            darr = np.asarray(dcol, dtype=np.int64)
-            order = np.argsort(varr, kind="stable")
-            varr, darr = varr[order], darr[order]
-            uniq, starts = np.unique(varr, return_index=True)
-            bounds = np.append(starts[1:], len(varr))
-            for i, v in enumerate(uniq.tolist()):
-                table[v].update(darr[starts[i] : bounds[i]].tolist())
+            self.facet_is_empty_docids[fid].add_segment(
+                np.asarray(col, dtype=np.int64)
+            )
+        if norm_list or num_cols:
+            self._facet_runs.append(
+                {
+                    "str": (norm_list, orig_list, fs_fid, fs_nid, fs_docid),
+                    "num": num_cols,
+                }
+            )
+            self._run_docids.update(d for d, _doc in pending)
 
     def _index_vectors(self, docid: int, doc: dict) -> None:
         vectors = doc.get(RESERVED_VECTORS_FIELD)
