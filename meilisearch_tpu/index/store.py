@@ -464,21 +464,33 @@ class IndexStore:
             self.end_bulk()
 
     def _merge_runs(self) -> None:
-        """Fold every pending run into the posting dicts, vectorized.
+        """Fold every pending run into the posting tables.
 
-        Keys across all runs are encoded as int64 codes (words interned
-        into a merge-local vocabulary), expanded per docid, sorted once,
-        and grouped; each group lands as one sorted segment view
-        (arrays.Posting.segs) — one dict access per DISTINCT key per
-        merge instead of per key per chunk. Docid order inside a group is
-        ascending because fresh docids grow monotonically and runs are
-        chronological."""
+        Large merges (bulk ingest) take the RunsBase path: per-run
+        DISTINCT keys sort once into code columns and the tables become
+        RunsPostingTables — zero per-key Python (index/runs.py). Small
+        merges and packed-boot targets fold per key: int64 key codes
+        expanded per docid, sorted, grouped, one dict access per distinct
+        key. Docid order inside a group is ascending because fresh docids
+        grow monotonically and runs are chronological."""
         runs, fruns = self._token_runs, self._facet_runs
         if not runs and not fruns:
             return
         self._token_runs = []
         self._facet_runs = []
         self._run_docids = set()
+        if runs:
+            from .runs import merge_token_runs, tables_eligible
+
+            total_rows = sum(len(r["wd"][-1]) for r in runs)
+            if total_rows >= 150_000 and tables_eligible(self):
+                merge_token_runs(self, runs)
+                runs = []
+        self._merge_runs_perkey(runs, fruns)
+
+    def _merge_runs_perkey(self, runs: list, fruns: list) -> None:
+        if not runs and not fruns:
+            return
 
         def grouped(key_parts: list, id_parts: list):
             keys = np.concatenate(key_parts)
@@ -644,9 +656,32 @@ class IndexStore:
                 varr = np.concatenate(vcols)
                 order = np.argsort(varr, kind="stable")
                 darr, varr = darr[order], varr[order]
+                table = self.facet_number_docids[fid]
+                if (
+                    len(varr) > 20_000
+                    and isinstance(table, dict)
+                    and not table
+                ):
+                    # high-cardinality fid (timestamps, ids): the grouped
+                    # columns ARE the packed-v3 facet layout — serve them
+                    # lazily instead of exploding one Posting per value
+                    from .lazy_tables import LazyFacetTable
+
+                    bounds = np.flatnonzero(varr[1:] != varr[:-1]) + 1
+                    offsets = np.empty(len(bounds) + 2, dtype=np.int64)
+                    offsets[0] = 0
+                    offsets[1:-1] = bounds
+                    offsets[-1] = len(varr)
+                    uniq = varr[offsets[:-1]]
+                    self.facet_number_docids[fid] = LazyFacetTable(
+                        lambda i, _u=uniq: float(_u[i]),
+                        darr.astype(np.int64),
+                        offsets,
+                        lambda _u=uniq: _u.tolist(),
+                    )
+                    continue
                 uniq, ustarts = np.unique(varr, return_index=True)
                 ubounds = np.append(ustarts[1:], len(varr))
-                table = self.facet_number_docids[fid]
                 for v, s, e in zip(
                     uniq.tolist(), ustarts.tolist(), ubounds.tolist()
                 ):
@@ -928,6 +963,12 @@ class IndexStore:
 
         def spill_table(table, path):
             nonlocal moved
+            from .runs import RunsPostingTable
+
+            if isinstance(table, RunsPostingTable):
+                # merged bulk bases: move the run docid columns wholesale
+                moved += table.spill(path)
+                return
             if not isinstance(table, dict) or not table:
                 return  # lazy packed tables already serve from mmap
             parts = []
