@@ -150,7 +150,16 @@ def normalize_word(text: str, lang: Optional[str] = None) -> str:
     if lang == "ell":
         # fold AFTER lowercasing: Python lower() maps a final Σ to ς
         return _strip_marks(text).lower().replace("ς", "σ")
-    return _strip_marks(text).lower()
+    out = _strip_marks(text).lower()
+    if any("֐" <= ch <= "׿" for ch in text):
+        # Hebrew: niqqud went with the combining marks above; fold the
+        # five final letter forms onto their base forms so word-final
+        # spellings match mid-word queries (charabia's hebrew normalizer)
+        out = out.translate(_HEBREW_FINALS)
+    return out
+
+
+_HEBREW_FINALS = str.maketrans("ךםןףץ", "כמנפצ")
 
 
 # script classes for segmentation (charabia Script detection equivalent)
