@@ -331,7 +331,14 @@ def main():
     lat.sort()
     p50_ms = lat[len(lat) // 2] * 1000
 
-    # concurrent phase: the serving metric
+    # concurrent phase: the serving metric. Serving-attribution counters
+    # reset here so the JSON can prove WHERE the concurrent window's
+    # queries were served (VERDICT r4 weak #3: the round-4 artifact could
+    # not attribute its own 11x regression — every query silently paid
+    # device + host via the inexact-flag fallback).
+    from meilisearch_tpu.search.device_batch import serving_stats
+
+    serving_stats(reset=True)
     stop_at = time.perf_counter() + seconds
     done = [0] * clients
 
@@ -352,6 +359,7 @@ def main():
     for t in threads:
         t.join()
     conc_qps = sum(done) / (time.perf_counter() - t0)
+    conc_serving = serving_stats(reset=True)
 
     # post-write warm latency (VERDICT r2 #2): a MINOR write must not
     # flush the device snapshot — queries right after an add should stay
@@ -424,6 +432,8 @@ def main():
         "kernel_warm_s": round(warm_s, 2),
         "inprocess_device_qps": round(inproc_qps, 2),
         "post_write_warm_ms": round(post_write_ms[len(post_write_ms) // 2], 1),
+        "select_mode": os.environ.get("MEILI_TPU_SELECT", "topk2"),
+        "serving": conc_serving,
     }
     if hybrid is not None:
         result["hybrid"] = hybrid

@@ -96,11 +96,42 @@ def probe_layout(B: int, D: int, k: int, rt: float):
         return None
 
 
-def _peel_select(f, k: int, rt: float, rounds: int, D: int, G: int, l: int):
+def emulate_partial_reduce(G: int, l: int, D: int):
+    """CPU stand-in for `approx_min_k(…, aggregate_to_topk=False)` with
+    the probed TPU shard layout: positions partition into l shards (G
+    groups of D/G contiguous positions, strided mod l/G within a group);
+    slot j returns shard j's running minimum and its position. Pure JAX —
+    lets tests exercise the peel/validation/decode logic without TPU
+    hardware (the hardware probe itself stays hardware-only)."""
+    C = l // G
+    depth = D // l
+
+    def reduce_fn(x, k, rt):
+        B = x.shape[0]
+        xr = x.reshape(B, G, depth, C)
+        v = jnp.min(xr, axis=2)
+        dep = jnp.argmin(xr, axis=2).astype(jnp.int32)
+        g = jnp.arange(G, dtype=jnp.int32)[None, :, None]
+        c = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        pos = g * (D // G) + dep * C + c
+        return v.reshape(B, l), pos.reshape(B, l)
+
+    return reduce_fn
+
+
+def _hw_reduce(x, k, rt):
+    x = jax.lax.optimization_barrier(x)
+    return jax.lax.approx_min_k(x, k, recall_target=rt, aggregate_to_topk=False)
+
+
+def _peel_select(
+    f, k: int, rt: float, rounds: int, D: int, G: int, l: int, reduce_fn=None
+):
     """f: (B, D) bitcast-mono float32. Returns (idx (B, k), val (B, k) int,
     cand_v (B, rounds*l) int): the k smallest values (ties arbitrary) plus
     every candidate the rounds surfaced (disjoint elements by construction,
-    so validation can count them without dedup).
+    so validation can count them without dedup). `reduce_fn` defaults to
+    the hardware PartialReduce; tests inject `emulate_partial_reduce`.
 
     Shard-interleave: the op partitions POSITIONS into l shards (G groups
     of D/G contiguous, strided mod l/G within a group), so winners that

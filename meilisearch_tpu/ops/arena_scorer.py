@@ -259,7 +259,13 @@ def planes_chain_topk(
         and backend_kind(wait_s=30.0) not in (None, "", "cpu")
     )
     if use_pallas:
-        select = os.environ.get("MEILI_TPU_SELECT", "approx")
+        # topk2 is the production default: the approx (PartialReduce)
+        # selection flagged ~all 1M-doc queries inexact in round 4
+        # (BENCH_r04: 12.4 QPS vs 141.8 with topk2 — every flagged query
+        # paid device + host). approx stays an opt-in experiment until it
+        # beats topk2 END-TO-END on hardware (bench.py reports the
+        # exact_flag_rate / host_fallbacks needed to prove it).
+        select = os.environ.get("MEILI_TPU_SELECT", "topk2")
         G = L = 0
         if select == "approx":
             from .approx_select import approx_rt, probe_layout
