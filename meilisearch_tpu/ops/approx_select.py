@@ -141,6 +141,8 @@ def _peel_select(
     reshape/transpose (no gather) re-lays element d at a position whose
     shard is exactly d mod l, spreading any position-clustered winner set
     across ALL l shards; indices map back arithmetically."""
+    if reduce_fn is None:
+        reduce_fn = _hw_reduce
     B = f.shape[0]
     C = l // G
     depth = D // l
@@ -149,10 +151,7 @@ def _peel_select(
     f = f.reshape(B, depth, G, C).transpose(0, 2, 1, 3).reshape(B, D)
     cands_v, cands_i = [], []
     for r in range(rounds):
-        f = jax.lax.optimization_barrier(f)
-        v, i = jax.lax.approx_min_k(
-            f, k, recall_target=rt, aggregate_to_topk=False
-        )
+        v, i = reduce_fn(f, k, rt)
         cands_v.append(v)
         cands_i.append(i)
         if r + 1 < rounds:
@@ -174,7 +173,15 @@ def _peel_select(
 
 
 def select_approx(
-    keys, sel_key, qsort, k: int, rt: float, rounds: int, G: int, l: int
+    keys,
+    sel_key,
+    qsort,
+    k: int,
+    rt: float,
+    rounds: int,
+    G: int,
+    l: int,
+    reduce_fn=None,
 ):
     """Both selection passes on PartialReduce. Returns
     (idx1, key1, idx2, key2, exact) matching the top_k contract:
@@ -186,7 +193,7 @@ def select_approx(
     sh = max((D - 1).bit_length(), 1)
 
     f = _f32_mono(sel_key)
-    idx1, val1, cv1 = _peel_select(f, k, rt, rounds, D, G, l)
+    idx1, val1, cv1 = _peel_select(f, k, rt, rounds, D, G, l, reduce_fn)
     kth = val1[:, k - 1]
     n_lt = jnp.sum((sel_key < kth[:, None]).astype(jnp.int32), axis=1)
     c_lt = jnp.sum((cv1 < kth[:, None]).astype(jnp.int32), axis=1)
@@ -199,7 +206,9 @@ def select_approx(
     iota = jnp.arange(D, dtype=jnp.int32)[None, :]
     comp = (qsort << sh) | iota
     t = jnp.where(sel_key == kth[:, None], comp, jnp.int32(INVALID))
-    idx2r, val2, cv2 = _peel_select(_f32_mono(t), k, rt, rounds, D, G, l)
+    idx2r, val2, cv2 = _peel_select(
+        _f32_mono(t), k, rt, rounds, D, G, l, reduce_fn
+    )
     kth2 = val2[:, k - 1]
     n_lt2 = jnp.sum((t < kth2[:, None]).astype(jnp.int32), axis=1)
     c_lt2 = jnp.sum((cv2 < kth2[:, None]).astype(jnp.int32), axis=1)
