@@ -188,7 +188,12 @@ def select_approx(
       idx1/key1: the k smallest sel_key docs (all docs strictly below the
                  kth value are present when exact), full keys gathered;
       idx2/key2: the kth tie class's (qsort, docid)-ordered prefix;
-      exact:     (B,) int32 1 when both passes validated exact."""
+      exact:     (B,) int32 — 2 when both passes validated exact, 1 when
+                 only pass 1 did (every strictly-below-kth doc is present
+                 and correctly ordered, but the kth tie class may be
+                 missing members: pages inside the below-kth prefix are
+                 servable, pages touching the tie class are not), 0 when
+                 even pass 1 is unproven (host re-run required)."""
     B, D = keys.shape
     sh = max((D - 1).bit_length(), 1)
 
@@ -225,8 +230,9 @@ def select_approx(
     # strictly below kth, so pass 1's validation alone proves the page
     # (pass 2 "selected" among dead docs, which the host merge filters
     # by key >= INVALID) — don't let dead-doc shard collisions flag it
-    exact = (exact1 & (exact2 | (kth == jnp.int32(INVALID)))).astype(
-        jnp.int32
+    full = exact2 | (kth == jnp.int32(INVALID))
+    exact = jnp.where(
+        exact1, jnp.where(full, jnp.int32(2), jnp.int32(1)), jnp.int32(0)
     )
     return idx1.astype(jnp.int32), key1, idx2.astype(jnp.int32), key2, exact
 

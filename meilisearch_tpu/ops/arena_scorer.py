@@ -348,7 +348,10 @@ def _planes_chain_topk_fused(
 
     sel_key = jnp.where(use_sort[:, None], keys & ~low_mask, keys)
     qsort = (_unpack_lanes(byte_pool[sort_rows], D) + 128) & 255  # (B, D)
-    exact = jnp.ones((B,), jnp.int32)
+    # exact is tri-state (approx_select.select_approx): 2 = both passes
+    # proven, 1 = strictly-below-kth prefix proven only, 0 = host re-run.
+    # The top_k / sort selections are exact by construction -> 2.
+    exact = jnp.full((B,), 2, jnp.int32)
     if select == "approx":
         from .approx_select import approx_rounds, approx_rt, select_approx
 
@@ -647,13 +650,18 @@ def packed_chain_dp_np(
 
 
 def merge_topk_host(
-    idx1, key1, idx2, key2, count, k, delta_ids=None, delta_keys=None
+    idx1, key1, idx2, key2, count, k, delta_ids=None, delta_keys=None,
+    tie_proven=True,
 ):
     """Exact ordered top-k from the kernel's two candidate lists plus the
     host-scored delta overlay (numpy). Returns (docids int32 padded with
     -1, n_exact, total): docids ascend by (key, docid); positions past
     n_exact are not proven (a truncated kth-tie class may be missing base
-    members that precede them)."""
+    members that precede them). tie_proven=False means the device could
+    not validate the kth tie class at all (approx_select exact==1): the
+    proven prefix caps at the strictly-below-kth run — every below-kth
+    base doc is present and the delta overlay is always complete, so that
+    prefix's order is exact; the first kth-valued position is not."""
     import numpy as np
 
     invalid_key = np.int32(INVALID_KEY)
@@ -678,11 +686,14 @@ def merge_topk_host(
 
     n_exact = k
     n_tie = int(np.count_nonzero(key2 < invalid_key))
-    if count > k and n_tie >= k:
+    kth = int(key1[k - 1]) if len(key1) >= k else None
+    if not tie_proven:
+        if kth is not None and kth < invalid_key:
+            n_exact = int(np.count_nonzero(key_o < kth))
+    elif count > k and n_tie >= k:
         # the kth-tie class was truncated at its k lowest docids; entries
         # of that class past the included-docid frontier may be preceded
         # by missing base members
-        kth = int(key1[k - 1]) if len(key1) >= k else None
         if kth is not None and kth < invalid_key:
             tie_dev = idx2[key2 < invalid_key]
             frontier = int(tie_dev.max()) if len(tie_dev) else -1
@@ -698,7 +709,7 @@ def merge_topk_host(
 
 def merge_topk_sort_host(
     idx1, key1, idx2, key2, count, k, T, sort_key_rows, qsort_of,
-    delta_ids=None, delta_keys=None,
+    delta_ids=None, delta_keys=None, tie_proven=True,
 ):
     """Exact ordered top-k for a SORT query (numpy). The kernel selected on
     the above-sort key portion; the final order is (above-sort key bits,
@@ -749,7 +760,14 @@ def merge_topk_sort_host(
     # valid idx2 entries all belong to the kth bucket; if fewer than k came
     # back the bucket is complete and everything is exact
     truncated = int(np.count_nonzero(key2 < invalid_key)) >= k
-    if not truncated or count <= k or kth is None:
+    if not tie_proven:
+        # the device could not validate the kth bucket's membership at
+        # all (approx_select exact==1): only the strictly-below-kth
+        # prefix is proven (pass 1 complete + delta always complete)
+        n_exact = (
+            int(np.count_nonzero(hi_o < kth)) if kth is not None else k
+        )
+    elif not truncated or count <= k or kth is None:
         n_exact = k
     else:
         in_kth = hi_o == kth

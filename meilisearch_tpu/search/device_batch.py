@@ -1179,10 +1179,17 @@ def execute_device_batch(
     results: list[Optional[SearchResult]] = []
     for i in range(n_real):
         d = real[i]
-        if exact is not None and not int(exact[i]):
+        # tri-state exactness from the approx selection (0 = nothing
+        # proven -> host re-run; 1 = strictly-below-kth prefix proven ->
+        # serve pages inside it, merge with tie_proven=False; 2 = fully
+        # proven). topk2/sort selections always emit 2.
+        ex = int(exact[i]) if exact is not None else 2
+        if ex == 0:
             _stats_add(inexact_flags=1)
             results.append(None)
             continue
+        if ex == 1:
+            _stats_add(inexact_flags=1)
         count = int(counts[i])
         d_ids, d_keys = EMPTY, None
         if len(delta_live):
@@ -1206,11 +1213,13 @@ def execute_device_batch(
                 idx1[i], key1[i], idx2[i], key2[i], count, TOPK, T,
                 sort_key_rows, qsort_of,
                 delta_ids=d_ids, delta_keys=d_keys,
+                tie_proven=(ex == 2),
             )
         else:
             ranked, n_exact, total = merge_topk_host(
                 idx1[i], key1[i], idx2[i], key2[i], count, TOPK,
                 delta_ids=d_ids, delta_keys=d_keys,
+                tie_proven=(ex == 2),
             )
         results.append(
             _finish_device_result(

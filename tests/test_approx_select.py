@@ -13,10 +13,12 @@ The contract under test is the `topk2` branch of
   * pass 1 returns every doc whose sel_key is STRICTLY below the kth
     value (ties at the kth value may be arbitrary — pass 2 owns them);
   * pass 2 returns the kth tie class ordered by (qsort, docid) asc;
-  * `exact` == 1 only when validation PROVES both passes complete.
-    A false exact=1 would serve a wrong page; a false exact=0 merely
-    costs a host re-run. The critical property is: corrupted or
-    overflowed results are NEVER reported exact.
+  * `exact` is tri-state: 2 only when validation PROVES both passes
+    complete, 1 when only pass 1 is proven (the strictly-below-kth
+    prefix is servable; the kth tie class is not), 0 when nothing is.
+    A false 2 would serve a wrong page; a false 0 merely costs a host
+    re-run. The critical property is: corrupted or overflowed results
+    are NEVER reported more exact than they are.
 """
 
 import jax.numpy as jnp
@@ -92,7 +94,7 @@ def _run(sel_key, qsort, keys=None, reduce_fn=None, rounds=ROUNDS):
 def _assert_matches_reference(sel_key, qsort, idx1, idx2, key2, exact):
     ref = _naive_reference(sel_key, qsort, K)
     for b in range(sel_key.shape[0]):
-        assert exact[b] == 1, f"query {b} flagged inexact on clean data"
+        assert exact[b] == 2, f"query {b} flagged inexact on clean data"
         kth, below, tie_prefix = ref[b]
         got_below = {
             int(i) for i in idx1[b] if sel_key[b][int(i)] < kth
@@ -182,7 +184,7 @@ def test_exact_on_100k_tie_class_production_ratio():
         reduce_fn=emulate_partial_reduce(Gp, Lp, Dp),
     )
     exact = np.asarray(exact)
-    assert exact[0] == 1, "100k tie class flagged inexact"
+    assert exact[0] == 2, "100k tie class flagged inexact"
     # kth == 9 (the tie value); pass 2 must return the first kp members
     # in (qsort, docid) ascending order
     tie = np.flatnonzero(sel_key[0] == 9)
@@ -234,7 +236,7 @@ def test_validation_never_exact_on_corrupted_reduce(seed):
     idx1, key1, idx2, key2, exact = _run(
         sel_key, qsort, reduce_fn=_emu(corrupt=lambda v, i: corrupt(v, i))
     )
-    assert not exact.any(), "validation blessed a corrupted selection"
+    assert (exact == 0).all(), "validation blessed a corrupted selection"
 
 
 def test_fewer_than_k_candidates():
@@ -250,9 +252,60 @@ def test_fewer_than_k_candidates():
     qsort = rng.integers(0, 256, size=(B, D), dtype=np.int32)
     idx1, key1, idx2, key2, exact = _run(sel_key, qsort)
     for b in range(B):
-        assert exact[b] == 1
+        assert exact[b] == 2
         got = {int(i) for i in idx1[b] if sel_key[b][int(i)] < INVALID}
         assert got == set(np.flatnonzero(sel_key[b] < INVALID).tolist())
+
+
+def test_pass2_corruption_gives_partial_exact():
+    # Corrupt ONLY pass 2 (the tie-class selection): exact must drop to
+    # 1 — the strictly-below-kth prefix stays proven and served, the
+    # tie class does not.
+    rng = np.random.default_rng(20)
+    sel_key = np.full((1, D), 50, dtype=np.int32)
+    sel_key[0, rng.choice(D, size=K // 2, replace=False)] = 10  # below kth
+    qsort = rng.integers(0, 256, size=(1, D), dtype=np.int32)
+
+    calls = {"n": 0}
+    base = _emu()
+
+    def reduce_fn(x, k, rt):
+        v, i = base(x, k, rt)
+        calls["n"] += 1
+        if calls["n"] > ROUNDS:  # pass 2's rounds
+            big = _f32_mono(jnp.int32(INVALID - 1))
+            v = jnp.where(jnp.arange(v.shape[1]) % 2 == 0, big, v)
+        return v, i
+
+    idx1, key1, idx2, key2, exact = _run(sel_key, qsort, reduce_fn=reduce_fn)
+    assert exact[0] == 1, "pass-2 corruption must yield partial exact"
+    # pass 1's strict-below set is still complete
+    below = set(np.flatnonzero(sel_key[0] < 50).tolist())
+    got = {int(i) for i in idx1[0] if sel_key[0][int(i)] < 50}
+    assert got == below
+
+
+def test_merge_topk_host_tie_unproven_caps_prefix():
+    # tie_proven=False caps n_exact at the strictly-below-kth run, so a
+    # page inside that prefix serves and one touching the tie class
+    # falls back (device_batch passes tie_proven=(exact==2)).
+    from meilisearch_tpu.ops.arena_scorer import merge_topk_host
+
+    k = 8
+    # 3 docs strictly below the kth value (5), tie class fills the rest
+    key1 = np.array([1, 2, 3, 5, 5, 5, 5, 5], dtype=np.int32)
+    idx1 = np.array([30, 10, 20, 40, 41, 42, 43, 44], dtype=np.int32)
+    key2 = np.full(k, 5, dtype=np.int32)
+    idx2 = np.array([40, 41, 42, 43, 44, 45, 46, 47], dtype=np.int32)
+    ranked, n_exact, total = merge_topk_host(
+        idx1, key1, idx2, key2, count=100, k=k, tie_proven=False
+    )
+    assert n_exact == 3
+    assert ranked[:3].tolist() == [30, 10, 20]
+    ranked2, n_exact2, _ = merge_topk_host(
+        idx1, key1, idx2, key2, count=100, k=k, tie_proven=True
+    )
+    assert n_exact2 >= n_exact
 
 
 def test_peel_surfaces_shard_depth():
