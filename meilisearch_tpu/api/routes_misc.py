@@ -753,11 +753,12 @@ def register_misc_routes(app):
             )
         redacted = dict(ws)
         if redacted.get("apiKey"):
-            # reference features.rs hide_secret: keep a length-scaled prefix
+            # reference features.rs hide_secret: keep a length-scaled
+            # prefix, then a fixed per-bucket run of X's (3/4/5/6)
             secret = str(redacted["apiKey"])
             n = len(secret)
             keep = 0 if n < 10 else 2 if n < 20 else 3 if n < 30 else 5
-            xs = 3 if keep == 0 else keep + 2
+            xs = 3 if keep == 0 else 6 if keep == 5 else keep + 2
             redacted["apiKey"] = secret[:keep] + "X" * xs + "..."
         return redacted
 

@@ -2,10 +2,11 @@
 
 Reference: crates/meilisearch/src/search_queue.rs — `parallelism` permits
 run concurrently (one per core); excess requests WAIT in a queue bounded
-by `capacity`. When the queue is full, the OLDEST waiter is bumped with
-`too_many_search_requests` (503 + Retry-After: 10) so the newest requests
-— the ones a user is still looking at — are preferred. A zero capacity
-refuses any waiting immediately. Waiters also abort after `drop_after_s`
+by `capacity`. When the queue is full, a RANDOM waiter is bumped with
+`too_many_search_requests` (503 + Retry-After: 10), and a freed permit is
+handed to a RANDOM waiter (search_queue.rs:135,162: rng.gen_range +
+swap_remove — randomness avoids starving any arrival position under
+sustained overload). A zero capacity refuses any waiting immediately. Waiters also abort after `drop_after_s`
 (--experimental-drop-search-after). Semantics pinned by
 tests/golden/test_search_queue.py (port of search/search_queue.rs).
 """
@@ -13,8 +14,8 @@ tests/golden/test_search_queue.py (port of search/search_queue.rs).
 from __future__ import annotations
 
 import os
+import random
 import threading
-from collections import deque
 from contextlib import contextmanager
 
 from ..types.errors import EngineError, ErrorCode
@@ -45,7 +46,7 @@ class SearchQueue:
         self.drop_after_s = drop_after_s
         self._lock = threading.Lock()
         self._running = 0
-        self._waiters: deque[_Waiter] = deque()
+        self._waiters: list[_Waiter] = []
 
     def _error(self) -> EngineError:
         return EngineError(
@@ -65,19 +66,25 @@ class SearchQueue:
             if self.capacity == 0:
                 raise self._error()
             if len(self._waiters) >= self.capacity:
-                # bump the OLDEST waiter (search_queue.rs: newest wins)
-                old = self._waiters.popleft()
+                # bump a RANDOM waiter (search_queue.rs:162 swap_remove)
+                old = self._swap_remove(random.randrange(len(self._waiters)))
                 old.bumped = True
                 old.event.set()
             w = _Waiter()
             self._waiters.append(w)
             return w
 
+    def _swap_remove(self, i: int) -> "_Waiter":
+        w = self._waiters[i]
+        self._waiters[i] = self._waiters[-1]
+        self._waiters.pop()
+        return w
+
     def release(self) -> None:
         with self._lock:
-            # hand the permit to the oldest waiter, else free the slot
+            # hand the permit to a random waiter, else free the slot
             while self._waiters:
-                w = self._waiters.popleft()
+                w = self._swap_remove(random.randrange(len(self._waiters)))
                 if w.bumped:
                     continue
                 w.granted = True

@@ -297,6 +297,14 @@ class IndexStore:
         self._token_runs: list[dict] = []
         self._facet_runs: list[dict] = []
         self._run_docids: set[int] = set()
+        # a bulk-scoped write can take the per-document path (custom
+        # dictionary/separators, Latin localizedAttributes) and leave no
+        # runs — end_bulk must still bump the generation then, or
+        # generation-keyed caches serve pre-batch results
+        self._bulk_dirty = False
+        # bumped by every _merge_runs: add_documents' rollback marks are
+        # only valid while no mid-call merge consumed the run lists
+        self._merge_epoch = 0
 
     # ------------------------------------------------------------------
     # tokenizer / searchable config
@@ -451,9 +459,10 @@ class IndexStore:
             self._bulk_depth -= 1
             if self._bulk_depth <= 0:
                 self._bulk_depth = 0
-                if self._token_runs or self._facet_runs:
+                if self._token_runs or self._facet_runs or self._bulk_dirty:
                     self._merge_runs()
                     self._bump()
+                self._bulk_dirty = False
 
     @contextmanager
     def bulk(self):
@@ -476,6 +485,7 @@ class IndexStore:
         runs, fruns = self._token_runs, self._facet_runs
         if not runs and not fruns:
             return
+        self._merge_epoch += 1
         self._token_runs = []
         self._facet_runs = []
         self._run_docids = set()
@@ -705,6 +715,7 @@ class IndexStore:
             # (fresh docids >= call_start_docid live only in those runs)
             tr_mark = len(self._token_runs)
             fr_mark = len(self._facet_runs)
+            epoch0 = self._merge_epoch
             call_start_docid = self._next_docid
             # minor-write tracking: touched docids + docs, abandoned the
             # moment the batch outgrows the delta cap (bulk ingests must
@@ -747,7 +758,15 @@ class IndexStore:
                 for d, dd in pending:
                     if d in fallback:
                         self._index_document_tokens(d, dd)
+                fr0 = len(self._facet_runs)
                 self._index_facets_batch(pending)
+                if len(self._facet_runs) > fr0:
+                    # facet postings buffered in a run: a replace of one
+                    # of these docs must fold the runs first (per-key
+                    # discards can't reach run content) — even when the
+                    # token side fell back per-document and never
+                    # registered the docids itself
+                    self._run_docids.update(d for d, _doc in pending)
                 for d, dd in pending:
                     self._index_vectors(d, dd)
                     self._index_geo(d, dd)
@@ -769,8 +788,20 @@ class IndexStore:
                         # are no-ops for content that never landed
                         pending.clear()
                         pending_ids.clear()
-                        del self._token_runs[tr_mark:]
-                        del self._facet_runs[fr_mark:]
+                        if self._merge_epoch != epoch0:
+                            # a mid-call _merge_runs (replace of a doc
+                            # whose postings sat in unmerged runs) reset
+                            # the run lists: the marks are stale, and
+                            # EVERY run still pending was appended by
+                            # this call after that merge — drop them all
+                            # (this call's pre-merge content is in the
+                            # tables now, where rollback's per-key
+                            # discards reach it)
+                            self._token_runs.clear()
+                            self._facet_runs.clear()
+                        else:
+                            del self._token_runs[tr_mark:]
+                            del self._facet_runs[fr_mark:]
                         if self._run_docids:
                             self._run_docids = {
                                 d
@@ -781,6 +812,8 @@ class IndexStore:
                         if self._bulk_depth == 0:
                             self._merge_runs()
                             self._bump()
+                        else:
+                            self._bulk_dirty = True
                         raise AbortedProcessing()
                     received += 1
                     if self.primary_key is None:
@@ -841,6 +874,8 @@ class IndexStore:
                     )
                 else:
                     self._bump()
+            elif received:
+                self._bulk_dirty = True
             return received, received
 
     def _rollback_documents(self, applied: list) -> None:
