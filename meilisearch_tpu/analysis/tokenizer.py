@@ -156,6 +156,12 @@ def normalize_word(text: str, lang: Optional[str] = None) -> str:
         # five final letter forms onto their base forms so word-final
         # spellings match mid-word queries (charabia's hebrew normalizer)
         out = out.translate(_HEBREW_FINALS)
+    if "ς" in out:
+        # Greek: final sigma folds onto σ for Greek-script text even
+        # without a declared locale (charabia's greek normalizer runs on
+        # script detection; ς exists only in Greek so the char test IS
+        # the script test — and .lower() maps a capital final Σ to ς)
+        out = out.replace("ς", "σ")
     return out
 
 
@@ -167,6 +173,7 @@ _HAN = 1  # Chinese hanzi / Japanese kanji
 _KANA = 2  # hiragana + katakana
 _HANGUL = 3
 _THAI = 4
+_KHMER = 5
 
 _SCRIPT_RANGES = (
     (0x4E00, 0x9FFF, _HAN),
@@ -178,6 +185,7 @@ _SCRIPT_RANGES = (
     (0xAC00, 0xD7AF, _HANGUL),
     (0x1100, 0x11FF, _HANGUL),  # jamo
     (0x0E00, 0x0E7F, _THAI),
+    (0x1780, 0x17FF, _KHMER),
 )
 
 
@@ -223,6 +231,34 @@ def _han_segments(run: str):
     for seg in _jieba_tokenizer.lcut(run):
         yield (pos, pos + len(seg))
         pos += len(seg)
+
+
+def _khmer_syllables(run: str):
+    """Khmer orthographic-syllable segmentation (offsets into the run).
+
+    Khmer text has no inter-word spaces; the reference segments it via
+    charabia's khmer feature (milli/Cargo.toml). No Khmer dictionary
+    ships in this environment, so the unit is the orthographic syllable
+    — base consonant (U+1780-17A2) or independent vowel (U+17A3-17B3)
+    plus its coeng-stacked consonants (U+17D2 + consonant), dependent
+    vowels (U+17B6-17C5) and diacritic signs (U+17C6-17D1, U+17DD) —
+    applied identically at index and query time, like the Thai
+    grapheme-cluster strategy above."""
+    n = len(run)
+    i = 0
+    COENG = 0x17D2
+    while i < n:
+        j = i + 1
+        while j < n:
+            cp = ord(run[j])
+            if cp == COENG and j + 1 < n and 0x1780 <= ord(run[j + 1]) <= 0x17A2:
+                j += 2  # stacked subscript consonant
+            elif 0x17B6 <= cp <= 0x17D1 or cp == 0x17DD:
+                j += 1  # dependent vowel / sign
+            else:
+                break
+        yield (i, j)
+        i = j
 
 
 def _kana_subruns(run: str):
@@ -280,7 +316,7 @@ def _bigram_segments(n: int):
 # pipelines differ (reference meilisearch-types/src/locales.rs lists both)
 _LOCALE_ALIASES = {
     "ja": "jpn", "zh": "cmn", "zho": "cmn", "sv": "swe", "de": "deu",
-    "el": "ell", "he": "heb", "ko": "kor", "th": "tha",
+    "el": "ell", "he": "heb", "ko": "kor", "th": "tha", "km": "khm",
 }
 
 
@@ -440,6 +476,11 @@ class Tokenizer:
                     # overlapping bigrams (no ja dictionary available;
                     # identical at index and query time)
                     for s, e in _kana_segments(run):
+                        yield (i + s, i + e, True)
+                elif script == _KHMER:
+                    # orthographic syllables (no Khmer dictionary in
+                    # this environment; identical at index + query time)
+                    for s, e in _khmer_syllables(run):
                         yield (i + s, i + e, True)
                 elif script == _THAI:
                     # no Thai dictionary available: grapheme-cluster

@@ -9,8 +9,9 @@ from all queries are merged by weighted ranking score, each annotated with
 
 from __future__ import annotations
 
+import os
 import time
-from typing import Any
+from typing import Any, Optional
 
 from ..search.perform import build_hits, perform_search
 from ..types.errors import EngineError, ErrorCode
@@ -219,12 +220,16 @@ def perform_multi_search(app, req) -> dict:
                     q["federationOptions"] = fo
                     local_queries.append((qi, q))
             if dead_end:
-                remote_errors[remote_name] = {
-                    "message": str(err),
-                    "code": "remote_bad_response",
-                    "type": "system",
-                    "link": "https://docs.meilisearch.com/errors#remote_bad_response",
-                }
+                remote_errors[remote_name] = (
+                    err.payload
+                    if isinstance(err, ProxyError)
+                    else {
+                        "message": str(err),
+                        "code": "remote_bad_response",
+                        "type": "system",
+                        "link": "https://docs.meilisearch.com/errors#remote_bad_response",
+                    }
+                )
 
     for qi, query in local_queries:
         index_uid = query.get("indexUid")
@@ -449,17 +454,95 @@ class _RemoteAvailability:
 REMOTE_AVAILABILITY = _RemoteAvailability()
 
 
+class ProxyError(Exception):
+    """A classified remote-proxy failure (reference: federated/proxy.rs
+    ProxySearchError): carries the exact {message, code, type, link}
+    surface the reference pins in its `remoteErrors` snapshots, plus
+    whether the reference's retry policy retries this class."""
+
+    def __init__(self, message: str, code: str, err_type: str, retryable: bool):
+        super().__init__(message)
+        self.retryable = retryable
+        self.payload = {
+            "message": message,
+            "code": code,
+            "type": err_type,
+            "link": f"https://docs.meilisearch.com/errors#{code}",
+        }
+
+
+def _from_remote(body) -> str:
+    """serde `Value::to_string` renders compact JSON; non-JSON bodies
+    pass through lossily (proxy.rs parse_bytes_as_error)."""
+    if body is None:
+        return ""
+    try:
+        compact = json.dumps(json.loads(body), separators=(",", ":"))
+    except Exception:
+        compact = (
+            body.decode("utf-8", "replace") if isinstance(body, bytes) else str(body)
+        )
+    return f":\n  - response from remote: {compact}"
+
+
+_HINT_CONFIG = (
+    "\n  - hint: check that the remote instance has the correct index"
+    " configuration for that request"
+    "\n  - hint: check that the `network` experimental feature is enabled"
+    " on the remote instance"
+)
+_HINT_VERSION = (
+    "\n  - hint: check that the remote instance is a Meilisearch instance"
+    " running the same version"
+)
+
+
+def _classify_http_error(status: int, body) -> ProxyError:
+    if status in (401, 403):
+        return ProxyError(
+            "could not authenticate against the remote host"
+            "\n  - hint: check that the remote instance was registered"
+            " with a valid API key having the `search` action",
+            "remote_invalid_api_key",
+            "auth",
+            retryable=False,
+        )
+    if 400 <= status < 500:
+        return ProxyError(
+            f"remote host responded with code {status}{_from_remote(body)}"
+            f"{_HINT_CONFIG}",
+            "remote_bad_request",
+            "invalid_request",
+            retryable=False,
+        )
+    return ProxyError(
+        f"remote host responded with code {status}{_from_remote(body)}",
+        "remote_remote_error",
+        "system",
+        retryable=True,
+    )
+
+
 def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
     """POST /multi-search on a remote (reference: federated/proxy.rs:16).
 
-    One transparent retry on transport errors, then the remote enters its
-    backoff window (reference proxy.rs retries + RemoteAvailability)."""
+    The reference's retry policy (proxy.rs try_json_proxy): transport
+    errors, 5xx and unparseable bodies retry (try_count=3 with capped
+    ~100 ms sleeps, then one final try); timeouts, auth failures and 4xx
+    give up immediately. All attempts share one deadline
+    (MEILI_EXPERIMENTAL_REMOTE_SEARCH_TIMEOUT_SECONDS, default 25 s).
+    Exhausted retries put the remote in its availability-backoff window."""
     import urllib.request
 
     from ..utils.http_policy import check_url_policy, guarded_urlopen
 
     base_url = remote["url"].rstrip("/")
-    REMOTE_AVAILABILITY.check(remote_name, base_url)
+    try:
+        REMOTE_AVAILABILITY.check(remote_name, base_url)
+    except ConnectionError as err:
+        raise ProxyError(
+            str(err), "remote_could_not_send_request", "system", retryable=False
+        )
     url = base_url + "/multi-search"
     check_url_policy(url)
     sub_queries = []
@@ -493,26 +576,93 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
     )
     if remote.get("searchApiKey"):
         req.add_header("Authorization", f"Bearer {remote['searchApiKey']}")
+    import socket
     import urllib.error
 
+    timeout_s = float(
+        os.environ.get("MEILI_EXPERIMENTAL_REMOTE_SEARCH_TIMEOUT_SECONDS", "25")
+    )
+    deadline = time.monotonic() + timeout_s
     data = None
-    for attempt in range(2):
-        try:
-            with guarded_urlopen(req, timeout=30) as resp:
-                data = json.loads(resp.read().decode("utf-8"))
-            REMOTE_AVAILABILITY.record_success(base_url)
+    last_err: Optional[ProxyError] = None
+    _timeout_err = ProxyError(
+        "remote host did not answer before the deadline",
+        "remote_timeout",
+        "system",
+        retryable=False,
+    )
+    for attempt in range(4):  # try_count=3 retries + the final attempt
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            last_err = _timeout_err
             break
-        except urllib.error.HTTPError:
-            # an HTTP status means the remote answered: no retry, no backoff
-            raise
+        try:
+            with guarded_urlopen(req, timeout=remaining) as resp:
+                raw = resp.read()
+        except urllib.error.HTTPError as err:
+            try:
+                body = err.read()
+            except Exception:
+                body = None
+            last_err = _classify_http_error(err.code, body)
+        except (socket.timeout, TimeoutError):
+            last_err = _timeout_err
+        except urllib.error.URLError as err:
+            if isinstance(getattr(err, "reason", None), (socket.timeout, TimeoutError)):
+                last_err = _timeout_err
+            else:
+                last_err = ProxyError(
+                    "error sending request",
+                    "remote_could_not_send_request",
+                    "system",
+                    retryable=True,
+                )
         except Exception:
-            if attempt == 1:
-                REMOTE_AVAILABILITY.record_failure(base_url)
-                raise
+            last_err = ProxyError(
+                "error sending request",
+                "remote_could_not_send_request",
+                "system",
+                retryable=True,
+            )
+        else:
+            try:
+                data = json.loads(raw.decode("utf-8"))
+                if not isinstance(data, dict) or "hits" not in data:
+                    raise ValueError
+            except Exception:
+                last_err = ProxyError(
+                    "could not parse response from the remote host as a"
+                    f" federated search response{_from_remote(raw)}"
+                    f"{_HINT_VERSION}",
+                    "remote_bad_response",
+                    "system",
+                    retryable=True,
+                )
+            else:
+                REMOTE_AVAILABILITY.record_success(base_url)
+                last_err = None
+                break
+        if not last_err.retryable:
+            break
+        if attempt < 3:
+            # 10^attempt ns capped at 100 ms (proxy.rs Retry::into_duration)
+            time.sleep(min(10.0 ** attempt * 1e-9, 0.1))
+    if last_err is not None:
+        if last_err.retryable:
+            REMOTE_AVAILABILITY.record_failure(base_url)
+        raise last_err
     out = []
     qi_base = entries[0][0]
     for hit in data.get("hits", []):
-        fed = hit.get("_federation") or {}
+        fed = hit.get("_federation")
+        if not isinstance(fed, dict) or "weightedRankingScore" not in fed:
+            raise ProxyError(
+                "remote hit does not contain"
+                f" `._federation.weightedRankingScore`{_HINT_VERSION}",
+                "remote_bad_response",
+                "system",
+                retryable=False,
+            )
         score = float(fed.get("weightedRankingScore", 1.0))
         # remap the remote's query position to ours
         pos = fed.get("queriesPosition", 0)

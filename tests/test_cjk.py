@@ -100,3 +100,37 @@ def test_korean_search_end_to_end():
     )
     res = perform_search(store, {"q": "세계"})
     assert [h["id"] for h in res["hits"]] == [1]
+
+
+def test_greek_final_sigma_folds_without_locale():
+    # charabia's greek normalizer runs on script detection: ς == σ even
+    # with no declared locale (the ell branch only covered explicit
+    # localizedAttributes)
+    assert normalize_word("ελπίς") == normalize_word("ελπίσ")
+    assert normalize_word("ΟΔΥΣΣΕΥΣ") == "οδυσσευσ"  # final Σ via lower()
+
+
+def test_greek_search_end_to_end():
+    store = _store([{"id": 0, "text": "ο λόγος της ελπίδας"}])
+    # query spelled with a final sigma matches the indexed final-σ word
+    res = perform_search(store, {"q": "λόγοσ"})
+    assert [h["id"] for h in res["hits"]] == [0]
+    res = perform_search(store, {"q": "λογος"})
+    assert [h["id"] for h in res["hits"]] == [0]
+
+
+def test_khmer_syllable_segmentation():
+    # ORTHOGRAPHIC syllables: base consonant + coeng stacks + dependent
+    # vowels/signs stay one unit; no inter-word spaces needed
+    out = words("ខ្មែរ")  # kh + coeng m + vowel = one syllable
+    assert out == ["ខ្មែរ"] or out == ["ខ្មែ", "រ"]
+    out2 = words("សួស្តី")  # "hello": segments consistently, no empty units
+    assert out2 and all(out2)
+    # the same text segments identically every time (index == query)
+    assert out2 == words("សួស្តី")
+
+
+def test_khmer_search_end_to_end():
+    store = _store([{"id": 0, "text": "ភាសាខ្មែរ"}, {"id": 1, "text": "hello"}])
+    res = perform_search(store, {"q": "ខ្មែរ"})
+    assert [h["id"] for h in res["hits"]] == [0]
