@@ -208,6 +208,78 @@ def hybrid_block():
     }
 
 
+def vector_1m_block():
+    """1M-vector IVF bench row (VERDICT r4 #4): QPS, recall@10 vs the
+    exact scan, and index memory, at the reference's 768-d embedding
+    shape. 1M vectors crosses MEILI_TPU_IVF_THRESHOLD (default 1M), so
+    VectorSearcher builds k-means lists (nlist=sqrt(n)=1000) and probes
+    nprobe of them per query; the exact oracle is the same corpus below
+    threshold (host scan — no 3 GB device upload for a one-shot oracle)."""
+    import numpy as np
+
+    from meilisearch_tpu.index.store import IndexStore
+    from meilisearch_tpu.vector.store import VectorSearcher
+
+    rng = np.random.default_rng(7)
+    n, dim = 1_000_000, 768
+    n_clusters = 1024
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = np.empty((n, dim), dtype=np.float32)
+    for s in range(0, n, 100_000):  # chunked: bounds peak temporaries
+        e = min(s + 100_000, n)
+        vecs[s:e] = centers[assign[s:e]]
+        vecs[s:e] += 0.25 * rng.standard_normal((e - s, dim)).astype(np.float32)
+        vecs[s:e] /= np.linalg.norm(vecs[s:e], axis=1, keepdims=True)
+
+    store = IndexStore("vectors-1m", primary_key="id")
+    store.settings.apply_json(
+        {"embedders": {"default": {"source": "userProvided", "dimensions": dim}}}
+    )
+    store.vectors["default"] = {i: [vecs[i]] for i in range(n)}
+
+    t0 = time.perf_counter()
+    ivf = VectorSearcher(store, "default")
+    build_s = time.perf_counter() - t0
+    assert ivf._ivf is not None, "1M corpus must take the IVF path"
+    centroids, order, offsets = ivf._ivf
+    index_mb = (
+        ivf.matrix.nbytes + centroids.nbytes + order.nbytes + offsets.nbytes
+    ) / 1e6
+
+    qvecs = centers[rng.integers(0, n_clusters, size=32)] + 0.25 * (
+        rng.standard_normal((32, dim)).astype(np.float32)
+    )
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+
+    n_done = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 5.0:
+        ivf.search(qvecs[n_done % 32], 10)
+        n_done += 1
+    ivf_qps = n_done / (time.perf_counter() - t0)
+
+    exact = VectorSearcher.__new__(VectorSearcher)
+    exact.store, exact.embedder = store, "default"
+    exact.docids, exact.matrix, exact.norms = ivf.docids, ivf.matrix, ivf.norms
+    exact.quantized, exact.dim, exact._ivf, exact._device = False, dim, None, {}
+    hits = 0
+    for i in range(32):
+        exact_ids = {d for d, _s in exact.search(qvecs[i], 10, use_device=False)}
+        ivf_ids = {d for d, _s in ivf.search(qvecs[i], 10)}
+        hits += len(exact_ids & ivf_ids)
+
+    return {
+        "n_vectors": n,
+        "dim": dim,
+        "ivf_qps": round(ivf_qps, 2),
+        "recall_at_10": round(hits / 320, 4),
+        "index_memory_mb": round(index_mb, 1),
+        "ivf_build_s": round(build_s, 2),
+        "nlist": len(offsets) - 1,
+    }
+
+
 # NOTE on client model: the serving hosts here have ONE CPU core
 # (measured: spawning 16 client interpreters costs 45 s and they timeshare
 # the same core as the server), so separate client processes measure
@@ -232,6 +304,16 @@ def main():
     from meilisearch_tpu.api.app import App
     from meilisearch_tpu.api.server import make_handler
     from meilisearch_tpu.utils.synthetic import QUERY_SET, generate_hackernews_like
+
+    # kick the backend probe at t0: the tunnel relay's per-backend
+    # spin-up measured 300-600 s when cold (round 5) — starting it now
+    # overlaps that wait with corpus gen + ingest instead of letting the
+    # 60 s probe timeout silently degrade the whole run to host serving
+    # (round-5 run 1: drains=0, vs_baseline 0.75, for exactly this reason)
+    boot_t0 = time.perf_counter()
+    from meilisearch_tpu.ops.backend_probe import backend_kind
+
+    backend_kind(wait_s=0)
 
     t0 = time.perf_counter()
     docs = generate_hackernews_like(n_docs)
@@ -288,8 +370,13 @@ def main():
         warm_kernels,
     )
 
+    # wait out any remaining backend spin-up BEFORE device_batch_enabled
+    # caches its verdict for the process
+    backend_kind(wait_s=900.0)
+    boot_to_device_s = -1.0
     if device_batch_enabled():
         warm_kernels(app.scheduler.index("hackernews"), wait=True)
+        boot_to_device_s = time.perf_counter() - boot_t0
     warm_s = time.perf_counter() - t0
 
     # warmup: host posting caches + HTTP path
@@ -412,6 +499,13 @@ def main():
         except Exception as e:
             hybrid = {"error": repr(e)}
 
+    vector_1m = None
+    if os.environ.get("BENCH_VECTOR_1M", "1") == "1" and n_docs >= 500_000:
+        try:
+            vector_1m = vector_1m_block()
+        except Exception as e:
+            vector_1m = {"error": repr(e)}
+
     server.shutdown()
     app.scheduler.stop()
 
@@ -430,6 +524,7 @@ def main():
         "n_docs": n_docs,
         "corpus_gen_s": round(gen_s, 2),
         "kernel_warm_s": round(warm_s, 2),
+        "cold_boot_to_device_s": round(boot_to_device_s, 2),
         "inprocess_device_qps": round(inproc_qps, 2),
         "post_write_warm_ms": round(post_write_ms[len(post_write_ms) // 2], 1),
         "select_mode": os.environ.get("MEILI_TPU_SELECT", "topk2"),
@@ -437,6 +532,8 @@ def main():
     }
     if hybrid is not None:
         result["hybrid"] = hybrid
+    if vector_1m is not None:
+        result["vector_1m"] = vector_1m
     print(json.dumps(result))
     sys.stdout.flush()
     # skip interpreter/C++ teardown: a background kernel-warm thread mid

@@ -13,7 +13,12 @@ import os
 import time
 from typing import Any, Optional
 
-from ..search.perform import build_hits, perform_search
+from ..search.perform import (
+    build_hits,
+    include_metadata_header,
+    perform_search,
+    search_metadata,
+)
 from ..types.errors import EngineError, ErrorCode
 
 
@@ -65,6 +70,12 @@ def perform_multi_search(app, req) -> dict:
             for i, res in zip(idxs, perform_search_many(store, bodies)):
                 hydrate_response(app.scheduler, store, res)
                 results[i] = {"indexUid": index_uid, **res}
+        if include_metadata_header(req.headers):
+            for i, query in enumerate(queries):
+                store = app.scheduler.index(query["indexUid"])
+                results[i]["metadata"] = search_metadata(
+                    store, query.get("q"), with_query=True
+                )
         return {"results": results}
 
     # -- federated ---------------------------------------------------------
@@ -96,6 +107,8 @@ def perform_multi_search(app, req) -> dict:
     all_hits: list[tuple[float, int, dict]] = []
     seen_pairs: dict[tuple[str, str], float] = {}
     remote_errors: dict[str, dict] = {}
+    want_meta = include_metadata_header(req.headers)
+    remote_primary_keys: dict[tuple[str, str], str] = {}
     # per-index union of matched docids, for federated facet counting
     # (reference merges per-query candidates before FacetDistribution)
     candidates_by_index: dict[str, set] = {}
@@ -185,7 +198,13 @@ def perform_multi_search(app, req) -> dict:
                 )
             app.auth.authenticate(req.auth_token, "search", index_uid)
         try:
-            hits = _proxy_search(remote_name, remote, federation, entries)
+            hits = _proxy_search(
+                remote_name,
+                remote,
+                federation,
+                entries,
+                meta_sink=remote_primary_keys if want_meta else None,
+            )
             for score, qi, hit in hits:
                 fed = hit.get("_federation") or {}
                 dedup_key = (
@@ -346,6 +365,37 @@ def perform_multi_search(app, req) -> dict:
         response["performanceDetails"] = {
             "federation": _fmt_duration(time.perf_counter() - started),
         }
+    if include_metadata_header(req.headers):
+        # one entry per query in request order (reference federated/
+        # perform.rs build_query_metadata): queryUid fresh, primaryKey
+        # from the local index when it ran here, from the proxied
+        # response's metadata when it ran remotely; `remote` names the
+        # executor (self for local queries when the network names us)
+        self_name = network.get("self") if isinstance(network, dict) else None
+        meta_list = []
+        for query in queries:
+            uid = query.get("indexUid")
+            rname = (query.get("federationOptions") or {}).get("remote")
+            if rname and rname != self_name:
+                pk = remote_primary_keys.get((rname, uid))
+                meta = search_metadata(
+                    None, query.get("q"), remote=rname,
+                    with_query=True, primary_key=pk,
+                )
+                meta["indexUid"] = uid
+            else:
+                try:
+                    store = app.scheduler.index(uid)
+                    pk = store.primary_key
+                except EngineError:
+                    pk = None
+                meta = search_metadata(
+                    None, query.get("q"), remote=self_name,
+                    with_query=True, primary_key=pk,
+                )
+                meta["indexUid"] = uid
+            meta_list.append(meta)
+        response["metadata"] = meta_list
     if remote_errors:
         response["remoteErrors"] = remote_errors
     if federation.get("facetsByIndex"):
@@ -523,7 +573,9 @@ def _classify_http_error(status: int, body) -> ProxyError:
     )
 
 
-def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
+def _proxy_search(
+    remote_name: str, remote: dict, federation: dict, entries, meta_sink=None
+):
     """POST /multi-search on a remote (reference: federated/proxy.rs:16).
 
     The reference's retry policy (proxy.rs try_json_proxy): transport
@@ -566,14 +618,15 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
             "queries": sub_queries,
         }
     ).encode("utf-8")
-    req = urllib.request.Request(
-        url,
-        data=body,
-        headers={
-            "Content-Type": "application/json",
-            "Meili-Proxy-Search": "true",
-        },
-    )
+    headers = {
+        "Content-Type": "application/json",
+        "Meili-Proxy-Search": "true",
+    }
+    if meta_sink is not None:
+        # the caller wants metadata: ask the remote for its primary keys
+        # (reference proxy.rs:165 forwards INCLUDE_METADATA_HEADER)
+        headers["Meili-Include-Metadata"] = "true"
+    req = urllib.request.Request(url, data=body, headers=headers)
     if remote.get("searchApiKey"):
         req.add_header("Authorization", f"Bearer {remote['searchApiKey']}")
     import socket
@@ -651,6 +704,10 @@ def _proxy_search(remote_name: str, remote: dict, federation: dict, entries):
         if last_err.retryable:
             REMOTE_AVAILABILITY.record_failure(base_url)
         raise last_err
+    if meta_sink is not None:
+        for m in data.get("metadata") or []:
+            if isinstance(m, dict) and m.get("indexUid") and m.get("primaryKey"):
+                meta_sink[(remote_name, m["indexUid"])] = m["primaryKey"]
     out = []
     qi_base = entries[0][0]
     for hit in data.get("hits", []):

@@ -14,7 +14,12 @@ from typing import Any, Optional
 
 from ..engine.tasks import TaskType
 from ..search.filters import evaluate_filter
-from ..search.perform import perform_facet_search, perform_search
+from ..search.perform import (
+    include_metadata_header,
+    perform_facet_search,
+    perform_search,
+    search_metadata,
+)
 from ..types.errors import EngineError, ErrorCode
 from ..types.settings import Settings
 
@@ -122,6 +127,10 @@ def register_index_routes(app):
                 store, query, personalization=app_.personalization
             )
         hydrate_response(app_.scheduler, store, res)
+        if include_metadata_header(req.headers):
+            res["metadata"] = search_metadata(
+                store, query.get("q"), with_query=True
+            )
         return res
 
     app.add("POST", "/indexes/{index_uid}/search", "search", search_post)
@@ -137,6 +146,10 @@ def register_index_routes(app):
             store, query, personalization=app_.personalization
         )
         hydrate_response(app_.scheduler, store, res)
+        if include_metadata_header(req.headers):
+            res["metadata"] = search_metadata(
+                store, query.get("q"), with_query=True
+            )
         return res
 
     app.add("GET", "/indexes/{index_uid}/search", "search", search_get)

@@ -131,7 +131,10 @@ class Empty:
 # ---------------------------------------------------------------------------
 # Lexer/parser (recursive descent)
 
-_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-.")
+def _is_value_char(c: str) -> bool:
+    """filter-parser value.rs:253 is_value_component: UNICODE alphanumeric
+    plus `_-.` — unquoted values like `pésti` parse without quotes."""
+    return c.isalnum() or c in "_-."
 
 
 class _Parser:
@@ -162,7 +165,7 @@ class _Parser:
         if self.text.startswith(tag, self.pos):
             end = self.pos + len(tag)
             # keywords must be followed by non-word char
-            if tag[-1].isalpha() and end < len(self.text) and self.text[end] in _WORD_CHARS:
+            if tag[-1].isalpha() and end < len(self.text) and _is_value_char(self.text[end]):
                 return False
             self.pos = end
             return True
@@ -193,7 +196,7 @@ class _Parser:
             self.error(f"Expression `{''.join(out)}` is missing the following closing delimiter: `{quote}`.")
         # word
         start = self.pos
-        while self.pos < len(self.text) and self.text[self.pos] in _WORD_CHARS:
+        while self.pos < len(self.text) and _is_value_char(self.text[self.pos]):
             self.pos += 1
         if self.pos == start:
             self.error(
@@ -574,7 +577,7 @@ class FilterEvaluator:
         settings = self.store.settings
         feats = settings.filter_features_for(field)
         if not feats:
-            attrs = sorted(settings.filterable_attribute_names())
+            attrs = sorted(set(settings.filter_enabled_patterns()))
             if attrs:
                 msg = (
                     f"Index `{self.store.uid}`: Attribute `{field}` is not"
@@ -596,17 +599,41 @@ class FilterEvaluator:
         if op in (">", ">=", "<", "<=", "TO") and not feats["filter"].get(
             "comparison", True
         ):
-            raise EngineError(
-                self.code,
-                f"Index `{self.store.uid}`: Filter operator `{op}` is not"
-                f" allowed for the attribute `{field}`.",
-            )
+            self._op_not_allowed(field, op, feats)
         if op in ("=", "!=", "IN") and not feats["filter"].get("equality", True):
-            raise EngineError(
-                self.code,
-                f"Index `{self.store.uid}`: Filter operator `{op}` is not"
-                f" allowed for the attribute `{field}`.",
-            )
+            self._op_not_allowed(field, op, feats)
+
+    def _op_not_allowed(self, field: str, op: str, feats: dict):
+        """milli error.rs FilterOperatorNotAllowed: the allowed-operator
+        list reflects the matched rule's remaining features
+        (filterable_attributes_rules.rs allowed_operators), plus the
+        rule-index notes and enable/prepend hints."""
+        ops = ["OR", "AND", "NOT"]
+        if feats["filter"].get("equality", True):
+            ops += ["=", "!=", "IN"]
+        if feats["filter"].get("comparison", True):
+            ops += ["<", ">", "<=", ">=", "TO"]
+        ops += ["IS EMPTY", "IS NULL", "EXISTS"]
+        kind = (
+            "equality"
+            if op in ("=", "!=", "IN")
+            else "comparison"
+            if op in ("<", ">", "<=", ">=", "TO")
+            else "the appropriate filter operators"
+        )
+        ri = feats.get("rule_index", 0)
+        raise EngineError(
+            self.code,
+            f"Index `{self.store.uid}`: Filter operator `{op}` is not"
+            f" allowed for the attribute `{field}`."
+            f"\n  - Note: allowed operators: {', '.join(ops)}."
+            f"\n  - Note: field `{field}` matched rule #{ri} in"
+            " `filterableAttributes`"
+            f"\n  - Hint: enable {kind} in rule #{ri} by modifying the"
+            " features.filter object"
+            f"\n  - Hint: prepend another rule matching `{field}` with"
+            f" appropriate filter features before rule #{ri}",
+        )
 
     def evaluate(self, ast) -> "np.ndarray":
         """Returns the matching docids as a sorted int64 array."""
@@ -670,7 +697,7 @@ class FilterEvaluator:
             # shapes only: requires `_geojson` filtering
             # (reference index_filter.rs:697-715)
             if not store.settings.is_filterable("_geojson"):
-                attrs = sorted(store.settings.filterable_attribute_names())
+                attrs = sorted(set(store.settings.filter_enabled_patterns()))
                 raise EngineError(
                     self.code,
                     f"Index `{store.uid}`: Attribute `_geojson` is not"
@@ -737,7 +764,7 @@ class FilterEvaluator:
                 self.code,
                 f"Index `{self.store.uid}`: Attribute `_geo` is not filterable."
                 " Available filterable attribute patterns are:"
-                f" `{', '.join(sorted(self.store.settings.filterable_attribute_names())) or ''}`.",
+                f" `{', '.join(sorted(set(self.store.settings.filter_enabled_patterns()))) or ''}`.",
             )
 
     def _geo_features(self) -> tuple[bool, bool]:
@@ -747,7 +774,7 @@ class FilterEvaluator:
         geo_on = settings.is_filterable("_geo")
         geojson_on = settings.is_filterable("_geojson")
         if not geo_on and not geojson_on:
-            attrs = sorted(settings.filterable_attribute_names())
+            attrs = sorted(set(settings.filter_enabled_patterns()))
             raise EngineError(
                 self.code,
                 f"Index `{self.store.uid}`: Attribute `_geo/_geojson` is not"

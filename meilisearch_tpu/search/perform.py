@@ -398,6 +398,37 @@ _KNOWN_SEARCH_PARAMS = {
 }
 
 
+def include_metadata_header(headers: dict) -> bool:
+    """Parse `Meili-Include-Metadata` (reference routes/mod.rs
+    parse_include_metadata_header): true for "true"/"1" case-insensitive,
+    false otherwise."""
+    for k, v in (headers or {}).items():
+        if k.lower() == "meili-include-metadata":
+            return str(v).lower() in ("true", "1")
+    return False
+
+
+def search_metadata(
+    store, q=None, remote=None, with_query=False, primary_key=...
+) -> dict:
+    """One `metadata` entry (reference search/mod.rs SearchMetadata):
+    query (federated non-placeholder queries only), queryUid (UUIDv7),
+    indexUid, primaryKey + remote when known (None fields are skipped,
+    serde skip_serializing_if parity)."""
+    md = {}
+    if with_query and q:
+        md["query"] = q
+    md["queryUid"] = _uuid7()
+    md["indexUid"] = store.uid if store is not None else None
+    if primary_key is ...:
+        primary_key = store.primary_key if store is not None else None
+    if primary_key is not None:
+        md["primaryKey"] = primary_key
+    if remote is not None:
+        md["remote"] = remote
+    return md
+
+
 def _uuid7() -> str:
     """RFC 9562 UUID v7 (reference Uuid::now_v7 per search request):
     48-bit unix-ms timestamp | ver 7 | 12 rand | var 0b10 | 62 rand."""

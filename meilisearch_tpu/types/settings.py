@@ -181,6 +181,22 @@ class Settings:
                 out.extend(rule.get("attributePatterns", []))
         return out
 
+    def filter_enabled_patterns(self) -> list[str]:
+        """Patterns of rules whose filter features allow ANY filtering
+        (milli filtered_matching_patterns + FilterFeatures::is_filterable:
+        equality || comparison) — the set shown in 'Available filterable
+        attribute patterns are' errors; a fully filter-disabled rule's
+        patterns are excluded."""
+        out = []
+        for rule in self.filterable_attributes:
+            if isinstance(rule, str):
+                out.append(rule)
+            elif isinstance(rule, dict):
+                f = rule.get("features", {}).get("filter", {})
+                if f.get("equality", True) or f.get("comparison", False):
+                    out.extend(rule.get("attributePatterns", []))
+        return out
+
     def locales_for_field(self, attr: str) -> Optional[list[str]]:
         """Locales forced for one attribute by `localizedAttributes`
         (reference: milli LocalizedAttributesRule::match_str — FIRST
@@ -229,22 +245,32 @@ class Settings:
         carry explicit `features` (reference:
         milli/src/attribute_patterns.rs + filterable_attributes_rules.rs).
         """
-        for rule in self.filterable_attributes:
+        for rule_index, rule in enumerate(self.filterable_attributes):
             if isinstance(rule, str):
                 if _match_pattern(rule, attr):
                     return {
                         "facetSearch": True,
                         "filter": {"equality": True, "comparison": True},
+                        "rule_index": rule_index,
                     }
             elif isinstance(rule, dict):
-                if any(_match_pattern(p, attr) for p in rule.get("attributePatterns", [])):
+                if any(
+                    _match_pattern(p, attr, legacy=False)
+                    for p in rule.get("attributePatterns", [])
+                ):
                     feats = rule.get("features", {})
+                    eq = feats.get("filter", {}).get("equality", True)
+                    cmp_ = feats.get("filter", {}).get("comparison", False)
+                    if not eq and not cmp_:
+                        # FilterFeatures::is_filterable = eq || comparison:
+                        # a fully filter-disabled rule makes the attribute
+                        # NOT filterable (first matching rule wins —
+                        # tests/search/filters.rs priority scenarios)
+                        return {}
                     return {
                         "facetSearch": feats.get("facetSearch", False),
-                        "filter": {
-                            "equality": feats.get("filter", {}).get("equality", True),
-                            "comparison": feats.get("filter", {}).get("comparison", False),
-                        },
+                        "filter": {"equality": eq, "comparison": cmp_},
+                        "rule_index": rule_index,
                     }
         return {}
 
@@ -422,12 +448,16 @@ class Settings:
         return changed
 
 
-def _match_pattern(pattern: str, attr: str) -> bool:
+def _match_pattern(pattern: str, attr: str, legacy: bool = True) -> bool:
     """Attribute pattern matching (reference:
     milli/src/attribute_patterns.rs:89 match_pattern): `*` matches
     everything, `*mid*` contains, `*suffix` ends-with, `prefix*`
-    starts-with, exact otherwise. A pattern also matches nested fields of
-    a matching parent (`a.b` matches pattern `a`)."""
+    starts-with, exact otherwise. With `legacy` (match_field_legacy —
+    string rules in searchable/sortable/filterable settings) a pattern
+    also matches nested fields of a matching parent (`a.b` matches
+    pattern `a`); OBJECT attributePatterns do NOT get that extension
+    (tests/search/filters.rs priority: rule `doggos` must not claim
+    `doggos.name`)."""
     if pattern == "*":
         return True
     if pattern.startswith("*") and pattern.endswith("*") and len(pattern) > 1:
@@ -436,4 +466,6 @@ def _match_pattern(pattern: str, attr: str) -> bool:
         return attr.endswith(pattern[1:])
     if pattern.endswith("*"):
         return attr.startswith(pattern[:-1])
-    return attr == pattern or attr.startswith(pattern + ".")
+    if attr == pattern:
+        return True
+    return legacy and attr.startswith(pattern + ".")
