@@ -235,6 +235,66 @@ def _universe_cache_put(store, filter_arr, D, universe, packed):
         lru.popitem(last=False)
 
 
+def _assemble_universe(store, D: int, B: int, filt):
+    """Device-resident (B, D/32) packed filter-universe stack.
+
+    A host (B, D/32) numpy argument costs ~125 ms per drain at B=32,
+    D=2^20 through the TPU tunnel (measured 152 ms/call vs 27 ms for the
+    same 4 MB operand device-resident), and it was shipped on EVERY
+    drain even when no query had a filter. Assemble on device instead: a
+    cached all-zeros base plus one 128 KB row upload per DISTINCT filter
+    (memoized per generation via the universe LRU identity), scattered
+    with an eager .at[].set that stays device-side. Filter-free drains —
+    and repeat drains with the same filters — upload nothing.
+
+    `filt` is [(slot, packed_row)] for rows that need a non-zero
+    universe; padding/match-nothing rows stay on the zeros base."""
+    import jax.numpy as jnp
+
+    zkey = (store.generation, D, B)
+    cached = getattr(store, "_device_universe_zeros", None)
+    if cached is None or cached[0] != zkey:
+        cached = (zkey, jnp.zeros((B, D // 32), jnp.int32))
+        store._device_universe_zeros = cached
+    base = cached[1]
+    if not filt:
+        return base
+
+    akey = (zkey, tuple((i, id(row)) for i, row in filt))
+    asm = getattr(store, "_device_universe_asm", None)
+    if asm is None or not isinstance(asm, dict):
+        asm = {}
+        store._device_universe_asm = asm
+    ent = asm.get(akey)
+    # keepalive rows in the entry guarantee the id()s stay unique
+    if ent is not None and all(a is b for (_, a), b in zip(filt, ent[0])):
+        return ent[1]
+
+    rows_lru = getattr(store, "_device_universe_rows", None)
+    if rows_lru is None or rows_lru[0] != zkey[:2]:
+        from collections import OrderedDict
+
+        rows_lru = (zkey[:2], OrderedDict())
+        store._device_universe_rows = rows_lru
+    lru = rows_lru[1]
+    dev_rows = []
+    for _slot, row in filt:
+        rent = lru.get(id(row))
+        if rent is None or rent[0] is not row:
+            rent = (row, jnp.asarray(row))
+            lru[id(row)] = rent
+            if len(lru) > 256:
+                lru.popitem(last=False)
+        else:
+            lru.move_to_end(id(row))
+        dev_rows.append(rent[1])
+    out = base.at[np.array([i for i, _ in filt]), :].set(jnp.stack(dev_rows))
+    if len(asm) > 8:
+        asm.clear()
+    asm[akey] = ([row for _, row in filt], out)
+    return out
+
+
 def _device_struct_cache(store) -> dict:
     """Base-anchored cache for device-row source structures (the unions
     behind the planes). Entries built at ANY point >= the base are valid
@@ -1072,18 +1132,22 @@ def execute_device_batch(
     ]
 
     # filter universes ride as a packed (B, D/32) input, not as pool rows
-    # (per-batch transient rows were a recompile source)
-    D32 = D // 32
-    universe = np.zeros((B, D32), dtype=np.int32)
+    # (per-batch transient rows were a recompile source). The stack is
+    # assembled device-side: padding / match-nothing rows (empty
+    # universe_ids) are the zeros base, so only real filters upload.
     use_valid = np.zeros(B, dtype=bool)
+    filt = []
     for i, d in enumerate(descriptors):
         if d.universe_ids is not None:
-            universe[i] = (
-                d.universe_packed
-                if d.universe_packed is not None
-                else pack_bitmap(d.universe_ids, D)
-            )
             use_valid[i] = True
+            if len(d.universe_ids):
+                filt.append((
+                    i,
+                    d.universe_packed
+                    if d.universe_packed is not None
+                    else pack_bitmap(d.universe_ids, D),
+                ))
+    universe = _assemble_universe(store, D, B, filt)
 
     import time as _time
 
