@@ -97,6 +97,19 @@ def _kick_warm(stores, host: bool = False) -> None:
             return
         for store in stores:
             warm_kernels(store, wait=False)
+        vec_stores = [s for s in stores if s.settings.embedders]
+        if vec_stores:
+            # hybrid/semantic matmul programs compile off-path too (a
+            # cold hybrid first query measured 117.8 s over the tunnel)
+            def vector_warm():
+                from ..vector.store import warm_vector_kernels
+
+                for store in vec_stores:
+                    warm_vector_kernels(store)
+
+            threading.Thread(
+                target=vector_warm, name="vector-kernel-warm", daemon=True
+            ).start()
     except Exception:
         pass
 

@@ -95,12 +95,18 @@ def execute_hybrid(
 
     from ..vector.store import VectorSearcher
 
-    universe = docids_array(store)
+    # unfiltered searches pass universe=None: the searcher only holds
+    # live documents (rebuilt per generation), and a None universe lets
+    # it select top-k ON the device (a few hundred bytes read back
+    # instead of the full (n,) similarity column)
+    universe = None
     if keyword_search.filter_docids is not None:
         universe = filtered_universe(store, keyword_search.filter_docids)
     searcher = VectorSearcher(store, embedder_name)
     wanted = offset + limit
-    semantic_hits = searcher.search(query_vector, wanted, universe)
+    # dispatch the semantic side NOW (async on the accelerator) so its
+    # device round trip overlaps the host keyword search below
+    semantic_future = searcher.search_async(query_vector, wanted, universe)
 
     distinct_field = (
         keyword_search.distinct or store.settings.distinct_attribute
@@ -126,6 +132,7 @@ def execute_hybrid(
 
     if ratio == 1.0:
         # pure semantic
+        semantic_hits = semantic_future()
         scores = {d: s for d, s in semantic_hits}
         excluded: set = set()
         docids = []
@@ -138,17 +145,21 @@ def execute_hybrid(
         docids = docids[offset : offset + limit]
         result = SearchResult(
             documents_ids=docids,
-            candidates=universe,
+            candidates=(
+                universe if universe is not None else docids_array(store)
+            ),
             scores=[scores.get(d, 0.0) for d in docids],
             scores_by_docid=scores,
         )
         return result, len(docids)
 
-    # hybrid: merge both ranked lists by weighted global score
+    # hybrid: merge both ranked lists by weighted global score (the
+    # semantic side is already in flight on the device)
     keyword_search.compute_scores = True
     keyword_search.offset = 0
     keyword_search.limit = wanted
     kw = keyword_search.execute()
+    semantic_hits = semantic_future()
 
     # entries: (docid, weighted score for merging, raw score, source)
     kw_list = [

@@ -197,11 +197,61 @@ class VectorSearcher:
         """Top-k by cosine similarity. Returns [(docid, similarity)] with
         similarity = (1+cos)/2 in [0,1] (the arroy cosine-distance
         complement, vector_sort.rs:86 `1.0 - distance`)."""
+        return self.search_async(query, k, universe, use_device)()
+
+    def search_async(
+        self,
+        query: np.ndarray,
+        k: int,
+        universe: Optional[set] = None,
+        use_device: bool = True,
+    ):
+        """Dispatch the device-side similarity work NOW, return a closure
+        that completes the search. The accelerator dispatch is async, so
+        the hybrid path overlaps the semantic matmul's device round trip
+        with the host keyword search (the reference runs ANN then keyword
+        serially, hybrid.rs:87-104; here the overlap is free). The
+        device leg also selects top-k ON device (matmul + lax.top_k) so
+        the readback is a few hundred bytes instead of the full (n,)
+        similarity column."""
         if self.matrix.size == 0:
-            return []
+            return lambda: []
         q = np.asarray(query, dtype=np.float32)
         qn = np.linalg.norm(q)
         q = q / (qn if qn else 1.0)
+
+        if (
+            use_device
+            and universe is None
+            and self._ivf is None
+            and self.matrix.shape[0] >= DEVICE_MIN_ROWS
+        ):
+            from ..ops.backend_probe import backend_kind
+
+            if backend_kind() not in (None, ""):
+                pending = _device_topk_dispatch(self, q, k)
+                if pending is not None:
+
+                    def finish():
+                        out = _device_topk_collect(self, pending, k)
+                        if out is not None:
+                            return out
+                        # per-doc dedup exhausted the fetch bucket: the
+                        # exact answer needs the full column
+                        return self._search_sync(q, k, universe, use_device)
+
+                    return finish
+        return lambda: self._search_sync(q, k, universe, use_device)
+
+    def _search_sync(
+        self,
+        q: np.ndarray,
+        k: int,
+        universe,
+        use_device: bool,
+    ) -> list[tuple[int, float]]:
+        """Full-column scoring path (IVF probes, filtered universes, tiny
+        corpora, device-top-k dedup shortfall). `q` is unit-normalized."""
 
         rows_idx = None
         if self._ivf is not None:
@@ -250,6 +300,27 @@ class VectorSearcher:
         return out
 
 
+def warm_vector_kernels(store: IndexStore) -> None:
+    """Compile + upload each embedder's device program OFF the serving
+    path (the first hybrid query otherwise pays the matmul compile —
+    BENCH_r04 measured 117.8 s for a cold hybrid first query over the
+    tunnel). Kicked from the scheduler's warm hook alongside
+    warm_kernels; never raises."""
+    from ..ops.backend_probe import backend_kind
+
+    if backend_kind() in (None, "", "cpu"):
+        return
+    for name in store.settings.embedders or {}:
+        try:
+            s = VectorSearcher(store, name)
+            if s.matrix.shape[0] >= DEVICE_MIN_ROWS and s._ivf is None:
+                q = np.zeros(s.dim, np.float32)
+                q[0] = 1.0
+                s.search_async(q, 10)()
+        except Exception:
+            pass
+
+
 def _resident(searcher: VectorSearcher, name: str, host_array: np.ndarray):
     """Device-resident copy of a per-generation array, uploaded once and
     padded to a pow2 row bucket so one compiled program serves the
@@ -293,6 +364,94 @@ def _device_cosine(searcher, matrix, norms, unit_query):
 
         _device_fn_cache[key] = fn
     return np.asarray(fn(m_dev, n_dev, unit_query))[:n]
+
+
+def _device_topk_dispatch(searcher, q: np.ndarray, k: int):
+    """Async-dispatch matmul/hamming + on-device top-k over the resident
+    matrix. Returns (vals, idx, kb, n_live) device handles, or None when
+    the device path can't serve this query. The fetch bucket kb is a pow2
+    >= 4k so per-doc dedup (multiple vectors per document) almost never
+    falls back to the full column; padded and beyond-n rows are masked to
+    -2 (< any cosine) so they sort past every real row."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        m_dev, n = _resident(searcher, "matrix", searcher.matrix)
+    except Exception:
+        return None
+    n_pad = m_dev.shape[0]
+    kb = 1 << (max(4 * k, 64) - 1).bit_length()
+    if kb > n_pad:
+        kb = n_pad
+    dim = searcher.dim
+    if searcher.quantized:
+        key = ("hamtk", m_dev.shape, kb)
+        fn = _device_fn_cache.get(key)
+        if fn is None:
+
+            @jax.jit
+            def fn(m, qb, n_live):
+                ham = jnp.sum(
+                    jax.lax.population_count(m ^ qb[None, :]).astype(
+                        jnp.int32
+                    ),
+                    axis=1,
+                )
+                cos = (dim - 2.0 * ham.astype(jnp.float32)) / dim
+                cos = jnp.where(
+                    jnp.arange(m.shape[0]) < n_live, cos, -2.0
+                )
+                return jax.lax.top_k(cos, kb)
+
+            _device_fn_cache[key] = fn
+        vals, idx = fn(m_dev, _pack_signs(q[None, :])[0], np.int32(n))
+    else:
+        norms_padded = np.ones(n_pad, dtype=np.float32)
+        norms_padded[:n] = searcher.norms
+        n_dev, _ = _resident(searcher, "norms", norms_padded)
+        key = ("costk", m_dev.shape, kb)
+        fn = _device_fn_cache.get(key)
+        if fn is None:
+
+            @jax.jit
+            def fn(m, nn, qq, n_live):
+                cos = jnp.dot(m, qq, preferred_element_type=jnp.float32) / nn
+                cos = jnp.where(
+                    jnp.arange(m.shape[0]) < n_live, cos, -2.0
+                )
+                return jax.lax.top_k(cos, kb)
+
+            _device_fn_cache[key] = fn
+        vals, idx = fn(m_dev, n_dev, q, np.int32(n))
+    return vals, idx, kb, n
+
+
+def _device_topk_collect(searcher, pending, k):
+    """Block on the dispatched top-k, dedup to per-document hits. None =
+    the kb bucket ran out before k distinct documents while live rows
+    remained (caller re-runs the full column)."""
+    vals_d, idx_d, kb, n = pending
+    vals = np.asarray(vals_d)
+    idx = np.asarray(idx_d)
+    out: list[tuple[int, float]] = []
+    seen: set = set()
+    consumed = 0
+    for v, i in zip(vals, idx):
+        if v <= -1.5:  # masked pad row: every later entry is one too
+            consumed = n  # all live rows were ranked before the pads
+            break
+        consumed += 1
+        docid = int(searcher.docids[i])
+        if docid in seen:
+            continue
+        seen.add(docid)
+        out.append((docid, float(np.clip((1.0 + v) / 2.0, 0.0, 1.0))))
+        if len(out) >= k:
+            return out
+    if consumed >= n:
+        return out
+    return None
 
 
 def _device_hamming(searcher, packed, query_bits):

@@ -94,9 +94,21 @@ def test_ivf_recall_at_10(monkeypatch):
     assert np.mean(recalls) >= 0.9, np.mean(recalls)
 
 
+def _wait_backend():
+    """The device paths consult the non-blocking backend probe and fall
+    back to host numpy while it is pending — resolve it first so these
+    tests deterministically exercise the device path (running this file
+    alone used to flake: earlier test files had been resolving the
+    probe as a side effect)."""
+    from meilisearch_tpu.ops.backend_probe import backend_kind
+
+    assert backend_kind(wait_s=60.0) == "cpu"
+
+
 def test_device_matrix_resident_across_queries():
     """The device matrix uploads once per generation: repeated searches
     reuse the same buffer (VERDICT r1 Weak #3)."""
+    _wait_backend()
     rng = np.random.default_rng(3)
     vecs = rng.normal(size=(5000, 16)).astype(np.float32)
     store = make_store(vecs)
@@ -107,3 +119,103 @@ def test_device_matrix_resident_across_queries():
     s2 = VectorSearcher(store, "e")  # fresh wrapper, same generation
     s2.search(rng.normal(size=16).astype(np.float32), k=5, use_device=True)
     assert s2._device.get("matrix")[0] is buf1[0]  # same device buffer
+
+
+def _multi_vector_store(n, dim, rng, quantized=False):
+    """Store where some documents carry TWO vectors (the device top-k
+    dedup case: both rows of a doc can land in the fetch bucket)."""
+    store = IndexStore("t_multi", primary_key="id")
+    store.settings.apply_json(
+        {
+            "embedders": {
+                "e": {
+                    "source": "userProvided",
+                    "dimensions": dim,
+                    **({"binaryQuantized": True} if quantized else {}),
+                }
+            }
+        }
+    )
+    docs = []
+    for i in range(n):
+        vs = rng.standard_normal((2 if i % 7 == 0 else 1, dim))
+        docs.append({"id": i, "_vectors": {"e": vs.tolist()}})
+    store.add_documents(docs)
+    return store
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_device_topk_matches_full_column(quantized):
+    """search() (device top-k dispatch when universe is None) returns the
+    same documents as the full-column path, including per-doc dedup of
+    multi-vector documents and the padded-row mask (n=4500 pads to 8192
+    rows of zeros that must never enter the top-k)."""
+    _wait_backend()
+    rng = np.random.default_rng(5)
+    dim = 32
+    store = _multi_vector_store(4500, dim, rng, quantized=quantized)
+    s = VectorSearcher(store, "e")
+    assert s.matrix.shape[0] >= 4500  # device-eligible (>= DEVICE_MIN_ROWS)
+    for k in (1, 10, 50):
+        q = rng.standard_normal(dim).astype(np.float32)
+        qn = q / np.linalg.norm(q)
+        fast = s.search(q, k, universe=None)
+        slow = s._search_sync(qn, k, None, use_device=False)
+        assert [d for d, _ in fast] == [d for d, _ in slow]
+        np.testing.assert_allclose(
+            [v for _, v in fast], [v for _, v in slow], atol=1e-5
+        )
+
+
+def test_device_topk_dedup_shortfall_falls_back():
+    """A corpus where ONE document owns nearly every top row: the fetch
+    bucket dedups to fewer than k docs and the searcher must fall back to
+    the full column (still exact, never short)."""
+    _wait_backend()
+    rng = np.random.default_rng(6)
+    dim = 16
+    base = rng.standard_normal(dim)
+    store = IndexStore("t_shortfall", primary_key="id")
+    store.settings.apply_json(
+        {"embedders": {"e": {"source": "userProvided", "dimensions": dim}}}
+    )
+    docs = [{"id": 0, "_vectors": {"e": (base + 0.01 * rng.standard_normal((300, dim))).tolist()}}]
+    for i in range(1, 4300):
+        docs.append({"id": i, "_vectors": {"e": rng.standard_normal(dim).tolist()}})
+    store.add_documents(docs)
+    s = VectorSearcher(store, "e")
+    out = s.search(base, 80, universe=None)
+    assert len(out) == 80
+    assert out[0][0] == 0  # the stacked doc wins, once
+    assert len({d for d, _ in out}) == 80
+
+
+def test_hybrid_overlap_unfiltered_uses_async(monkeypatch):
+    """execute_hybrid dispatches the semantic side before the keyword
+    execute and passes universe=None when there is no filter."""
+    from meilisearch_tpu.search import hybrid as hybrid_mod
+
+    seen = {}
+    orig = VectorSearcher.search_async
+
+    def spy(self, query, k, universe=None, use_device=True):
+        seen["universe"] = universe
+        return orig(self, query, k, universe, use_device)
+
+    monkeypatch.setattr(VectorSearcher, "search_async", spy)
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    store = make_store(vecs)
+    from meilisearch_tpu.search.perform import perform_search
+
+    res = perform_search(
+        store,
+        {
+            "q": "",
+            "vector": vecs[3].tolist(),
+            "hybrid": {"semanticRatio": 0.5, "embedder": "e"},
+            "limit": 5,
+        },
+    )
+    assert seen["universe"] is None
+    assert res["hits"][0]["id"] == 3
