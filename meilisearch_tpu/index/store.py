@@ -55,6 +55,24 @@ RESERVED_GEOJSON_FIELD = "_geojson"
 RESERVED_VECTORS_FIELD = "_vectors"
 
 
+# native-extractor chunk: fresh documents buffer up to this many before
+# one native tokenize/build call (big enough to amortize the call, small
+# enough to bound the flat text buffer; tests shrink it to force
+# multi-chunk paths)
+BATCH_TOKEN_CHUNK = 32768
+
+
+def _ingest_overlap_enabled() -> bool:
+    """Extractor<->writer overlap gate: on by default with >1 core
+    (where the native tokenize genuinely runs beside the writer), off on
+    single-core hosts (thread switching only slows the one core down).
+    MEILI_TPU_INGEST_OVERLAP=0/1 overrides (tests force 1)."""
+    flag = os.environ.get("MEILI_TPU_INGEST_OVERLAP")
+    if flag is not None:
+        return flag == "1"
+    return (os.cpu_count() or 1) > 1
+
+
 _bucket_cache: dict[int, int] = {}
 
 
@@ -305,6 +323,13 @@ class IndexStore:
         # bumped by every _merge_runs: add_documents' rollback marks are
         # only valid while no mid-call merge consumed the run lists
         self._merge_epoch = 0
+        # extractor<->writer overlap (the bbqueue-channel analogue,
+        # reference update/new/channel.rs:54): at most ONE native
+        # tokenize/build in flight on a worker thread while the main
+        # thread preps the next chunk and indexes facets/vectors. The
+        # docids ride in _run_docids from submit time so a mid-call
+        # replace of an in-flight doc forces a merge (which drains).
+        self._native_inflight: Optional[tuple] = None  # (batch, future)
 
     # ------------------------------------------------------------------
     # tokenizer / searchable config
@@ -482,6 +507,7 @@ class IndexStore:
         expanded per docid, sorted, grouped, one dict access per distinct
         key. Docid order inside a group is ascending because fresh docids
         grow monotonically and runs are chronological."""
+        self._drain_native()
         runs, fruns = self._token_runs, self._facet_runs
         if not runs and not fruns:
             return
@@ -748,30 +774,37 @@ class IndexStore:
             pending: list[tuple[int, dict]] = []
             pending_ids: set[int] = set()
 
+            ingest_executor = None
+            if use_batch and _ingest_overlap_enabled():
+                # extractor<->writer overlap (update/new/channel.rs:54):
+                # the native tokenize of chunk N runs on a worker thread
+                # while this thread indexes N's facets/vectors and preps
+                # chunk N+1. Single writer preserved — only the pure
+                # native call leaves this thread. Pointless on one core
+                # (the gate checks), where it only adds switch overhead.
+                from concurrent.futures import ThreadPoolExecutor
+
+                ingest_executor = ThreadPoolExecutor(
+                    1, thread_name_prefix="ingest-extract"
+                )
+
             def flush_pending():
                 if not pending:
                     return
-                try:
-                    fallback = set(self._index_documents_batch(pending))
-                except Exception:
-                    fallback = {d for d, _doc in pending}
-                for d, dd in pending:
-                    if d in fallback:
-                        self._index_document_tokens(d, dd)
-                fr0 = len(self._facet_runs)
-                self._index_facets_batch(pending)
-                if len(self._facet_runs) > fr0:
-                    # facet postings buffered in a run: a replace of one
-                    # of these docs must fold the runs first (per-key
-                    # discards can't reach run content) — even when the
-                    # token side fell back per-document and never
-                    # registered the docids itself
-                    self._run_docids.update(d for d, _doc in pending)
-                for d, dd in pending:
-                    self._index_vectors(d, dd)
-                    self._index_geo(d, dd)
+                batch = list(pending)
                 pending.clear()
                 pending_ids.clear()
+                if ingest_executor is not None:
+                    self._submit_native(batch, ingest_executor)
+                    return
+                try:
+                    fallback = set(self._index_documents_batch(batch))
+                except Exception:
+                    fallback = {d for d, _doc in batch}
+                for d, dd in batch:
+                    if d in fallback:
+                        self._index_document_tokens(d, dd)
+                self._index_facets_batch_and_rest(batch)
 
             # bulk indexing allocates millions of small tracked objects;
             # the cyclic GC adds ~3x to their construction cost. Single
@@ -788,6 +821,9 @@ class IndexStore:
                         # are no-ops for content that never landed
                         pending.clear()
                         pending_ids.clear()
+                        # the in-flight native run must land before the
+                        # mark/epoch logic below reasons about the lists
+                        self._drain_native()
                         if self._merge_epoch != epoch0:
                             # a mid-call _merge_runs (replace of a doc
                             # whose postings sat in unmerged runs) reset
@@ -853,7 +889,7 @@ class IndexStore:
                         if use_batch:
                             pending.append((docid, doc))
                             pending_ids.add(docid)
-                            if len(pending) >= 32768:
+                            if len(pending) >= BATCH_TOKEN_CHUNK:
                                 flush_pending()
                         else:
                             self._index_document_content(docid, doc)
@@ -863,6 +899,11 @@ class IndexStore:
                                 touched = None
                 flush_pending()
             finally:
+                # nothing may stay in flight past this call: searches and
+                # later writers reason over the landed run lists only
+                self._drain_native()
+                if ingest_executor is not None:
+                    ingest_executor.shutdown(wait=True)
                 if gc_was_enabled:
                     gc.enable()
             if self._bulk_depth == 0:
@@ -1331,14 +1372,27 @@ class IndexStore:
     def _index_documents_batch(self, pending: list) -> list[int]:
         """Token postings for a batch of NEW documents in one native call
         (native/posting_builder.cpp — the data-parallel extractor family of
-        update/new/extract/, collapsed into per-batch C++ aggregation
-        because this host has a single core). Returns the docids the native
-        tokenizer could not fold byte-identically; the caller indexes those
-        through the per-document Python path. Facets/vectors/geo stay in
-        Python either way."""
-        import numpy as np
-
+        update/new/extract/, collapsed into per-batch C++ aggregation).
+        Returns the docids the native tokenizer could not fold
+        byte-identically; the caller indexes those through the
+        per-document Python path. Facets/vectors/geo stay in Python
+        either way."""
         from ..analysis.native import native_build_postings
+
+        prep = self._prep_token_batch(pending)
+        if prep is None:
+            return []
+        res = native_build_postings(*prep)
+        return self._land_token_run(pending, res)
+
+    def _prep_token_batch(self, pending: list):
+        """Main-thread half of the batch extractor: walks documents,
+        registers field ids, and flattens searchable text into the
+        (texts, entries) form the native builder consumes. Must run on
+        the writer thread (it mutates fields_ids_map); the returned
+        tuple is immutable and safe to hand to a worker. None = nothing
+        searchable in the batch."""
+        import numpy as np
 
         texts = bytearray()
         entries: list[int] = []  # flat: docid, fid, 0, off, len per entry
@@ -1412,24 +1466,77 @@ class IndexStore:
                 off += len(data)
                 texts += data
         if not entries:
-            return []
+            return None
         # exact flags are resolved only after every field is registered
         exact_fids = self.exact_attributes_fids()
         arr = np.array(entries, dtype=np.int32).reshape(-1, 5)
         if exact_fids:
             arr[:, 2] = np.isin(arr[:, 1], list(exact_fids))
-        res = native_build_postings(
-            bytes(texts), arr, self.settings.stop_words
-        )
+        return bytes(texts), arr, self.settings.stop_words
+
+    def _land_token_run(self, pending: list, res) -> list[int]:
+        """Writer-thread half: buffer the native run for the deferred
+        merge. Returns fallback docids (res None = native unavailable,
+        everything falls back to the per-document Python path)."""
         if res is None:
             return [docid for docid, _doc in pending]
-
         # defer the merge: the run (grouped key/len/docid columns + local
         # vocabulary, zero-copy views into the native buffer) buffers until
         # _merge_runs folds every pending run in one vectorized pass
         self._token_runs.append(res)
         self._run_docids.update(d for d, _doc in pending)
         return [int(x) for x in res["fallback"]]
+
+    def _submit_native(self, pending: list, executor) -> None:
+        """Dispatch the native tokenize/build of `pending` to the ingest
+        worker (extractor<->writer overlap, the bbqueue-channel analogue
+        of reference update/new/channel.rs:54 with capacity 1). The
+        batch's docids enter _run_docids NOW so a replace/delete of an
+        in-flight document routes through _merge_runs, which drains
+        first."""
+        from ..analysis.native import native_build_postings
+
+        self._drain_native()
+        prep = self._prep_token_batch(pending)
+        if prep is None:
+            self._index_facets_batch_and_rest(pending)
+            return
+        fut = executor.submit(native_build_postings, *prep)
+        self._run_docids.update(d for d, _doc in pending)
+        self._native_inflight = (pending, fut)
+        # facets/vectors/geo for THIS batch run on the writer thread
+        # while the worker tokenizes — that concurrency is the overlap
+        self._index_facets_batch_and_rest(pending)
+
+    def _drain_native(self) -> None:
+        """Block on the in-flight native build and land its run. Called
+        from _merge_runs, from the abort path, and at add_documents end
+        — nothing may read or fold the run lists past an in-flight
+        build."""
+        inflight = self._native_inflight
+        if inflight is None:
+            return
+        self._native_inflight = None
+        pending, fut = inflight
+        try:
+            res = fut.result()
+        except Exception:
+            res = None
+        for docid in self._land_token_run(pending, res):
+            doc = self.documents.get(docid)
+            if doc is not None:
+                self._index_document_tokens(docid, doc)
+
+    def _index_facets_batch_and_rest(self, pending: list) -> None:
+        """The non-token extractors for a flushed batch (shared between
+        the sync and overlapped paths)."""
+        fr0 = len(self._facet_runs)
+        self._index_facets_batch(pending)
+        if len(self._facet_runs) > fr0:
+            self._run_docids.update(d for d, _doc in pending)
+        for d, dd in pending:
+            self._index_vectors(d, dd)
+            self._index_geo(d, dd)
 
     def _remove_document_content(self, docid: int, doc: dict) -> None:
         if self._run_docids and docid in self._run_docids:

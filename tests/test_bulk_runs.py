@@ -189,3 +189,88 @@ def test_abort_after_midcall_merge_no_ghosts():
     assert ids == {"a", "b"}
     assert store.get_word_docids("replaced") == set()
     assert store.get_word_docids("anchor") == set(store.documents.keys())
+
+
+# ---------------------------------------------------------------------------
+# extractor<->writer overlap (MEILI_TPU_INGEST_OVERLAP=1): the native
+# tokenize of chunk N runs on a worker thread while the writer indexes
+# facets and preps chunk N+1 (reference update/new/channel.rs:54). The
+# tables must come out identical to the serial path, including when an
+# in-flight document is replaced or the batch aborts mid-stream.
+
+
+def _ingest(docs, overlap, monkeypatch, chunk=16, bulk=False, name="t"):
+    monkeypatch.setenv("MEILI_TPU_INGEST_OVERLAP", "1" if overlap else "0")
+    monkeypatch.setattr(
+        "meilisearch_tpu.index.store.BATCH_TOKEN_CHUNK", chunk
+    )
+    store = IndexStore(f"{name}-{'ov' if overlap else 'ser'}", primary_key="id")
+    store.settings.apply_json(
+        {
+            "searchableAttributes": ["title"],
+            "filterableAttributes": ["genre", "rank"],
+            "sortableAttributes": ["rank"],
+        }
+    )
+    if bulk:
+        with store.bulk():
+            store.add_documents(docs)
+    else:
+        store.add_documents(docs)
+    return store
+
+
+@pytest.mark.parametrize("bulk", [False, True])
+def test_overlap_equals_serial(monkeypatch, bulk):
+    docs = _docs(200)
+    a = _ingest(docs, True, monkeypatch, bulk=bulk)
+    b = _ingest(docs, False, monkeypatch, bulk=bulk)
+    assert a._native_inflight is None
+    _assert_tables_equal(_snapshot_tables(a), _snapshot_tables(b))
+
+
+def test_overlap_replace_of_inflight_doc(monkeypatch):
+    """A document whose postings are still in flight gets replaced later
+    in the SAME call: the replace must route through the drain (its
+    docids entered _run_docids at submit time) and leave no ghosts."""
+    docs = _docs(40)
+    replaced = dict(docs[2])
+    replaced["title"] = "zulu yankee xray"
+    stream = docs + [replaced] + _docs(8, start=40)
+    a = _ingest(stream, True, monkeypatch, chunk=8, name="rep")
+    b = _ingest(stream, False, monkeypatch, chunk=8, name="rep")
+    _assert_tables_equal(_snapshot_tables(a), _snapshot_tables(b))
+    # the old title's tokens must not hit doc 2 anymore
+    from meilisearch_tpu.search.perform import perform_search
+
+    res = perform_search(a, {"q": "zulu", "limit": 5})
+    assert [h["id"] for h in res["hits"]] == [2]
+
+
+def test_overlap_abort_rolls_back_inflight(monkeypatch):
+    """must_stop set mid-stream with a build in flight: the drain lands
+    the run before the mark logic, the rollback drops it, and the store
+    equals its pre-call state."""
+    monkeypatch.setenv("MEILI_TPU_INGEST_OVERLAP", "1")
+    monkeypatch.setattr(
+        "meilisearch_tpu.index.store.BATCH_TOKEN_CHUNK", 8
+    )
+    store = IndexStore("t-abort-ov", primary_key="id")
+    store.settings.apply_json({"searchableAttributes": ["title"]})
+    store.add_documents(_docs(10))
+    before = _snapshot_tables(store)
+    stop = threading.Event()
+    n_seen = 0
+
+    def stream():
+        nonlocal n_seen
+        for d in _docs(30, start=10):
+            n_seen += 1
+            if n_seen == 25:
+                stop.set()
+            yield d
+
+    with pytest.raises(AbortedProcessing):
+        store.add_documents(stream(), must_stop=stop)
+    assert store._native_inflight is None
+    _assert_tables_equal(_snapshot_tables(store), before)
