@@ -323,6 +323,13 @@ def main():
 
         threading.Thread(target=snapshot_loop, daemon=True).start()
 
+    if opt.experimental_boot_warm_sync:
+        # ready-or-silent contract: the socket below only opens once every
+        # loaded index serves warm (host caches + device kernels) — a
+        # connection refused IS the "not healthy yet" signal
+        spent = app.scheduler.boot_warm_sync()
+        print(f"boot warm (sync) completed in {spent:.1f}s")
+
     serve(
         opt.host,
         opt.port,

@@ -62,6 +62,9 @@ _FIELDS = [
     ("experimental_embedding_cache_entries", "int", 0),
     ("experimental_personalization_api_key", "str", None),
     ("experimental_allowed_ip_networks", "str", None),  # comma-separated CIDRs
+    # sync boot warm: socket opens only after host caches + device kernel
+    # compiles finish, so a fresh pod never silently serves host-mode
+    ("experimental_boot_warm_sync", "bool", False),
     # IndexerOpts (option.rs:799-823)
     ("max_indexing_memory", "str", None),
     ("max_indexing_threads", "int", None),

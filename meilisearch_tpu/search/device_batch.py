@@ -1368,10 +1368,13 @@ def warm_kernels(store: IndexStore, wait: bool = False) -> bool:
 
     # warm-up may wait out the backend init (it runs on daemon threads /
     # the bench's explicit warm phase, never a serving request)
-    if backend_kind(wait_s=90.0) in (None, "", "cpu"):
+    kind = backend_kind(wait_s=90.0)
+    if kind in (None, ""):
+        return False  # "" = backend init hung (dead transport)
+    if kind == "cpu" and os.environ.get("MEILI_TPU_DEVICE_STRICT") != "1":
         # CPU is the host path's job; compiling the batch kernels there
-        # wastes cycles (STRICT-mode tests bypass this routing and
-        # compile on demand). "" = backend init hung (dead transport).
+        # wastes cycles. STRICT mode (tests) compiles them anyway so the
+        # boot-warm contract is CI-checkable without a TPU.
         return False
     key = _warm_key(D)
     with _WARM_LOCK:
