@@ -33,9 +33,13 @@ through the phrase's edge words constrained to the phrase docids, and
 fid/position attribute through the first word (host-scorer parity:
 scorer._pair_cost/_fid_entries/_pos_entries).
 
+Round-5 widening: matchingStrategy=all rides the device path (every
+term mandatory — the DP skip transitions never fire, candidates are
+docs matching all terms, words bits uniformly 0).
+
 Everything else (ngram derivations, score details, custom ranking
-rules, dynamic rules, >6-term chains) falls back to the host scorer,
-per query.
+rules, matchingStrategy=frequency, dynamic rules, >6-term chains)
+falls back to the host scorer, per query.
 """
 
 from __future__ import annotations
@@ -193,16 +197,21 @@ def _parse_sort_criteria(search: Search):
     the assembled rules are DEFAULT + sort at the default position; None
     when the query cannot ride the device."""
     rules = search._assembled_rules(for_query=True)
+    # matchingStrategy=all drops the words rule from the assembled order
+    # (executor.py:234; the packed key's words bits are uniformly 0 under
+    # all-mandatory terms, so the key order still matches)
+    base = (
+        DEFAULT_RULES[1:]
+        if search.terms_matching_strategy == "all"
+        else DEFAULT_RULES
+    )
+    sort_pos = _SORT_RULE_POS - (len(DEFAULT_RULES) - len(base))
     if not search.sort_criteria:
-        return [] if rules == DEFAULT_RULES else None
+        return [] if rules == base else None
     sort_entries = [r for r in rules if r[0] == "sort_field"]
     if any(r[0] == "geo" for r in rules):
         return None
-    expected = (
-        DEFAULT_RULES[:_SORT_RULE_POS]
-        + sort_entries
-        + DEFAULT_RULES[_SORT_RULE_POS:]
-    )
+    expected = base[:sort_pos] + sort_entries + base[sort_pos:]
     if rules != expected or not sort_entries:
         return None
     return [(f, asc) for _tag, f, asc in sort_entries]
@@ -352,7 +361,7 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         search.compute_scores
         or search.compute_score_details
         or search.attributes_to_search_on is not None
-        or search.terms_matching_strategy != "last"
+        or search.terms_matching_strategy not in ("last", "all")
         or not (search.query and search.query.strip())
         or search.offset + search.limit > TOPK
     ):
@@ -452,7 +461,14 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     mand = np.array(
         [nd.located.term.phrase is not None for nd in chain], dtype=bool
     )
-    if not mand.any():
+    if search.terms_matching_strategy == "all":
+        # matchingStrategy=all: every term mandatory — the DP's skip
+        # transitions never fire, so candidates = docs matching ALL terms
+        # and the words-rule bits are uniformly 0, exactly the host/
+        # reference semantics (executor.py:234; query_graph.rs:379 "All
+        # terms matching strategy: no removal buckets")
+        mand[:] = True
+    elif not mand.any():
         mand[0] = True
 
     weight_map = store.fid_weight_map()
@@ -1030,10 +1046,9 @@ def score_delta(
                 pair_c[t - 1, pc, c] = row
 
     mand = np.zeros(T, dtype=bool)
-    for t, (term, _sp) in enumerate(chain):
-        mand[t] = term.phrase is not None
-    if not mand.any():
-        mand[0] = True  # same rule as build_descriptor
+    # inherit the descriptor's mandatory flags (phrase terms; all terms
+    # under matchingStrategy=all) — padding terms stay skippable
+    mand[: len(chain)] = d.mand[: len(chain)]
     key_arr, BIG, sh_ea, sh_w = packed_chain_dp_np(
         present, fid_c, pos_c, pair_c, exact_m, T, mand=mand
     )

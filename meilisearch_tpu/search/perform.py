@@ -498,7 +498,7 @@ def _perform_search_many_locked(store, queries, features, search_many):
     for body in queries:
         search = None
         if set(body) <= _DEVICE_BATCH_SAFE_KEYS and (
-            body.get("matchingStrategy") in (None, "last")
+            body.get("matchingStrategy") in (None, "last", "all")
         ):
             try:
                 search = perform_search(

@@ -74,6 +74,13 @@ QUERIES = [
     {"q": "quick", "offset": 120, "limit": 30},
     # distinct needs the full candidate list -> deep-k program
     {"q": "fox", "distinct": "category"},
+    # matchingStrategy=all rides the device path (round 5): all terms
+    # mandatory, candidates = docs matching every term
+    {"q": "quick brown fox", "matchingStrategy": "all"},
+    {"q": "databse rust", "matchingStrategy": "all"},
+    {"q": '"quick brown" fox', "matchingStrategy": "all"},
+    {"q": "fox lazy", "matchingStrategy": "all", "filter": "points > 20"},
+    {"q": "green salad", "matchingStrategy": "all", "sort": ["points:desc"]},
 ]
 
 
@@ -113,8 +120,13 @@ def test_descriptor_rejections(store):
             sort_criteria=["_geoPoint(1.0, 2.0):asc"],
         )
     ) is None
+    # round 5: matchingStrategy=all rides the device path
     assert device_batch.build_descriptor(
-        Search(store, query="quick", terms_matching_strategy="all")
+        Search(store, query="quick brown", terms_matching_strategy="all")
+    ) is not None
+    # frequency's removal buckets stay host-side
+    assert device_batch.build_descriptor(
+        Search(store, query="quick", terms_matching_strategy="frequency")
     ) is None
     # round 4: explicit phrases ride the device path
     assert device_batch.build_descriptor(
