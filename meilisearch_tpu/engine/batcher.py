@@ -99,6 +99,12 @@ class SearchBatcher:
         self._commit_s = self.COMMIT_S
         self._last_winner = "host"
         self._drain_s = 0.25  # EWMA of device-drain duration (seeds ~1M)
+        # winner memory across load episodes: (store id, store generation
+        # era) of the last committed DEVICE win. Bursty load must not
+        # re-pay the measurement ramp on every burst — a new burst on the
+        # same store resumes committed-device and the normal tenure
+        # expiry re-measures it (bounded staleness = COMMIT_S)
+        self._resume_key = None
 
     def _qps(self, now: float, window: float = 1.0) -> float:
         return sum(1 for t in self._served if now - t <= window) / window
@@ -185,12 +191,30 @@ class SearchBatcher:
                         f"load gone (recent={recent}): reset from"
                         f" {self._phase}/{self.mode}"
                     )
+                    if self._phase == "commit" and self.mode == "device":
+                        # keyed on the index uid, not id(store): object
+                        # ids get recycled, and a reopened index with the
+                        # same corpus legitimately resumes its winner
+                        self._resume_key = getattr(store, "uid", None)
                 self._phase = "idle"
                 self.mode = "host"
                 self._commit_s = self.COMMIT_S
             return
         if self._phase == "idle":
             if _device_ready(store):
+                if (
+                    self._resume_key is not None
+                    and self._resume_key == getattr(store, "uid", None)
+                ):
+                    # prior burst committed device on this store: resume
+                    # committed (ONE-shot — tenure expiry re-measures)
+                    self._resume_key = None
+                    self._trace("resume committed device (prior winner)")
+                    self._last_winner = "device"
+                    self.mode = "device"
+                    self._phase = "commit"
+                    self._phase_until = now + self.COMMIT_S
+                    return
                 # already serving in host mode under this same load: the
                 # trailing served window IS the host baseline — skip the
                 # dedicated host slice (it costs ~4 s at 1M docs)
@@ -288,7 +312,7 @@ class SearchBatcher:
         self._skip_first_drain = phase == "measure_device"
 
     def _run(self):
-        from ..search.device_batch import consume_device_exec_s
+        from ..search.device_batch import _stats_add, consume_device_exec_s
         from ..search.perform import perform_search_many
 
         while not self._stop:
@@ -354,6 +378,15 @@ class SearchBatcher:
                         entries[0].features,
                         force_device=device_mode,
                     )
+                    if device_mode:
+                        _stats_add(
+                            drain_wall_s=_time.monotonic() - t_drain
+                        )
+                    else:
+                        _stats_add(
+                            host_mode_served=len(entries),
+                            host_mode_drains=1,
+                        )
                     # only feed the EWMA when a device execute actually
                     # ran: force_device can still serve on the host (cold
                     # kernels, device exception fallback, sort/distinct
@@ -396,5 +429,5 @@ def batchable_body(body: dict) -> bool:
     from ..search.perform import _DEVICE_BATCH_SAFE_KEYS
 
     return set(body) <= _DEVICE_BATCH_SAFE_KEYS and (
-        body.get("matchingStrategy") in (None, "last")
+        body.get("matchingStrategy") in (None, "last", "all")
     )

@@ -1498,6 +1498,16 @@ _SERVING_STATS = {
     "host_fallbacks": 0,  # device ran but page unproven -> host re-run
     "inexact_flags": 0,  # queries the selection pass flagged inexact
     "device_errors": 0,  # drains that raised -> whole chunk host re-run
+    # drain wall-time attribution (round 5: the 48-vs-127 QPS HTTP gap
+    # had to be reverse-engineered from source; these make the artifact
+    # self-explaining). device_exec_s is time inside execute_device_batch;
+    # drain_wall_s is the batcher's whole-drain wall (exec + host finish
+    # + response fan-out); host_mode_served counts queries the batcher
+    # answered in HOST mode (the A/B controller's measurement ramp).
+    "device_exec_s": 0.0,
+    "drain_wall_s": 0.0,
+    "host_mode_served": 0,
+    "host_mode_drains": 0,
 }
 
 
@@ -1520,6 +1530,8 @@ def serving_stats(reset: bool = False) -> dict:
     snap["exact_flag_rate"] = (
         round(snap["inexact_flags"] / ran, 4) if ran else 0.0
     )
+    snap["device_exec_s"] = round(snap["device_exec_s"], 3)
+    snap["drain_wall_s"] = round(snap["drain_wall_s"], 3)
     return snap
 
 
@@ -1554,9 +1566,9 @@ def search_many(
             # batcher's drain-duration EWMA must only see drains where a
             # device execute actually ran (a 32-query HOST fallback at 1M
             # docs takes seconds and would poison the hold heuristic)
-            _exec_stats.s = getattr(_exec_stats, "s", 0.0) + (
-                _time.monotonic() - t0
-            )
+            dt_exec = _time.monotonic() - t0
+            _exec_stats.s = getattr(_exec_stats, "s", 0.0) + dt_exec
+            _stats_add(device_exec_s=dt_exec)
         except Exception:
             if os.environ.get("MEILI_TPU_DEVICE_STRICT") == "1":
                 raise  # tests: a silent host fallback would hide bugs

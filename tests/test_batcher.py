@@ -281,3 +281,68 @@ def test_arrival_pause_during_big_drain_is_not_load_gone(monkeypatch):
     b._update_mode(now=101.0, recent=0, store=None)
     assert b._phase == "commit"
     assert b.mode == "device"
+
+
+def test_winner_resume_skips_measurement_ramp(monkeypatch):
+    """A new load burst on a store whose previous burst committed DEVICE
+    resumes committed (round 5: bursty load must not re-pay the A/B
+    measurement ramp every burst). One-shot: the tenure expiry after the
+    resume runs a full re-measurement."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+
+    class _S:
+        uid = "movies"
+
+    store = _S()
+    now = 100.0
+    # drive to a committed device win
+    b._update_mode(now=now, recent=3, store=store)
+    now += b.MEASURE_S + 0.1
+    b._drains += [2, 2]
+    b._served += [now] * 4
+    b._update_mode(now=now, recent=3, store=store)
+    now += 0.5
+    b._drains += [20]
+    b._served += [now] * 20
+    b._update_mode(now=now, recent=3, store=store)
+    now += b.MEASURE_S + 0.1
+    b._drains += [3, 3]
+    b._served += [now] * 6
+    b._update_mode(now=now, recent=3, store=store)
+    assert (b._phase, b.mode) == ("commit", "device")
+
+    # load disappears mid-commit: reset to host, but remember the winner
+    b._arrivals.clear()
+    b._drains = [1, 1, 1, 1]
+    b._update_mode(now=now + 1.0, recent=0, store=store)
+    assert (b._phase, b.mode) == ("idle", "host")
+    assert b._resume_key == "movies"
+
+    # load returns on the SAME store: resume committed-device immediately
+    now += 10.0
+    b._drains = [8] * 8
+    b._update_mode(now=now, recent=3, store=store)
+    assert (b._phase, b.mode) == ("commit", "device")
+    assert b._resume_key is None  # one-shot
+
+    # tenure expiry re-measures from scratch (no infinite resume loop)
+    now = b._phase_until + 0.1
+    b._update_mode(now=now, recent=3, store=store)
+    assert b._phase == "idle"
+    b._update_mode(now=now, recent=3, store=store)
+    assert b._phase in ("measure_host", "measure_device")
+
+
+def test_winner_resume_other_store_measures(monkeypatch):
+    """The resume shortcut is per-store: a different store measures."""
+    monkeypatch.setattr(batcher_mod, "_device_ready", lambda store: True)
+    b = make_batcher([8] * 8)
+    b._resume_key = "books"  # a different index's win
+
+    class _S:
+        uid = "movies"
+
+    other = _S()
+    b._update_mode(now=100.0, recent=3, store=other)
+    assert b._phase == "measure_host"
