@@ -651,7 +651,7 @@ def packed_chain_dp_np(
 
 def merge_topk_host(
     idx1, key1, idx2, key2, count, k, delta_ids=None, delta_keys=None,
-    tie_proven=True,
+    tie_proven=True, return_keys=False,
 ):
     """Exact ordered top-k from the kernel's two candidate lists plus the
     host-scored delta overlay (numpy). Returns (docids int32 padded with
@@ -704,12 +704,19 @@ def merge_topk_host(
     out = np.full(k, -1, dtype=np.int32)
     n = min(len(idx_o), k, total)
     out[:n] = idx_o[:n]
+    if return_keys:
+        # the packed DP key per returned slot (INVALID_KEY pads) — the
+        # caller decodes per-rule costs from the bit fields for
+        # showRankingScore on the device path
+        keys_out = np.full(k, INVALID_KEY, dtype=np.int32)
+        keys_out[:n] = key_o[:n]
+        return out, n_exact, total, keys_out
     return out, n_exact, total
 
 
 def merge_topk_sort_host(
     idx1, key1, idx2, key2, count, k, T, sort_key_rows, qsort_of,
-    delta_ids=None, delta_keys=None, tie_proven=True,
+    delta_ids=None, delta_keys=None, tie_proven=True, return_keys=False,
 ):
     """Exact ordered top-k for a SORT query (numpy). The kernel selected on
     the above-sort key portion; the final order is (above-sort key bits,
@@ -743,7 +750,10 @@ def merge_topk_sort_host(
         key = np.concatenate([key, delta_keys])
         total += len(delta_ids)
     if not len(idx):
-        return np.full(k, -1, dtype=np.int32), k, total
+        empty = np.full(k, -1, dtype=np.int32)
+        if return_keys:
+            return empty, k, total, np.full(k, INVALID_KEY, dtype=np.int32)
+        return empty, k, total
 
     hi = key & ~np.int32(low_mask)
     # the device selection threshold comes from the device lists alone
@@ -786,4 +796,8 @@ def merge_topk_sort_host(
     out = np.full(k, -1, dtype=np.int32)
     n = min(len(idx_o), k, total)
     out[:n] = idx_o[:n]
+    if return_keys:
+        keys_out = np.full(k, INVALID_KEY, dtype=np.int32)
+        keys_out[:n] = key[order][:n]
+        return out, n_exact, total, keys_out
     return out, n_exact, total

@@ -180,6 +180,9 @@ class ChainDescriptor:
     # host-overlay inputs (minor-write delta scoring, score_delta)
     chain_info: list = dc_field(default_factory=list)  # [(term, start_pos)]
     graph: object = None
+    # per chain node: list of class-docids arrays (the resolve checks of
+    # graph_max_cost when decoding _rankingScore from the packed key)
+    node_class_ids: dict = dc_field(default_factory=dict)
 
 
 def _subset_words(resolver: Resolver, term, cls: int) -> list[str]:
@@ -358,8 +361,12 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
     store = search.store
     settings = store.settings
     if (
-        search.compute_scores
-        or search.compute_score_details
+        # showRankingScore decodes exactly from the packed key bit fields
+        # (_device_scores); details rendering and threshold-total
+        # semantics (which need scores for EVERY candidate, not just the
+        # top-k page) stay on the host scorer
+        search.compute_score_details
+        or search.ranking_score_threshold is not None
         or search.attributes_to_search_on is not None
         or search.terms_matching_strategy not in ("last", "all")
         or not (search.query and search.query.strip())
@@ -549,12 +556,17 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
             gcache[("dfidpos", tkey, cls)] = entry
         return entry
 
+    node_class_ids: dict = {}
     for t, node in enumerate(chain):
         term = node.located.term
         start_pos = node.located.start_position
         tkey = (
             term.original, term.is_prefix, term.use_prefix_db, term.phrase
         )
+        node_class_ids[node.node_id] = [
+            class_ids(term, tkey, cls)
+            for cls in range(term.max_typo_cost() + 1)
+        ]
         exact_ids = None
         if term.phrase is not None:
             # exactness for a phrase term = the phrase docids
@@ -754,12 +766,16 @@ def build_descriptor(search: Search) -> Optional[ChainDescriptor]:
         universe_ids=universe,
         located_terms=[n.located for n in graph.term_nodes()],
         search=search,
-        want_mask=bool(search.facets),
+        # scores need the candidate bitmap for graph_max_cost's
+        # node-resolves checks (host parity: _node_resolves over the
+        # resolved universe == the DP's candidate set)
+        want_mask=bool(search.facets) or search.compute_scores,
         universe_packed=universe_packed,
         chain_info=[
             (n.located.term, n.located.start_position) for n in chain
         ],
         graph=graph,
+        node_class_ids=node_class_ids,
     )
 
 
@@ -1080,6 +1096,93 @@ def score_delta(
     return delta_ids[sel], key_arr[sel]
 
 
+class _ShimScorer:
+    """max_cost provider for the device finish path: the same
+    graph_max_cost dp the host FusedScorer runs, with node-resolve checks
+    answered from the query's candidate bitmap (the DP candidate set ==
+    the host's resolved universe, so membership tests agree) and
+    removability from the graph's removal groups directly."""
+
+    def __init__(self, store, d: ChainDescriptor, cand_mask: np.ndarray):
+        self.store = store
+        self.d = d
+        self.mask = cand_mask
+        self._cache: dict = {}
+        strategy = d.search.terms_matching_strategy
+        groups = (
+            d.graph.removal_groups_last() if strategy == "last" else []
+        )
+        self._removable = {nid for g in groups for nid in g}
+        self.strategy = strategy
+
+    def _resolves(self, node) -> bool:
+        key = ("res", node.node_id)
+        got = self._cache.get(key)
+        if got is None:
+            got = False
+            nd = len(self.mask)
+            for ids in self.d.node_class_ids.get(node.node_id, ()):
+                if len(ids) and self.mask[ids[ids < nd]].any():
+                    got = True
+                    break
+            self._cache[key] = got
+        return got
+
+    def max_cost(self, dim: str, k: int) -> int:
+        key = ("maxcost", dim, k)
+        if key in self._cache:
+            return self._cache[key]
+        from .scorer import graph_max_cost
+
+        best = graph_max_cost(
+            self.d.graph, self.store, self.strategy, dim, k,
+            self._resolves, lambda n: n.node_id in self._removable,
+        )
+        self._cache[key] = best
+        return best
+
+
+def _device_scores(
+    store: IndexStore,
+    d: ChainDescriptor,
+    T: int,
+    ranked: np.ndarray,
+    keys: np.ndarray,
+    cand_mask: np.ndarray,
+) -> dict:
+    """Exact `_rankingScore` values for device-served hits, decoded from
+    the packed DP key's bit fields (ops/arena_scorer._key_layout) and fed
+    through the host's score math (executor._compute_global_scores —
+    reference ScoreDetails::global_score, score_details.rs:529). Padding
+    terms added by _pad_descriptor shift every doc's words field by the
+    same T - d.T constant, subtracted here."""
+    from ..ops.arena_scorer import _key_layout
+
+    sh_ea, sh_ps, sh_fd, sh_px, sh_ty, sh_w, _total = _key_layout(T)
+    k64 = keys.astype(np.int64)
+    n_pad = T - len(d.chain_info)
+    decoded = {
+        "exactness": k64 & ((1 << sh_ea) - 1),
+        "position": (k64 >> sh_ps) & ((1 << (sh_fd - sh_ps)) - 1),
+        "fid": (k64 >> sh_fd) & ((1 << (sh_px - sh_fd)) - 1),
+        "proximity": (k64 >> sh_px) & ((1 << (sh_ty - sh_px)) - 1),
+        "typo": (k64 >> sh_ty) & ((1 << (sh_w - sh_ty)) - 1),
+        "words": (k64 >> sh_w) - n_pad,
+    }
+    ea = (k64 >> sh_ea) & 3
+
+    search = d.search
+    rules = search._assembled_rules(for_query=True)
+    graph_dims = [r[1] for r in rules if r[0] == "graph"]
+    cost = np.stack([decoded[dim] for dim in graph_dims])
+    # words level: matched leading term ids (score_delta level decode)
+    levels = np.clip(
+        len(d.chain_info) - decoded["words"], 0, len(d.chain_info)
+    ).astype(np.int64)
+    shim = _ShimScorer(store, d, cand_mask)
+    return search._compute_global_scores(rules, cost, levels, ea, ranked, shim)
+
+
 def _finish_device_result(
     store: IndexStore,
     d: ChainDescriptor,
@@ -1088,6 +1191,8 @@ def _finish_device_result(
     n_exact: int,
     mask_row,
     delta_matches=None,
+    keys=None,
+    T: int = MAX_T,
 ) -> Optional[SearchResult]:
     """Build a SearchResult from the exact ranked candidate list, applying
     pagination + distinct through the host's _paginate (ONE place owns
@@ -1098,7 +1203,10 @@ def _finish_device_result(
     if max_hits is None:
         max_hits = store.settings.pagination.max_total_hits
 
-    ranked = ranked[ranked >= 0]
+    live = ranked >= 0
+    ranked = ranked[live]
+    if keys is not None:
+        keys = keys[live]
     needed = min(search.offset + search.limit, total, max_hits)
     if n_exact < min(needed, len(ranked)):
         return None  # sort quantization could not prove the page exact
@@ -1107,17 +1215,28 @@ def _finish_device_result(
         # exact (both for the page and for the adjusted total)
         if total > len(ranked) or n_exact < len(ranked):
             return None
-        res = search._paginate(ranked.astype(np.int64), ranked.astype(np.int64))
-    else:
-        res = search._paginate(ranked.astype(np.int64), ranked.astype(np.int64))
-        res.total_hits = int(min(total, max_hits))
-    res.query_terms = d.located_terms
+
+    mask = None
     if mask_row is not None:
         mask = unpack_bitmap(mask_row, len(mask_row) * 32)
         if delta_matches is not None and len(delta_matches):
             # the kernel's bitmap covers base docids only; the host
             # overlay's matches complete the candidate set
             mask[delta_matches] = True
+
+    scores_by_docid = None
+    if search.compute_scores:
+        if keys is None or mask is None:
+            return None  # scores need the key column + candidate bitmap
+        scores_by_docid = _device_scores(store, d, T, ranked, keys, mask)
+
+    res = search._paginate(
+        ranked.astype(np.int64), ranked.astype(np.int64), scores_by_docid
+    )
+    if d.distinct_field is None:
+        res.total_hits = int(min(total, max_hits))
+    res.query_terms = d.located_terms
+    if mask is not None:
         res.candidates_mask = mask
     return res
 
@@ -1273,6 +1392,8 @@ def execute_device_batch(
         d_ids, d_keys = EMPTY, None
         if len(delta_live):
             d_ids, d_keys = score_delta(store, d, delta_live, T)
+        want_keys = bool(d.search.compute_scores)
+        rkeys = None
         if d.sort_criteria:
             search = d.search
 
@@ -1288,22 +1409,26 @@ def execute_device_batch(
             def qsort_of(cand, plane=plane):
                 return plane[cand].astype(np.int32) + 128
 
-            ranked, n_exact, total = merge_topk_sort_host(
+            got = merge_topk_sort_host(
                 idx1[i], key1[i], idx2[i], key2[i], count, TOPK, T,
                 sort_key_rows, qsort_of,
                 delta_ids=d_ids, delta_keys=d_keys,
-                tie_proven=(ex == 2),
+                tie_proven=(ex == 2), return_keys=want_keys,
             )
         else:
-            ranked, n_exact, total = merge_topk_host(
+            got = merge_topk_host(
                 idx1[i], key1[i], idx2[i], key2[i], count, TOPK,
                 delta_ids=d_ids, delta_keys=d_keys,
-                tie_proven=(ex == 2),
+                tie_proven=(ex == 2), return_keys=want_keys,
             )
+        if want_keys:
+            ranked, n_exact, total, rkeys = got
+        else:
+            ranked, n_exact, total = got
         results.append(
             _finish_device_result(
                 store, d, ranked, total, n_exact, mask_rows.get(i),
-                delta_matches=d_ids,
+                delta_matches=d_ids, keys=rkeys, T=T,
             )
         )
     if trace:

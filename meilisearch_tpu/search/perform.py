@@ -462,6 +462,10 @@ _DEVICE_BATCH_SAFE_KEYS = {
     # (search/device_batch.py), with per-query host fallback when the
     # device cannot prove the page exact
     "sort", "facets", "distinct",
+    # round 5: _rankingScore decodes from the packed DP key bit fields
+    # device-side (device_batch._device_scores); details stay host-only
+    # (build_descriptor gates them to the host scorer)
+    "showRankingScore",
 }
 
 

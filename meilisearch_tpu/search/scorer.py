@@ -331,6 +331,89 @@ class NodeStates:
     removable_group: Optional[int]  # removal-group index or None
 
 
+def graph_max_cost(
+    graph: QueryGraph,
+    store: IndexStore,
+    strategy: str,
+    dim: str,
+    k: int,
+    node_resolves,
+    node_removable,
+) -> int:
+    """Maximum path cost for one rule over the first-k-terms subgraph
+    (reference: graph_based_ranking_rule.rs:144 next_max_cost — the
+    successor of this value is the rule's max_rank). Shared by the host
+    FusedScorer and the device finish path (search/device_batch.py), which
+    supply their own `node_resolves(node)` / `node_removable(node)`
+    predicates (universe membership vs candidate-bitmap membership).
+
+    Every rule after `words` computes its max on the graph the words
+    rule handed down: QueryGraph::build_from_paths over the bucket's
+    GOOD paths (graph_based_ranking_rule.rs:353). An alternative whose
+    docids are empty in the universe is on no good path, so it never
+    reaches downstream maxes — this is how ngram nodes (whose
+    split-words derivation is excluded when it equals their own
+    components, compute_derivations.rs:300) drop out of maxTypoCount.
+    The words rule itself takes the FULL graph (max computed at
+    start_iteration, before any dead-end removal)."""
+    nodes = [
+        n
+        for n in graph.term_nodes()
+        if dim == "words"
+        or (n.located.end_term_id < k and node_resolves(n))
+    ]
+    order = sorted(nodes, key=lambda nd: (nd.located.start_term_id, nd.node_id))
+    dp: dict[int, int] = {graph.root: 0}
+    for node in order:
+        term = node.located
+        rnm = term.term_ids_len - 1
+        best = None
+        for p in node.predecessors:
+            if p not in dp:
+                continue
+            cost = 0
+            if dim == "typo":
+                # the rule's max cost uses the term's STRUCTURAL typo
+                # budget (max_typo_cost checks the default-All subsets
+                # and the split-words possibility, never realized
+                # derivations), plus the ngram base cost
+                # (typo/mod.rs:53 build_edges)
+                t = term.term
+                base = term.term_ids_len if t.ngram_words else 0
+                cost = t.max_typo_cost() + base
+            elif dim == "proximity":
+                adjacent = False
+                if p != graph.root:
+                    src = graph.nodes[p]
+                    adjacent = (
+                        src.located.end_position + 1 == term.start_position
+                    )
+                cost = ((MAX_DISTANCE - 1) + rnm) if adjacent else rnm
+            elif dim == "fid":
+                weights = store.fid_weight_map()
+                max_w = max(weights.values()) if weights else 0
+                cost = max_w * term.term_ids_len
+            elif dim == "position":
+                cost = 10 * term.term_ids_len
+            elif dim == "exactness":
+                cost = term.term_ids_len
+            elif dim == "words":
+                # a skippable node can contribute its skip cost
+                cost = term.term_ids_len if node_removable(node) else 0
+            cand = dp[p] + cost
+            if best is None or cand > best:
+                best = cand
+        if best is not None:
+            dp[node.node_id] = best
+    # the k-truncated subgraph's paths end at the last KEPT node, which
+    # is not a predecessor of graph.end; since every edge cost is >= 0,
+    # the max full-path cost equals the max dp value over kept nodes
+    best_end = max(dp.values(), default=0)
+    if dim == "words" and strategy != "all":
+        best_end += max(graph.words_in_phrases_count() - 1, 0)
+    return best_end
+
+
 class FusedScorer:
     """Computes the per-candidate cost matrix for the graph-based rules."""
 
@@ -1007,76 +1090,15 @@ class FusedScorer:
         key = ("maxcost", dim, k)
         if key in self._exact_mask_cache:
             return self._exact_mask_cache[key]
-        # Every rule after `words` computes its max on the graph the words
-        # rule handed down: QueryGraph::build_from_paths over the bucket's
-        # GOOD paths (graph_based_ranking_rule.rs:353). An alternative whose
-        # docids are empty in the universe is on no good path, so it never
-        # reaches downstream maxes — this is how ngram nodes (whose
-        # split-words derivation is excluded when it equals their own
-        # components, compute_derivations.rs:300) drop out of maxTypoCount.
-        # The words rule itself takes the FULL graph (max computed at
-        # start_iteration, before any dead-end removal).
-        nodes = [
-            n
-            for n in self.graph.term_nodes()
-            if dim == "words"
-            or (n.located.end_term_id < k and self._node_resolves(n))
-        ]
-        order = sorted(nodes, key=lambda nd: (nd.located.start_term_id, nd.node_id))
-        ids = {n.node_id for n in nodes}
-        dp: dict[int, int] = {self.graph.root: 0}
-        for node in order:
-            term = node.located
-            rnm = term.term_ids_len - 1
-            best = None
-            for p in node.predecessors:
-                if p not in dp:
-                    continue
-                cost = 0
-                if dim == "typo":
-                    # the rule's max cost uses the term's STRUCTURAL typo
-                    # budget (max_typo_cost checks the default-All subsets
-                    # and the split-words possibility, never realized
-                    # derivations), plus the ngram base cost
-                    # (typo/mod.rs:53 build_edges)
-                    t = term.term
-                    base = term.term_ids_len if t.ngram_words else 0
-                    cost = t.max_typo_cost() + base
-                elif dim == "proximity":
-                    adjacent = False
-                    if p != self.graph.root:
-                        src = self.graph.nodes[p]
-                        adjacent = (
-                            src.located.end_position + 1 == term.start_position
-                        )
-                    cost = ((MAX_DISTANCE - 1) + rnm) if adjacent else rnm
-                elif dim == "fid":
-                    weights = self.store.fid_weight_map()
-                    max_w = max(weights.values()) if weights else 0
-                    cost = max_w * term.term_ids_len
-                elif dim == "position":
-                    cost = 10 * term.term_ids_len
-                elif dim == "exactness":
-                    cost = term.term_ids_len
-                elif dim == "words":
-                    ns = self.node_states.get(node.node_id)
-                    # a skippable node can contribute its skip cost
-                    cost = (
-                        term.term_ids_len
-                        if ns and ns.removable_group is not None
-                        else 0
-                    )
-                cand = dp[p] + cost
-                if best is None or cand > best:
-                    best = cand
-            if best is not None:
-                dp[node.node_id] = best
-        # the k-truncated subgraph's paths end at the last KEPT node, which
-        # is not a predecessor of graph.end; since every edge cost is >= 0,
-        # the max full-path cost equals the max dp value over kept nodes
-        best_end = max(dp.values(), default=0)
-        if dim == "words" and self.strategy != "all":
-            best_end += max(self.graph.words_in_phrases_count() - 1, 0)
+
+        def removable(node) -> bool:
+            ns = self.node_states.get(node.node_id)
+            return bool(ns) and ns.removable_group is not None
+
+        best_end = graph_max_cost(
+            self.graph, self.store, self.strategy, dim, k,
+            self._node_resolves, removable,
+        )
         self._exact_mask_cache[key] = best_end
         return best_end
 

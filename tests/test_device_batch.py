@@ -132,8 +132,19 @@ def test_descriptor_rejections(store):
     assert device_batch.build_descriptor(
         Search(store, query='"quick brown"')
     ) is not None
+    # round 5: showRankingScore decodes from the packed DP key on device
     assert device_batch.build_descriptor(
         Search(store, query="quick", compute_scores=True)
+    ) is not None
+    # ...but details rendering and threshold totals stay host-side
+    assert device_batch.build_descriptor(
+        Search(store, query="quick", compute_score_details=True)
+    ) is None
+    assert device_batch.build_descriptor(
+        Search(
+            store, query="quick", compute_scores=True,
+            ranking_score_threshold=0.5,
+        )
     ) is None
     assert device_batch.build_descriptor(Search(store, query="quick")) is not None
 
@@ -231,6 +242,58 @@ def test_device_sort_tie_truncation_falls_back_exactly():
     assert [h["id"] for h in host["hits"]] == [h["id"] for h in dev["hits"]]
     # maxTotalHits (default 1000) caps the estimate on both paths
     assert host["estimatedTotalHits"] == dev["estimatedTotalHits"]
+
+
+SCORE_QUERIES = [
+    {"q": "quick brown fox", "showRankingScore": True},
+    {"q": "quick", "showRankingScore": True},
+    {"q": "databse rust", "showRankingScore": True, "limit": 30},
+    {"q": '"quick brown" fox', "showRankingScore": True},
+    {"q": "fox", "showRankingScore": True, "filter": "points > 50"},
+    {"q": "quick brown fox", "matchingStrategy": "all",
+     "showRankingScore": True},
+    {"q": "quick", "showRankingScore": True, "sort": ["points:desc"]},
+    {"q": "green salad", "showRankingScore": True,
+     "sort": ["points:desc"], "limit": 25},
+    {"q": "quick", "showRankingScore": True, "distinct": "category"},
+    {"q": "little prince", "showRankingScore": True, "offset": 2,
+     "limit": 8},
+]
+
+
+def test_device_ranking_scores_match_host(store):
+    """round 5: _rankingScore decoded from the packed DP key bit fields on
+    the device path must equal the host scorer's global_score exactly."""
+    serial = [perform_search(store, dict(q)) for q in SCORE_QUERIES]
+    batched = perform_search_many(store, [dict(q) for q in SCORE_QUERIES])
+    for q, s, b in zip(SCORE_QUERIES, serial, batched):
+        assert [h["id"] for h in s["hits"]] == [
+            h["id"] for h in b["hits"]
+        ], f"order mismatch for {q}"
+        host_scores = [h["_rankingScore"] for h in s["hits"]]
+        dev_scores = [h["_rankingScore"] for h in b["hits"]]
+        assert host_scores == dev_scores, f"score mismatch for {q}"
+
+
+def test_device_scores_served_on_device(store, monkeypatch):
+    """showRankingScore queries must actually EXECUTE device-side."""
+    served = []
+    orig = device_batch.execute_device_batch
+
+    def spy(st, descriptors, T=6):
+        res = orig(st, descriptors, T)
+        served.append([r is not None for r in res])
+        return res
+
+    monkeypatch.setattr(device_batch, "execute_device_batch", spy)
+    perform_search_many(
+        store,
+        [
+            {"q": "quick brown", "showRankingScore": True},
+            {"q": "fox", "showRankingScore": True},
+        ],
+    )
+    assert served and all(all(flags) for flags in served), served
 
 
 def test_plane_encodings():
