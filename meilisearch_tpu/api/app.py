@@ -294,7 +294,9 @@ class App:
                 # Retry-After header (pinned by search_queue.rs snapshots)
                 headers["Retry-After"] = "10"
             return Response(
-                err.code.http_status, json=err.to_json(), headers=headers
+                getattr(err, "status", None) or err.code.http_status,
+                json=err.to_json(),
+                headers=headers,
             )
         except Exception as err:  # internal
             import traceback

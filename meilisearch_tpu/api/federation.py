@@ -22,34 +22,143 @@ from ..search.perform import (
 from ..types.errors import EngineError, ErrorCode
 
 
+_QUERY_SCOPED_CODES = {
+    # per-query errors whose message gains an "Index `uid`: " scope when
+    # wrapped for multi-search (reference multi/mod.rs federation_one_query
+    # _error vs search_one_query_error: filter/sort/distinct errors carry
+    # the index scope; facets and index_not_found do not). Filter errors
+    # are absent here because search/filters.py already prefixes them
+    # with the index scope (single-search parity).
+    ErrorCode.INVALID_SEARCH_SORT,
+    ErrorCode.INVALID_SEARCH_DISTINCT,
+}
+
+
+def _wrap_query_error(err: EngineError, qi: int, index_uid: str):
+    """Re-raise a per-query error as the multi-search surface: message
+    prefixed with the query position, HTTP status forced to 400 (even
+    index_not_found — multi/mod.rs pins 400, not 404), code preserved."""
+    scope = (
+        f"Index `{index_uid}`: " if err.code in _QUERY_SCOPED_CODES else ""
+    )
+    raise EngineError(
+        err.code,
+        f"Inside `.queries[{qi}]`: {scope}{err.message}",
+        status=400,
+    ) from err
+
+
+def _check_index_uid(qi: int, query: dict) -> str:
+    """deserr-level indexUid validation (multi/mod.rs
+    simple_search_missing_index_uid / _illegal_index_uid)."""
+    from ..engine.scheduler import VALID_INDEX_UID
+
+    if not isinstance(query, dict):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Invalid value type at `.queries[{qi}]`: expected an object.",
+        )
+    index_uid = query.get("indexUid")
+    if index_uid is None:
+        raise EngineError(
+            ErrorCode.MISSING_INDEX_UID,
+            f"Missing field `indexUid` inside `.queries[{qi}]`",
+        )
+    if not isinstance(index_uid, str):
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            f"Invalid value at `.queries[{qi}].indexUid`: expected a string.",
+        )
+    if not VALID_INDEX_UID.match(index_uid):
+        raise EngineError(
+            ErrorCode.INVALID_INDEX_UID,
+            f"Invalid value at `.queries[{qi}].indexUid`: `{index_uid}` is"
+            " not a valid index uid. Index uid can be an integer or a string"
+            " containing only alphanumeric characters, hyphens (-) and"
+            " underscores (_), and can not be more than 512 bytes.",
+        )
+    return index_uid
+
+
+def _validate_query_params(app, qi: int, index_uid: str, query: dict):
+    """Query-order validation BEFORE any query executes: the reference
+    runs queries sequentially so the FIRST invalid query (by position)
+    surfaces, even when a later group would execute earlier here
+    (multi/mod.rs federation_multiple_query_errors_interleaved)."""
+    from ..search.facets import validate_facets
+    from ..search.perform import check_distinct_filterable
+
+    try:
+        store = app.scheduler.index(index_uid)
+    except EngineError as err:
+        _wrap_query_error(err, qi, index_uid)
+    def _mentions_foreign(flt) -> bool:
+        if isinstance(flt, str):
+            return "_foreign" in flt
+        if isinstance(flt, list):
+            return any(_mentions_foreign(f) for f in flt)
+        return False
+
+    try:
+        from ..search.filters import evaluate_filter
+
+        # `_foreign(..)` join filters resolve later (apply_foreign_filter)
+        # with their own pinned error shapes — don't pre-evaluate them raw
+        if query.get("filter") is not None and not _mentions_foreign(
+            query.get("filter")
+        ):
+            evaluate_filter(store, query.get("filter"), as_array=True)
+        sort = query.get("sort")
+        if sort is not None:
+            from ..search.executor import Search
+
+            Search(
+                store,
+                query=query.get("q"),
+                sort_criteria=[sort] if isinstance(sort, str) else sort,
+            )._check_sort_criteria()
+        if query.get("facets"):
+            validate_facets(store, query["facets"])
+        if query.get("distinct") is not None:
+            check_distinct_filterable(store, query["distinct"])
+    except EngineError as err:
+        _wrap_query_error(err, qi, index_uid)
+    return store
+
+
 def perform_multi_search(app, req) -> dict:
-    body = req.body or {}
+    body = req.body if req.body is not None else {}
+    if not isinstance(body, dict):
+        import json as _json
+
+        raise EngineError(
+            ErrorCode.BAD_REQUEST,
+            "Invalid value type: expected an object, but found"
+            f" {'an array' if isinstance(body, list) else 'a value'}:"
+            f" `{_json.dumps(body, separators=(',', ':'))}`",
+        )
     queries = body.get("queries")
     federation = body.get("federation")
     if not isinstance(queries, list):
         raise EngineError(
             ErrorCode.BAD_REQUEST,
-            "Missing field `queries`: expected an array of queries.",
+            "Missing field `queries`",
         )
 
     if federation is None:
         for i, query in enumerate(queries):
-            index_uid = query.get("indexUid")
-            if not isinstance(index_uid, str):
-                raise EngineError(
-                    ErrorCode.BAD_REQUEST,
-                    f"Invalid value at `.queries[{i}].indexUid`: expected a"
-                    " string.",
-                )
+            index_uid = _check_index_uid(i, query)
             if "federationOptions" in query:
                 raise EngineError(
-                    ErrorCode.BAD_REQUEST,
-                    f"Inside `.queries[{i}]`: Using federation options is not"
-                    " allowed in a non-federated search.\n - Hint: remove"
-                    " `federationOptions` from query #"
-                    f"{i} or add `federation` to the request.",
+                    ErrorCode.INVALID_MULTI_SEARCH_FEDERATION_OPTIONS,
+                    f"Inside `.queries[{i}]`: Using `federationOptions` is"
+                    " not allowed in a non-federated search.\n - Hint:"
+                    " remove `federationOptions` from the query or add"
+                    " `federation` to the request.",
                 )
-            app.auth.authenticate(req.auth_token, "search", query["indexUid"])
+            app.auth.authenticate(req.auth_token, "search", index_uid)
+        for i, query in enumerate(queries):
+            _validate_query_params(app, i, query["indexUid"], query)
         # group per index so chain-compatible queries share device batches
         # (SURVEY §2.6 batched query execution)
         from ..search.join import apply_foreign_filter, hydrate_response
@@ -82,10 +191,17 @@ def perform_multi_search(app, req) -> dict:
     started = time.perf_counter()
     limit = int(federation.get("limit", 20) or 20)
     offset = int(federation.get("offset", 0) or 0)
-    # performance details move to the federation level in federated
-    # search (reference performance_details.rs invalid_federated_search)
+    fed_distinct = federation.get("distinct")
+    network_self = (app.scheduler.network or {}).get("self")
+
+    # query-order validation pre-pass: the whole request must 400 BEFORE
+    # any local execution or remote dispatch (reference deserr parse +
+    # sequential query validation, multi/mod.rs error suites)
     for qi, query in enumerate(queries):
-        if isinstance(query, dict) and "showPerformanceDetails" in query:
+        index_uid = _check_index_uid(qi, query)
+        if "showPerformanceDetails" in query:
+            # performance details move to the federation level in
+            # federated search (performance_details.rs invalid_federated)
             raise EngineError(
                 ErrorCode.INVALID_MULTI_SEARCH_QUERY_SHOW_PERFORMANCE_DETAILS,
                 f"Inside `.queries[{qi}]`: Using `.showPerformanceDetails`"
@@ -93,6 +209,96 @@ def perform_multi_search(app, req) -> dict:
                 " `showPerformanceDetails` from the query or remove"
                 " `federation` from the request",
             )
+        fed_opts = query.get("federationOptions") or {}
+        weight = fed_opts.get("weight", 1.0)
+        if isinstance(weight, bool) or not isinstance(weight, (int, float)):
+            raise EngineError(
+                ErrorCode.INVALID_MULTI_SEARCH_WEIGHT,
+                f"Invalid value at `.queries[{qi}].federationOptions.weight`:"
+                " the value of `weight` is invalid, expected a positive"
+                " float (>= 0.0).",
+            )
+        if weight < 0:
+            raise EngineError(
+                ErrorCode.INVALID_MULTI_SEARCH_WEIGHT,
+                f"Invalid value at `.queries[{qi}].federationOptions.weight`:"
+                " the value of `weight` is invalid, expected a positive"
+                " float (>= 0.0).",
+            )
+        for field in ("offset", "limit", "page", "hitsPerPage"):
+            if field in query:
+                raise EngineError(
+                    ErrorCode.INVALID_MULTI_SEARCH_QUERY_PAGINATION,
+                    f"Inside `.queries[{qi}]`: Using pagination options is"
+                    " not allowed in federated queries.\n - Hint: remove"
+                    f" `{field}` from the query or remove `federation` from"
+                    " the request\n - Hint: pass `federation.limit` and"
+                    " `federation.offset` for pagination in federated"
+                    " search",
+                )
+        if query.get("facets"):
+            import json as _json
+
+            raise EngineError(
+                ErrorCode.INVALID_MULTI_SEARCH_QUERY_FACETS,
+                f"Inside `.queries[{qi}]`: Using facet options is not"
+                " allowed in federated queries.\n - Hint: remove `facets`"
+                " from the query or remove `federation` from the request\n"
+                f" - Hint: pass `federation.facetsByIndex.{index_uid}:"
+                f" {_json.dumps(query['facets'])}` for facets in federated"
+                " search",
+            )
+        if fed_distinct is not None and "distinct" in query:
+            raise EngineError(
+                ErrorCode.INVALID_MULTI_SEARCH_DISTINCT,
+                f"Inside `.queries[{qi}]`: Using `distinct` options is not"
+                " allowed in federated queries when it also appears in"
+                " `.federation.distinct`.\n - Hint: remove `distinct` from"
+                " the query or remove `federation` from the request\n "
+                " - Note: `distinct` at the query level is discouraged in"
+                " federated search.",
+            )
+        remote_name = fed_opts.get("remote")
+        if remote_name and remote_name != network_self:
+            continue  # index existence + params are the remote's to check
+        store = _validate_query_params(app, qi, index_uid, query)
+        if fed_distinct is not None:
+            from ..search.perform import check_distinct_filterable
+
+            try:
+                check_distinct_filterable(store, fed_distinct)
+            except EngineError as err:
+                _wrap_query_error(err, qi, index_uid)
+
+    # facetsByIndex validation (multi/mod.rs federation_non_faceted_for_
+    # an_index): errors scope to the first query using the index, or
+    # carry a "not used in queries" note
+    fbi = federation.get("facetsByIndex") or {}
+    for fbi_uid, fbi_facets in fbi.items():
+        first_qi = next(
+            (
+                qi
+                for qi, q in enumerate(queries)
+                if q.get("indexUid") == fbi_uid
+            ),
+            None,
+        )
+        try:
+            fbi_store = app.scheduler.index(fbi_uid)
+            from ..search.facets import validate_facets
+
+            validate_facets(fbi_store, fbi_facets)
+        except EngineError as err:
+            inner = f"Inside `.federation.facetsByIndex.{fbi_uid}`: {err.message}"
+            if first_qi is None:
+                msg = (
+                    f"{inner}\n - Note: index `{fbi_uid}` is not used in"
+                    " queries"
+                )
+            else:
+                msg = f"Inside `.queries[{first_qi}]`: {inner}"
+            raise EngineError(err.code, msg, status=400) from err
+
     show_perf = federation.get("showPerformanceDetails", False)
     if not isinstance(show_perf, bool):
         from ..search.perform import _fmt_json, _json_type_name
@@ -252,28 +458,8 @@ def perform_multi_search(app, req) -> dict:
 
     for qi, query in local_queries:
         index_uid = query.get("indexUid")
-        if not isinstance(index_uid, str):
-            raise EngineError(
-                ErrorCode.BAD_REQUEST,
-                f"Invalid value at `.queries[{qi}].indexUid`: expected a string.",
-            )
         fed_opts = query.get("federationOptions") or {}
         weight = float(fed_opts.get("weight", 1.0))
-        if weight < 0:
-            raise EngineError(
-                ErrorCode.BAD_REQUEST,
-                f"Invalid value at `.queries[{qi}].federationOptions.weight`:"
-                " the value must be positive.",
-            )
-        for forbidden in ("offset", "limit", "page", "hitsPerPage"):
-            if forbidden in query:
-                raise EngineError(
-                    ErrorCode.BAD_REQUEST,
-                    f"Inside `.queries[{qi}]`: Using pagination options is not"
-                    f" allowed in federated queries.\n - Hint: remove"
-                    f" `{forbidden}` from query #{qi} or remove `federation`"
-                    " from the request.",
-                )
         app.auth.authenticate(req.auth_token, "search", index_uid)
         store = app.scheduler.index(index_uid)
 
@@ -282,33 +468,42 @@ def perform_multi_search(app, req) -> dict:
         from ..search.join import apply_foreign_filter
 
         query = dict(query)
-        apply_foreign_filter(app.scheduler, store, query, qpos=qi)
-        filter_docids = evaluate_filter(store, query.get("filter"), as_array=True)
-        search = Search(
-            store,
-            query=query.get("q"),
-            filter_docids=filter_docids,
-            offset=0,
-            limit=offset + limit,
-            sort_criteria=[query["sort"]] if isinstance(query.get("sort"), str)
-            else query.get("sort"),
-            terms_matching_strategy=query.get("matchingStrategy", "last"),
-            attributes_to_search_on=query.get("attributesToSearchOn"),
-            compute_scores=True,
-        )
-        result = search.execute()
+        try:
+            apply_foreign_filter(app.scheduler, store, query, qpos=qi)
+            filter_docids = evaluate_filter(
+                store, query.get("filter"), as_array=True
+            )
+            search = Search(
+                store,
+                query=query.get("q"),
+                filter_docids=filter_docids,
+                offset=0,
+                limit=offset + limit,
+                sort_criteria=[query["sort"]]
+                if isinstance(query.get("sort"), str)
+                else query.get("sort"),
+                terms_matching_strategy=query.get("matchingStrategy", "last"),
+                attributes_to_search_on=query.get("attributesToSearchOn"),
+                compute_scores=True,
+            )
+            result = search.execute()
+        except EngineError as err:
+            _wrap_query_error(err, qi, index_uid)
         candidates_by_index.setdefault(index_uid, set()).update(
             int(d) for d in result.candidates
         )
         hits = build_hits(store, query, result.documents_ids, query.get("q"))
         for docid, hit in zip(result.documents_ids, hits):
-            score = result.scores_by_docid.get(docid, 1.0) * weight
+            raw_score = result.scores_by_docid.get(docid, 1.0)
+            score = raw_score * weight
             ext = store.internal_to_external.get(docid, str(docid))
             key = (index_uid, ext)
             if key in seen_pairs and seen_pairs[key] >= score:
                 continue
             seen_pairs[key] = score
             hit = dict(hit)
+            if query.get("showRankingScore"):
+                hit["_rankingScore"] = raw_score
             hit["_federation"] = {
                 "indexUid": index_uid,
                 "queriesPosition": qi,
@@ -318,19 +513,61 @@ def perform_multi_search(app, req) -> dict:
             # attributesToRetrieve may not carry `id`, and re-deriving
             # identity from displayed fields is lossy (a json-dump prefix
             # collapsed DISTINCT documents as duplicates)
-            all_hits.append((score, qi, (None, index_uid, ext), hit))
+            all_hits.append(
+                (score, qi, (None, index_uid, ext), hit, (index_uid, docid))
+            )
 
     # stable merge: score desc, then query position asc
     all_hits.sort(key=lambda x: (-x[0], x[1]))
     # dedup (remote, index, docid) keeping best score
     deduped = []
     emitted = set()
-    for score, qi, dedup_key, hit in all_hits:
+    for entry in all_hits:
+        score, qi, dedup_key, hit = entry[:4]
+        meta = entry[4] if len(entry) > 4 else None
         if dedup_key in emitted:
             continue
         emitted.add(dedup_key)
-        deduped.append(hit)
+        deduped.append((hit, meta))
 
+    # federation.distinct: keep the first (best-ranked) hit per distinct
+    # facet value, globally across indexes (reference federated/perform.rs
+    # + multi/mod.rs federation_distinct_two_indexes). Facet DISTRIBUTION
+    # then counts only kept documents while facet STATS keep the full
+    # pre-distinct candidates (federation_distinct_two_indexes_nested
+    # pins max over a dropped document's value).
+    kept_by_index: Optional[dict[str, set]] = None
+    if fed_distinct is not None:
+        kept_by_index = {}
+        seen_vals: set = set()
+        kept = []
+        for hit, meta in deduped:
+            if meta is None:
+                kept.append((hit, meta))  # remote: values resolved remotely
+                continue
+            uid, docid = meta
+            d_store = app.scheduler.index(uid)
+            fid = d_store.fields_ids_map.id(fed_distinct)
+            vals: list = []
+            if fid is not None:
+                vals.extend(
+                    ("n", v)
+                    for v in d_store.docid_facet_numbers.get((fid, docid), ())
+                )
+                vals.extend(
+                    ("s", v)
+                    for v, _o in d_store.docid_facet_strings.get(
+                        (fid, docid), ()
+                    )
+                )
+            if any(v in seen_vals for v in vals):
+                continue
+            seen_vals.update(vals)
+            kept.append((hit, meta))
+            kept_by_index.setdefault(uid, set()).add(docid)
+        deduped = kept
+
+    deduped = [hit for hit, _meta in deduped]
     page = deduped[offset : offset + limit]
     # document-join hydration on the merged page (reference
     # FederatedHydrationFormatter): group hits by source index, hydrate
@@ -414,7 +651,15 @@ def perform_multi_search(app, req) -> dict:
             # the index (reference: federated facet merge over per-query
             # candidates), not the whole index
             candidates = candidates_by_index.get(index_uid, set())
-            dist, stats = facet_distribution(store, facets, candidates)
+            if kept_by_index is not None:
+                # distinct: distribution over KEPT docs, stats over the
+                # full pre-distinct candidates (see merge loop above)
+                dist, _ = facet_distribution(
+                    store, facets, kept_by_index.get(index_uid, set())
+                )
+                _dist, stats = facet_distribution(store, facets, candidates)
+            else:
+                dist, stats = facet_distribution(store, facets, candidates)
             if merge is not None:
                 for facet, values in dist.items():
                     bucket = merged_dist.setdefault(facet, {})

@@ -24,29 +24,15 @@ DEFAULT_VALUES_PER_FACET = 100
 MAX_FACET_VALUES_RETURNED = 100  # facet search cap (search.rs MAX_NUMBER_OF_FACETS)
 
 
-def facet_distribution(
-    store: IndexStore,
-    facets: Iterable[str],
-    candidates: Optional[set],
-    max_values_per_facet: Optional[int] = None,
-    sort_facet_values_by: Optional[dict] = None,
-) -> tuple[dict, dict]:
-    """Returns (facetDistribution, facetStats)."""
-    counter = _Counter(store, candidates)
+def validate_facets(store: IndexStore, facets: Iterable[str]) -> list[str]:
+    """Expand `*` and reject non-filterable facets (reference
+    FacetDistribution error surface, pinned by tests/search/errors.rs).
+    Returns the expanded facet list. Shared with the multi-search
+    validation pass, which must fail in query order BEFORE any query
+    executes (multi/mod.rs search_one_query_error)."""
     settings = store.settings
-    max_values = (
-        max_values_per_facet
-        if max_values_per_facet is not None
-        else settings.faceting.max_values_per_facet
-    )
-    order_config = dict(settings.faceting.sort_facet_values_by)
-    if sort_facet_values_by:
-        order_config.update(sort_facet_values_by)
-
-    # expand `*` to every filterable attribute name present in the index
-    requested = list(facets)
     expanded: list[str] = []
-    for facet in requested:
+    for facet in facets:
         if facet == "*":
             for name in store.fields_ids_map.names():
                 if settings.is_filterable(name) and name not in ("_geo", "_geojson"):
@@ -71,6 +57,29 @@ def facet_distribution(
                 " attributes."
             )
         raise EngineError(ErrorCode.INVALID_SEARCH_FACETS, msg)
+    return expanded
+
+
+def facet_distribution(
+    store: IndexStore,
+    facets: Iterable[str],
+    candidates: Optional[set],
+    max_values_per_facet: Optional[int] = None,
+    sort_facet_values_by: Optional[dict] = None,
+) -> tuple[dict, dict]:
+    """Returns (facetDistribution, facetStats)."""
+    counter = _Counter(store, candidates)
+    settings = store.settings
+    max_values = (
+        max_values_per_facet
+        if max_values_per_facet is not None
+        else settings.faceting.max_values_per_facet
+    )
+    order_config = dict(settings.faceting.sort_facet_values_by)
+    if sort_facet_values_by:
+        order_config.update(sort_facet_values_by)
+
+    expanded = validate_facets(store, facets)
 
     distribution: dict = {}
     stats: dict = {}

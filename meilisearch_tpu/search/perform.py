@@ -192,13 +192,7 @@ def _perform_search_locked(
 
     distinct = query.get("distinct")
     if distinct is not None:
-        feats = store.settings.filter_features_for(distinct)
-        if not feats:
-            raise EngineError(
-                ErrorCode.INVALID_SEARCH_DISTINCT,
-                f"Attribute `{distinct}` is not filterable and thus, cannot be"
-                " used as distinct attribute.",
-            )
+        check_distinct_filterable(store, distinct)
 
     threshold = query.get("rankingScoreThreshold")
     if threshold is not None:
@@ -586,6 +580,29 @@ def _perform_facet_search_locked(store: IndexStore, body: dict, started) -> dict
 
 # ---------------------------------------------------------------------------
 # hit building
+
+
+def check_distinct_filterable(store: IndexStore, distinct: str) -> None:
+    """Reference milli error.rs:232 InvalidDistinctAttribute: the message
+    appends the available filterable patterns (or the no-filterables
+    sentence). Shared with federated `federation.distinct` validation
+    (multi/mod.rs federation_distinct_not_filterable)."""
+    settings = store.settings
+    if settings.filter_features_for(distinct):
+        return
+    attrs = sorted(settings.filterable_attribute_names())
+    if attrs:
+        tail = (
+            "Available filterable attributes patterns are:"
+            f" `{', '.join(attrs)}`."
+        )
+    else:
+        tail = "This index does not have configured filterable attributes."
+    raise EngineError(
+        ErrorCode.INVALID_SEARCH_DISTINCT,
+        f"Attribute `{distinct}` is not filterable and thus, cannot be"
+        f" used as distinct attribute. {tail}",
+    )
 
 
 def build_hits(

@@ -51,6 +51,16 @@ class ErrorCode(str, Enum):
     INVALID_MULTI_SEARCH_QUERY_SHOW_PERFORMANCE_DETAILS = (
         "invalid_multi_search_query_show_performance_details"
     )
+    MISSING_INDEX_UID = "missing_index_uid"
+    INVALID_MULTI_SEARCH_WEIGHT = "invalid_multi_search_weight"
+    INVALID_MULTI_SEARCH_QUERY_PAGINATION = (
+        "invalid_multi_search_query_pagination"
+    )
+    INVALID_MULTI_SEARCH_QUERY_FACETS = "invalid_multi_search_query_facets"
+    INVALID_MULTI_SEARCH_FEDERATION_OPTIONS = (
+        "invalid_multi_search_federation_options"
+    )
+    INVALID_MULTI_SEARCH_DISTINCT = "invalid_multi_search_distinct"
     INVALID_SEARCH_RANKING_SCORE_THRESHOLD = "invalid_search_ranking_score_threshold"
     INVALID_SIMILAR_ID = "invalid_similar_id"
     INVALID_SETTINGS_RANKING_RULES = "invalid_settings_ranking_rules"
@@ -160,10 +170,14 @@ _STATUS = {
 
 
 class EngineError(Exception):
-    def __init__(self, code: ErrorCode, message: str):
+    def __init__(self, code: ErrorCode, message: str, status: int = None):
         super().__init__(message)
         self.code = code
         self.message = message
+        # per-site override: multi-search wraps per-query errors (incl.
+        # index_not_found, normally 404) as 400 Bad Request responses
+        # (reference multi/mod.rs search_one_index_doesnt_exist)
+        self.status = status
 
     def to_json(self) -> dict:
         code = self.code.value
